@@ -1,0 +1,164 @@
+"""Central typed configuration.
+
+The reference hard-codes its pipeline/model/index constants at call sites
+(e.g. 2 fps and 8-frame chunks at extract-features.py:292-297, thumbnail
+params at src/dataloader/dataset.py:154-155 & 262-267, merge tolerances at
+search.py:717-740, the serve-time settings at config.py:6-20 of the
+reference). Here every tunable lives in one typed config tree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+
+@dataclasses.dataclass
+class VideoIngestConfig:
+    """Video stream sampling (reference: extract-features.py:292-297)."""
+
+    frame_rate: float = 2.0          # frames per second sampled
+    frames_per_chunk: int = 8        # 8 frames @ 2 fps = 4 s segments
+    segment_length: float = 4.0      # seconds per chunk
+
+
+@dataclasses.dataclass
+class AudioIngestConfig:
+    """Audio stream sampling (reference: extract-features.py:292-312)."""
+
+    sampling_rate: int = 48_000
+    segment_length: float = 4.0      # seconds per segment
+    # Segments shorter than this fraction of segment_length are discarded
+    # (reference discards audio chunks < full length: extract-features.py:336-337).
+    min_segment_fraction: float = 1.0
+
+
+@dataclasses.dataclass
+class ThumbnailConfig:
+    """Thumbnail stream (reference: src/dataloader/dataset.py:154-155, 262-267)."""
+
+    height: int = 192
+    frame_rate: float = 2.0
+    jpeg_quality: int = 80
+
+
+@dataclasses.dataclass
+class StoreConfig:
+    """Feature store sharding (reference: extract-features.py store setup)."""
+
+    shard_maxcount: int = 2048
+    shard_maxsize: int = 20 * 1024 * 1024  # 20 MiB
+    store_type: str = "webdataset"         # "webdataset" (tar) | "numpy" (npz)
+
+
+@dataclasses.dataclass
+class IndexConfig:
+    """ANN index parameters (reference: src/index/feature_search_index.py:53-59,
+    config.py:17, api/routes.py:899-911)."""
+
+    index_type: str = "IndexFlatIP"
+    # IVF: nlist = small_factor*sqrt(N) if N < large_threshold else large_factor*sqrt(N)
+    ivf_nlist_small_factor: int = 3
+    ivf_nlist_large_factor: int = 10
+    ivf_nlist_threshold: int = 200_000
+    ivf_train_per_cell: int = 100          # train on min(N, 100*nlist) samples
+    nprobe: int = 1024
+    use_direct_map: bool = False
+    # device-side scan parameters
+    scan_block_rows: int = 4096            # DB rows per Pallas scan block
+    storage_dtype: str = "float32"         # "float32" | "bfloat16"
+
+
+@dataclasses.dataclass
+class SearchConfig:
+    """Query-time behaviour (reference: search.py:717-740, api/routes.py:523-602,
+    759-850; config.py:6-20)."""
+
+    top_k: int = 10
+    precision: int = 3
+    query_prefix: str = "This is a photo of a"
+    audio_query_prefix: str = "this is the sound of"
+    text_queries_weight: float = 2.0
+    negative_queries_weight: float = 0.2
+    # merge0 tolerances per media type (seconds), and rank tolerance
+    merge_video_time_tolerance: float = 4.0
+    merge_audio_time_tolerance: float = 8.0
+    merge_rank_tolerance: int = 20
+    shot_merge_gap: float = 4.0            # segments closer than this merge into shots
+    query_blocklist: Tuple[str, ...] = ()
+
+
+@dataclasses.dataclass
+class ServeConfig:
+    """REST server settings (reference: config.py:6-20)."""
+
+    mode: str = "production"
+    hostname: str = "0.0.0.0"
+    port: int = 9670
+    top_k: int = 10
+    num_inline_thumbnails: int = 10        # first K thumbnails inlined as base64
+    featured_max: int = 10_000
+    featured_seed: int = 42
+
+
+@dataclasses.dataclass
+class MeshConfig:
+    """Device mesh for sharded inference / index scan."""
+
+    # axis names: "dp" (data/batch), "mp" (model/tensor). Index shards ride "dp".
+    dp: int = -1                            # -1 = all available devices
+    mp: int = 1
+
+
+@dataclasses.dataclass
+class WiseConfig:
+    video: VideoIngestConfig = dataclasses.field(default_factory=VideoIngestConfig)
+    audio: AudioIngestConfig = dataclasses.field(default_factory=AudioIngestConfig)
+    thumbnail: ThumbnailConfig = dataclasses.field(default_factory=ThumbnailConfig)
+    store: StoreConfig = dataclasses.field(default_factory=StoreConfig)
+    index: IndexConfig = dataclasses.field(default_factory=IndexConfig)
+    search: SearchConfig = dataclasses.field(default_factory=SearchConfig)
+    serve: ServeConfig = dataclasses.field(default_factory=ServeConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    # DB commit batching (reference commits every 8192 chunks,
+    # extract-features.py:400-402)
+    db_commit_interval: int = 8192
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "WiseConfig":
+        raw = json.loads(text)
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            if f.name not in raw:
+                continue
+            v = raw[f.name]
+            if dataclasses.is_dataclass(f.type) or f.name in (
+                "video", "audio", "thumbnail", "store", "index",
+                "search", "serve", "mesh",
+            ):
+                sub_cls = cls.__dataclass_fields__[f.name].default_factory  # type: ignore[union-attr]
+                sub = sub_cls()
+                for k, val in v.items():
+                    if hasattr(sub, k):
+                        if k == "query_blocklist":
+                            val = tuple(val)
+                        setattr(sub, k, val)
+                kwargs[f.name] = sub
+            else:
+                kwargs[f.name] = v
+        return cls(**kwargs)
+
+    def save(self, path: Path) -> None:
+        Path(path).write_text(self.to_json())
+
+    @classmethod
+    def load(cls, path: Path) -> "WiseConfig":
+        p = Path(path)
+        if p.exists():
+            return cls.from_json(p.read_text())
+        return cls()

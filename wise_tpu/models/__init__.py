@@ -1,0 +1,4 @@
+from .feature_extractor import FeatureExtractor
+from .factory import FeatureExtractorFactory
+
+__all__ = ["FeatureExtractor", "FeatureExtractorFactory"]
