@@ -1,0 +1,39 @@
+import numpy as np
+import pytest
+
+from wise_tpu.ops.topk import exact_topk, numpy_reference_topk
+
+
+@pytest.mark.parametrize("n,d,q,k,block", [
+    (1000, 64, 3, 10, 256),
+    (100, 32, 1, 100, 4096),     # k == n
+    (513, 128, 2, 7, 128),       # ragged tail
+    (8, 16, 2, 20, 64),          # k > n
+])
+def test_matches_numpy(rng, n, d, q, k, block):
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    vals, idx = exact_topk(queries, db, k, block_rows=block)
+    ref_vals, ref_idx = numpy_reference_topk(queries, db, k)
+    k_eff = min(k, n)
+    assert vals.shape == (q, k_eff)
+    np.testing.assert_allclose(vals, ref_vals, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(idx, ref_idx)
+
+
+def test_tie_break_prefers_lower_index(rng):
+    d = 8
+    row = rng.standard_normal(d).astype(np.float32)
+    db = np.stack([row] * 5 + [rng.standard_normal(d).astype(np.float32)])
+    q = row[None]
+    vals, idx = exact_topk(q, db, 5, block_rows=8)
+    # 5 identical rows -> indices 0..4 in order
+    np.testing.assert_array_equal(idx[0], np.arange(5))
+
+
+def test_scores_are_f32_inner_products(rng):
+    db = rng.standard_normal((50, 16)).astype(np.float32)
+    q = rng.standard_normal((1, 16)).astype(np.float32)
+    vals, idx = exact_topk(q, db, 1)
+    expect = float(q[0] @ db[idx[0, 0]])
+    assert abs(float(vals[0, 0]) - expect) < 1e-5

@@ -1,0 +1,237 @@
+"""Vector search index over a feature store.
+
+Replaces the reference's faiss-backed FeatureSearchIndex
+(/root/reference/src/index/feature_search_index.py) with the framework's own
+engine: an exact streaming scan (IndexFlatIP semantics) and an IVF-Flat mode
+(k-means coarse quantizer, cell-sorted storage, nprobe search) — both backed
+by the Pallas/XLA top-k ops and an ``.widx`` on-disk format.
+
+Heuristics preserved from the reference (feature_search_index.py:53-59):
+nlist = 3*sqrt(N) if N < 200k else 10*sqrt(N); train on min(N, 100*nlist)
+samples. Query prompts per modality are preserved too (:24-28).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..config import IndexConfig
+from ..store.factory import FeatureStoreFactory
+from .format import read_index_file, write_index_file
+from .search_index import SearchIndex
+
+logger = logging.getLogger(__name__)
+
+QUERY_PROMPTS = {
+    "image": "This is a photo of a ",
+    "video": "This is a photo of a ",
+    "audio": "this is the sound of ",
+}
+
+
+class FeatureSearchIndex(SearchIndex):
+    def __init__(self, media_type: str, asset_id: str, asset: dict,
+                 config: Optional[IndexConfig] = None):
+        self.media_type = media_type
+        self.asset_id = asset_id
+        self.asset = asset
+        self.config = config or IndexConfig()
+        self.index_dir = Path(asset["index_dir"])
+        self._extractor = None
+        self._arrays = None
+        self._metadata = None
+        self._device_db = None
+        self._mesh = None
+
+    # ------------------------------------------------------------------
+    def index_path(self, index_type: str) -> Path:
+        return self.index_dir / f"{self.media_type}-{index_type}.widx"
+
+    @property
+    def extractor(self):
+        if self._extractor is None:
+            from ..models import FeatureExtractorFactory
+
+            self._extractor = FeatureExtractorFactory(self.asset_id)
+        return self._extractor
+
+    # ------------------------------------------------------------------
+    def _load_store_matrix(self) -> Tuple[np.ndarray, np.ndarray]:
+        store = FeatureStoreFactory.load_store(
+            self.media_type, Path(self.asset["features_dir"])
+        )
+        store.enable_read()
+        n, d = store.feature_count, store.feature_dim
+        ids = np.empty(n, dtype=np.int64)
+        vecs = np.empty((n, d), dtype=np.float32)
+        row = 0
+        for batch_ids, batch in store.iter_batch(4096):
+            m = len(batch_ids)
+            ids[row : row + m] = batch_ids
+            vecs[row : row + m] = batch.reshape(m, d)
+            row += m
+        assert row == n
+        return ids, vecs
+
+    def create_index(self, index_type: str, overwrite: bool = False) -> bool:
+        out = self.index_path(index_type)
+        if out.exists() and not overwrite:
+            logger.info(f"index {out} exists, skipping (overwrite=False)")
+            return False
+        self.index_dir.mkdir(parents=True, exist_ok=True)
+        ids, vecs = self._load_store_matrix()
+        n, d = vecs.shape
+
+        if index_type == "IndexFlatIP":
+            write_index_file(
+                out,
+                {"ids": ids, "vectors": vecs},
+                {
+                    "index_type": "IndexFlatIP",
+                    "metric": "inner_product",
+                    "dim": d,
+                    "count": n,
+                },
+            )
+        elif index_type == "IndexIVFFlat":
+            cfg = self.config
+            if n < cfg.ivf_nlist_threshold:
+                nlist = int(cfg.ivf_nlist_small_factor * math.sqrt(n))
+            else:
+                nlist = int(cfg.ivf_nlist_large_factor * math.sqrt(n))
+            nlist = max(1, min(nlist, n))
+            train_count = min(n, cfg.ivf_train_per_cell * nlist)
+            rng = np.random.default_rng(0)
+            train_idx = rng.permutation(n)[:train_count]
+            from ..ops.kmeans import kmeans, _np_assign_final
+
+            logger.info(f"IVF training: nlist={nlist} train_count={train_count}")
+            centroids, _ = kmeans(vecs[train_idx], nlist, iters=20, seed=0)
+            from ..ops.kmeans import _assign
+
+            assign = np.asarray(_assign(vecs, centroids), dtype=np.int32)
+            perm = np.argsort(assign, kind="stable")
+            counts = np.bincount(assign, minlength=nlist)
+            offsets = np.zeros(nlist + 1, dtype=np.int64)
+            np.cumsum(counts, out=offsets[1:])
+            write_index_file(
+                out,
+                {
+                    "ids": ids[perm],
+                    "vectors": vecs[perm],
+                    "centroids": centroids,
+                    "cell_offsets": offsets,
+                },
+                {
+                    "index_type": "IndexIVFFlat",
+                    "metric": "inner_product",
+                    "dim": d,
+                    "count": n,
+                    "nlist": int(nlist),
+                },
+            )
+        else:
+            raise ValueError(f"unsupported index_type {index_type}")
+        logger.info(f"wrote {out}")
+        return True
+
+    # ------------------------------------------------------------------
+    def load_index(self, index_type: str) -> bool:
+        path = self.index_path(index_type)
+        if not path.exists():
+            return False
+        self._metadata, self._arrays = read_index_file(path)
+        self._index_type = self._metadata["index_type"]
+        self._device_db = None
+        return True
+
+    def _ensure_device_db(self):
+        """Move vectors to accelerator memory once (HBM-resident shards)."""
+        if self._device_db is None:
+            import jax
+
+            dtype = self._arrays["vectors"].dtype
+            self._device_db = jax.device_put(np.asarray(self._arrays["vectors"]))
+        return self._device_db
+
+    # ------------------------------------------------------------------
+    def search(
+        self, media_type: str, query, topk: int, query_type: str = "text"
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        if self._arrays is None:
+            raise RuntimeError("load_index() must be called before search()")
+        if query_type == "text":
+            prompt = QUERY_PROMPTS.get(media_type, "")
+            qvec = self.extractor.extract_text_features([prompt + str(query)])
+        else:
+            qvec = np.atleast_2d(np.asarray(query, dtype=np.float32))
+
+        if self._index_type == "IndexFlatIP":
+            scores, rows = self._search_flat(qvec, topk)
+        elif self._index_type == "IndexIVFFlat":
+            scores, rows = self._search_ivf(qvec, topk, self.config.nprobe)
+        else:
+            raise ValueError(f"unknown index type {self._index_type}")
+        ids = np.asarray(self._arrays["ids"])[rows]
+        return scores[0], ids[0]
+
+    def search_batch(
+        self, query_vectors: np.ndarray, topk: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(Q, D) query vectors -> (scores (Q, k), ids (Q, k))."""
+        qvec = np.atleast_2d(np.asarray(query_vectors, dtype=np.float32))
+        if self._index_type == "IndexFlatIP":
+            scores, rows = self._search_flat(qvec, topk)
+        else:
+            scores, rows = self._search_ivf(qvec, topk, self.config.nprobe)
+        ids = np.asarray(self._arrays["ids"])[rows]
+        return scores, ids
+
+    def _search_flat(self, qvec, topk):
+        from ..ops.topk import scan_topk
+
+        db = self._ensure_device_db()
+        k = min(int(topk), db.shape[0])
+        vals, idx = scan_topk(
+            qvec, db, k=k, block_rows=self.config.scan_block_rows
+        )
+        return np.asarray(vals), np.asarray(idx)
+
+    def _search_ivf(self, qvec, topk, nprobe):
+        from ..ops.topk import scan_topk
+
+        centroids = np.asarray(self._arrays["centroids"])
+        offsets = np.asarray(self._arrays["cell_offsets"])
+        nlist = centroids.shape[0]
+        nprobe = min(int(nprobe), nlist)
+        # coarse scores by inner product against centroids
+        cscores = qvec.astype(np.float32) @ centroids.T
+        probe_cells = np.argsort(-cscores, axis=1, kind="stable")[:, :nprobe]
+
+        vectors = self._arrays["vectors"]  # memmap: cell-sorted
+        out_scores = np.full((qvec.shape[0], topk), -np.inf, dtype=np.float32)
+        out_rows = np.zeros((qvec.shape[0], topk), dtype=np.int64)
+        for qi in range(qvec.shape[0]):
+            cells = np.sort(probe_cells[qi])
+            spans = [(offsets[c], offsets[c + 1]) for c in cells]
+            spans = [(int(a), int(b)) for a, b in spans if b > a]
+            if not spans:
+                continue
+            cand = np.concatenate([vectors[a:b] for a, b in spans], axis=0)
+            cand_rows = np.concatenate(
+                [np.arange(a, b, dtype=np.int64) for a, b in spans]
+            )
+            k = min(int(topk), cand.shape[0])
+            vals, idx = scan_topk(
+                qvec[qi : qi + 1], cand, k=k,
+                block_rows=self.config.scan_block_rows,
+            )
+            vals, idx = np.asarray(vals)[0], np.asarray(idx)[0]
+            out_scores[qi, :k] = vals
+            out_rows[qi, :k] = cand_rows[idx]
+        return out_scores, out_rows

@@ -1,0 +1,112 @@
+"""Streaming inner-product top-k over an HBM-resident vector database.
+
+TPU-native replacement for faiss ``IndexFlatIP.search`` (reference:
+/root/reference/src/index/feature_search_index.py:100-114). The database
+never materialises an (N_db, N_q) score matrix: a ``lax.scan`` walks the DB
+in MXU-sized row blocks, computes ``q @ block.T`` in float32 (precision
+HIGHEST so rankings are reproducible — TPUs default matmuls to bf16), takes
+a block-local top-k, and merges it into a running top-k carry. One pass over
+HBM -> bandwidth-bound, which is the speed-of-light for this op.
+
+Tie-breaking contract: scores sorted descending; equal scores prefer the
+lower row index (matches faiss and keeps multi-chip merges deterministic).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _merge_topk(run_vals, run_idx, new_vals, new_idx, k: int):
+    """Merge two (Q, k) top-k sets. Running set comes first in the concat, so
+    jnp.lax.top_k's first-occurrence tie-break prefers earlier (lower-index)
+    entries."""
+    vals = jnp.concatenate([run_vals, new_vals], axis=1)
+    idx = jnp.concatenate([run_idx, new_idx], axis=1)
+    top_vals, pos = jax.lax.top_k(vals, k)
+    top_idx = jnp.take_along_axis(idx, pos, axis=1)
+    return top_vals, top_idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_rows"))
+def scan_topk(
+    queries: jax.Array,
+    db: jax.Array,
+    k: int,
+    block_rows: int = 4096,
+) -> Tuple[jax.Array, jax.Array]:
+    """queries (Q, D), db (N, D) -> (scores (Q, k), row_indices (Q, k)).
+
+    k and block_rows are static. N is padded to a block multiple internally;
+    padded rows score -inf and can never appear in results (k must be <= N).
+    """
+    q = queries.astype(jnp.float32)
+    n, d = db.shape
+    k = min(k, n)
+    block_rows = min(block_rows, _round_up(n, 8))
+    # lax.top_k needs k <= block width
+    block_rows = max(block_rows, _round_up(k, 8))
+    n_pad = _round_up(n, block_rows)
+    num_blocks = n_pad // block_rows
+
+    db_padded = jnp.pad(db, ((0, n_pad - n), (0, 0)))
+    blocks = db_padded.reshape(num_blocks, block_rows, d)
+
+    row_in_block = jax.lax.broadcasted_iota(jnp.int32, (1, block_rows), 1)
+
+    def step(carry, xs):
+        run_vals, run_idx = carry
+        block, block_id = xs
+        scores = jax.lax.dot_general(
+            q,
+            block.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (Q, block_rows)
+        global_row = row_in_block + block_id * block_rows
+        valid = global_row < n
+        scores = jnp.where(valid, scores, -jnp.inf)
+        loc_vals, loc_pos = jax.lax.top_k(scores, k)
+        loc_idx = loc_pos + block_id * block_rows
+        return _merge_topk(run_vals, run_idx, loc_vals, loc_idx, k), None
+
+    init = (
+        jnp.full((q.shape[0], k), -jnp.inf, dtype=jnp.float32),
+        jnp.zeros((q.shape[0], k), dtype=jnp.int32),
+    )
+    (vals, idx), _ = jax.lax.scan(
+        step, init, (blocks, jnp.arange(num_blocks, dtype=jnp.int32))
+    )
+    return vals, idx
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def exact_topk(
+    queries: np.ndarray,
+    db: np.ndarray,
+    k: int,
+    block_rows: int = 4096,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-convenient wrapper around scan_topk."""
+    vals, idx = scan_topk(
+        jnp.asarray(queries), jnp.asarray(db), k=int(k), block_rows=int(block_rows)
+    )
+    return np.asarray(vals), np.asarray(idx)
+
+
+def numpy_reference_topk(queries, db, k):
+    """O(N*Q) float64-free reference used by tests: same tie-break contract."""
+    scores = queries.astype(np.float32) @ db.astype(np.float32).T
+    k = min(k, db.shape[0])
+    # stable argsort on (-score, index)
+    order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    vals = np.take_along_axis(scores, order, axis=1)
+    return vals, order
