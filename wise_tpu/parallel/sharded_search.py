@@ -60,7 +60,7 @@ def _sharded_scan(mesh: Mesh, q, db, n_total: int, k: int, block_rows: int):
         mesh=mesh,
         in_specs=(P(), P("dp", None)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )(q, db)
 
 
