@@ -1,0 +1,227 @@
+"""search CLI: one-shot queries, CSV batch (--queries-from), and an
+interactive console — argument surface compatible with the reference's
+search.py:670-992."""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import logging
+import sys
+import time
+
+from .. import db as wdb
+from ..index import SearchIndexFactory
+from ..project import WiseProject
+from ..search.results import (
+    EXPORT_CSV_HEADER,
+    merge0,
+    merge1,
+    process_query,
+    result_to_csv_lines,
+    result_to_table_lines,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="search", description="Search images, audio and videos using natural language."
+    )
+    p.add_argument("--query", action="append")
+    p.add_argument("--in", action="append", dest="media_type_list",
+                   choices=["audio", "video", "metadata", "image"])
+    p.add_argument("--not-in", action="append", dest="media_type_not_list",
+                   choices=["audio", "video", "metadata", "image"])
+    p.add_argument("--index-type", default="IndexFlatIP",
+                   choices=["IndexFlatIP", "IndexIVFFlat"])
+    p.add_argument("--topk", action="append", type=int)
+    p.add_argument("--max-filename-length", type=int, default=50)
+    p.add_argument("--no-merge", action="store_true")
+    p.add_argument("--merge-tolerance-video", type=int, default=4)
+    p.add_argument("--merge-rank-tolerance", type=int, default=20)
+    p.add_argument("--merge-tolerance-audio", type=int, default=8)
+    p.add_argument("--merge-tolerance-metadata", type=int, default=0)
+    p.add_argument("--result-format", default="table", choices=["table", "csv"])
+    p.add_argument("--save-to-file", type=str)
+    p.add_argument("--queries-from", type=str,
+                   help="CSV with header, rows [query_id, query_text]")
+    p.add_argument("--human-readable", action="store_true")
+    p.add_argument("--asset-index", type=int, default=0,
+                   help="which feature-extractor asset to use when several exist")
+    p.add_argument("--project-dir", required=True, type=str)
+    return p
+
+
+def load_search_indices(project, assets, media_types, index_type, config,
+                        asset_index=0):
+    out = {}
+    for media_type in media_types:
+        asset_ids = list(assets.get(media_type, {}).keys())
+        if not asset_ids:
+            continue
+        asset_id = asset_ids[min(asset_index, len(asset_ids) - 1)]
+        asset = assets[media_type][asset_id]
+        index = SearchIndexFactory(media_type, asset_id, asset, config=config.index)
+        ok = index.load_index("fts5" if media_type == "metadata" else index_type)
+        if ok:
+            out[media_type] = index
+    return out
+
+
+def emit(results, args, out_lines):
+    if args.result_format == "csv":
+        out_lines.extend(result_to_csv_lines(results))
+    else:
+        out_lines.extend(result_to_table_lines(results, args.human_readable))
+
+
+def run_queries(search_index_list, conn, args, queries, media_types,
+                not_queries, not_media_types, topk_list, out_lines,
+                query_id=None, allow_merge1=True):
+    results = process_query(
+        search_index_list, conn, queries, media_types, topk_list,
+        not_queries=not_queries, media_type_not_list=not_media_types,
+        query_id=query_id,
+    )
+    if args.no_merge:
+        emit(results, args, out_lines)
+        return
+    results = merge0(
+        results,
+        merge_tolerance_video=args.merge_tolerance_video,
+        merge_tolerance_audio=args.merge_tolerance_audio,
+        merge_rank_tolerance=args.merge_rank_tolerance,
+    )
+    emit(results, args, out_lines)
+    if len(results) == 2 and allow_merge1:
+        emit(merge1(results), args, out_lines)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.WARNING)
+    project = WiseProject(args.project_dir, create_project=False)
+    assets = project.discover_assets()
+    if not assets:
+        print(f"failed to load assets from {args.project_dir}")
+        return 1
+    config = project.load_config()
+    conn = wdb.connect(project.db_path, readonly=True)
+
+    if args.media_type_list is None and args.media_type_not_list is not None:
+        print("--not-in flag requires previous definitions of --in flag")
+        return 0
+
+    topk_list = args.topk if args.topk else [10]
+
+    # decide which indices we need
+    if args.query is None and args.media_type_list is None and not args.queries_from:
+        required = [mt for mt in assets if assets.get(mt)]
+    else:
+        required = list(args.media_type_list or [])
+        if args.media_type_not_list:
+            required += args.media_type_not_list
+        if not required:
+            required = [
+                mt for mt in ("audio", "video", "image") if assets.get(mt)
+            ]
+    required = sorted(set(required))
+    search_index_list = load_search_indices(
+        project, assets, required, args.index_type, config, args.asset_index
+    )
+    if not search_index_list:
+        print(f"search index missing from {args.project_dir}")
+        return 1
+
+    out_lines: list = []
+    if args.result_format == "csv":
+        out_lines.append(EXPORT_CSV_HEADER)
+
+    if args.query is not None:
+        media_types = args.media_type_list
+        queries = list(args.query)
+        if media_types is None:
+            # apply the single query to all available media types
+            media_types = [
+                mt for mt in ("audio", "video", "metadata")
+                if mt in search_index_list
+            ]
+            queries = [queries[0]] * len(media_types)
+        n_in = len(media_types)
+        not_queries = queries[n_in:]
+        queries = queries[:n_in]
+        if len(topk_list) == 1:
+            topk_list = topk_list * len(queries)
+        run_queries(
+            search_index_list, conn, args, queries, media_types,
+            not_queries, args.media_type_not_list or [], topk_list, out_lines,
+        )
+    elif args.queries_from:
+        if args.media_type_not_list:
+            print("--queries-from flag does not support --not-in flag")
+            return 0
+        with open(args.queries_from) as f:
+            reader = csv.reader(f)
+            next(reader)  # header
+            rows = [r for r in reader if len(r) >= 2]
+        media_types = args.media_type_list or [
+            mt for mt in ("audio", "video") if mt in search_index_list
+        ]
+        for query_id, query_text in rows:
+            qs = [query_text] * len(media_types)
+            tk = topk_list * len(qs) if len(topk_list) == 1 else topk_list
+            run_queries(
+                search_index_list, conn, args, qs, media_types, [], [], tk,
+                out_lines, query_id=query_id, allow_merge1=False,
+            )
+    else:
+        return console(search_index_list, conn, args, out_lines)
+
+    text = "\n".join(out_lines) + "\n"
+    if args.save_to_file:
+        with open(args.save_to_file, "w") as f:
+            f.write(text)
+    else:
+        sys.stdout.write(text)
+    return 0
+
+
+def console(search_index_list, conn, args, out_lines) -> int:
+    """Interactive search console using the audiovisual query grammar."""
+    from ..search import parse_search_query
+
+    print("WISE search console. Query grammar: <query> IN (audio|video|metadata)")
+    print("Type q to quit.")
+    while True:
+        try:
+            cmd = input("wise> ").strip()
+        except EOFError:
+            break
+        if cmd in ("q", "quit", "exit"):
+            break
+        if not cmd:
+            continue
+        status, tree = parse_search_query(cmd)
+        if status["status"] != "OK":
+            print(f"parse error: {status.get('message')}")
+            continue
+        queries, media_types, not_queries, not_media_types = [], [], [], []
+        for unit in tree["query"]:
+            qtext = " ".join(s.strip('"') for s in unit["query_str"])
+            if unit["search_target_link"] == "in":
+                queries.append(qtext)
+                media_types.append(unit["search_target"])
+            else:
+                not_queries.append(qtext)
+                not_media_types.append(unit["search_target"])
+        lines: list = []
+        run_queries(
+            search_index_list, conn, args, queries, media_types,
+            not_queries, not_media_types, [10] * max(1, len(queries)), lines,
+        )
+        print("\n".join(lines))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,416 @@
+"""Offline ingestion engine: decode -> embed -> store + record.
+
+Equivalent to the reference's extract-features.py end-to-end pipeline
+(/root/reference/extract-features.py:75-415) rebuilt for TPU throughput:
+
+- decode runs on host threads (the native FFmpeg ext releases the GIL), with
+  an order-preserving prefetcher so vector ids stay deterministic;
+- frames/segments accumulate into large device batches (not the reference's
+  8-frame per-chunk forwards) so the encoder runs MXU-sized matmuls;
+- DB writes are batched (executemany) and committed every
+  ``db_commit_interval`` chunks (reference commits every 8192).
+
+Semantics preserved: video vectors one per sampled frame (modality VIDEO,
+timestamp = frame pts); audio vectors one per full segment (modality AUDIO,
+[t, t+segment]); short trailing audio segments are discarded
+(extract-features.py:336-337); thumbnails at 192 px / 2 fps / JPEG q80.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import re
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import WiseConfig
+from ..data_models import (
+    MediaType,
+    ModalityType,
+    SourceCollection,
+    SourceCollectionType,
+    ThumbnailMetadata,
+    VectorMetadata,
+)
+from .. import db as wdb
+from ..db.repository import (
+    MediaRepo,
+    SourceCollectionRepo,
+    ThumbnailRepo,
+    VectorRepo,
+)
+from ..io.dataset import get_dataset, get_metadata_for_valid_files
+from ..models import FeatureExtractorFactory
+from ..project import WiseProject
+from ..store.factory import FeatureStoreFactory
+from ..utils import get_files_from_directory_with_extensions
+
+logger = logging.getLogger(__name__)
+
+IMAGE_EXTENSIONS = ["jpg", "jpeg", "png", "bmp", "webp", "gif"]
+VIDEO_EXTENSIONS = ["mp4", "m4v", "mov", "mkv", "webm", "avi"]
+AUDIO_EXTENSIONS = ["wav", "mp3", "flac", "ogg", "m4a", "aac"]
+
+
+@dataclasses.dataclass
+class ExtractionStats:
+    num_files: int = 0
+    num_unknown_files: int = 0
+    num_video_vectors: int = 0
+    num_audio_vectors: int = 0
+    num_image_vectors: int = 0
+    num_thumbnails: int = 0
+    elapsed_sec: float = 0.0
+    frames_embedded: int = 0
+    audio_segments_embedded: int = 0
+
+    @property
+    def frames_per_sec(self) -> float:
+        return self.frames_embedded / self.elapsed_sec if self.elapsed_sec else 0.0
+
+
+def _scan_media_dirs(media_dir_list, include_patterns) -> List[Path]:
+    files: List[Path] = []
+    exts = IMAGE_EXTENSIONS + VIDEO_EXTENSIONS + AUDIO_EXTENSIONS
+    for d in media_dir_list:
+        files.extend(get_files_from_directory_with_extensions(d, exts))
+    if include_patterns:
+        pats = [re.compile(p) for p in include_patterns]
+        files = [f for f in files if any(p.search(str(f)) for p in pats)]
+    return files
+
+
+class _BatchedEmbedder:
+    """Accumulates frames across chunks into large encoder batches while
+    keeping (media_id, pts) bookkeeping aligned; flush order == arrival
+    order, so vector ids are deterministic."""
+
+    def __init__(self, extractor, store, conn, modality: ModalityType,
+                 batch_size: int, stats: ExtractionStats, stat_field: str):
+        self.extractor = extractor
+        self.store = store
+        self.conn = conn
+        self.modality = modality
+        self.batch_size = batch_size
+        self.stats = stats
+        self.stat_field = stat_field
+        self._items: List[Tuple[int, float, Optional[float], np.ndarray]] = []
+        self.vector_repo = VectorRepo()
+
+    def add_frames(self, media_id: int, frames: np.ndarray, pts: np.ndarray):
+        for i in range(len(frames)):
+            self._items.append((media_id, float(pts[i]), None, frames[i]))
+        while len(self._items) >= self.batch_size:
+            self._flush(self.batch_size)
+
+    def add_segment(self, media_id: int, samples: np.ndarray, pts0: float,
+                    pts1: float):
+        self._items.append((media_id, pts0, pts1, samples))
+        while len(self._items) >= self.batch_size:
+            self._flush(self.batch_size)
+
+    def _flush(self, count: Optional[int] = None):
+        if not self._items:
+            return
+        take = self._items if count is None else self._items[:count]
+        self._items = [] if count is None else self._items[count:]
+
+        if self.modality == ModalityType.AUDIO:
+            batch = np.stack([x[3] for x in take])
+            feats = self.extractor.extract_audio_features(
+                self.extractor.preprocess_audio(batch)
+            )
+        else:
+            batch = np.stack([x[3] for x in take])
+            feats = self.extractor.extract_image_features(
+                self.extractor.preprocess_image(batch)
+            )
+        vectors = [
+            VectorMetadata(
+                modality=self.modality,
+                media_id=mid,
+                timestamp=t0,
+                end_timestamp=t1,
+            )
+            for (mid, t0, t1, _) in take
+        ]
+        created = self.vector_repo.create_batch(self.conn, vectors)
+        for v, feat in zip(created, feats):
+            self.store.add(v.id, feat[None, :].astype(np.float32))
+        setattr(
+            self.stats, self.stat_field,
+            getattr(self.stats, self.stat_field) + len(created),
+        )
+        if self.modality == ModalityType.AUDIO:
+            self.stats.audio_segments_embedded += len(created)
+        else:
+            self.stats.frames_embedded += len(created)
+
+    def finish(self):
+        self._flush(None)
+
+
+def _ordered_prefetch(dataset_factory, files, num_workers):
+    """Decode files on worker threads but yield their chunk streams in file
+    order (deterministic ids). Each worker fully materialises one file's
+    chunks; the native decoder releases the GIL so threads overlap."""
+    if num_workers <= 0:
+        ds = dataset_factory(files)
+        yield from ds
+        return
+
+    def decode_one(f):
+        return list(dataset_factory([f]))
+
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        futures = [pool.submit(decode_one, f) for f in files]
+        for fut in futures:
+            yield from fut.result()
+
+
+def extract_features(
+    media_dir_list: Sequence,
+    project_dir,
+    image_feature_id: str = "wise/random_features/512/default",
+    video_feature_id: str = "wise/random_features/512/default",
+    audio_feature_id: str = "wise/random_features/512/default",
+    feature_store_type: str = "webdataset",
+    shard_maxcount: int = 2048,
+    shard_maxsize: int = 20 * 1024 * 1024,
+    num_workers: int = 0,
+    thumbnails: bool = True,
+    media_include_list: Sequence[str] = (),
+    batch_size: int = 128,
+    config: Optional[WiseConfig] = None,
+) -> ExtractionStats:
+    t0 = time.time()
+    cfg = config or WiseConfig()
+    cfg.store.shard_maxcount = shard_maxcount
+    cfg.store.shard_maxsize = shard_maxsize
+
+    project = WiseProject(project_dir, create_project=True)
+    project.save_config(cfg)
+    conn = wdb.init_project(project.db_path)
+    thumbs_conn = wdb.init_thumbs(project.thumbs_db_path)
+
+    stats = ExtractionStats()
+    media_repo = MediaRepo()
+    sc_repo = SourceCollectionRepo()
+    thumb_repo = ThumbnailRepo()
+
+    # -- 1. discover + register media files -------------------------------
+    all_media: List[Tuple[Path, "MediaMetadata"]] = []
+    for media_dir in media_dir_list:
+        files = _scan_media_dirs([media_dir], media_include_list)
+        valid, unknown = get_metadata_for_valid_files(files)
+        stats.num_unknown_files += len(unknown)
+        sc = sc_repo.create(
+            conn,
+            SourceCollection(
+                location=str(media_dir), type=SourceCollectionType.DIR
+            ),
+        )
+        for path, meta in valid:
+            meta.source_collection_id = sc.id
+            meta.path = str(Path(path).relative_to(media_dir))
+            created = media_repo.create(conn, meta)
+            all_media.append((path, created))
+    conn.commit()
+    stats.num_files = len(all_media)
+    logger.info(
+        f"registered {stats.num_files} media files "
+        f"({stats.num_unknown_files} unknown skipped)"
+    )
+
+    # -- 2. group by modality ----------------------------------------------
+    by_type: Dict[MediaType, List[Tuple[Path, object]]] = {}
+    for path, meta in all_media:
+        by_type.setdefault(MediaType(meta.media_type), []).append((path, meta))
+
+    # -- 3. extractors + stores --------------------------------------------
+    def make_store(feature_id, media_type_name):
+        d = project.create_features_dir(feature_id)
+        store = FeatureStoreFactory.create_store(
+            feature_store_type, media_type_name, d
+        )
+        store.enable_write(cfg.store.shard_maxcount, cfg.store.shard_maxsize)
+        return store
+
+    extractors: Dict[str, object] = {}
+
+    def get_extractor(feature_id):
+        if feature_id not in extractors:
+            logger.info(f"loading feature extractor {feature_id}")
+            extractors[feature_id] = FeatureExtractorFactory(feature_id)
+        return extractors[feature_id]
+
+    chunk_counter = 0
+
+    def maybe_commit():
+        nonlocal chunk_counter
+        chunk_counter += 1
+        if chunk_counter % cfg.db_commit_interval == 0:
+            conn.commit()
+            thumbs_conn.commit()
+
+    segment_samples = int(cfg.audio.sampling_rate * cfg.audio.segment_length)
+    min_samples = int(segment_samples * cfg.audio.min_segment_fraction)
+
+    # -- 4. images ----------------------------------------------------------
+    if MediaType.IMAGE in by_type:
+        entries = by_type[MediaType.IMAGE]
+        extractor = get_extractor(image_feature_id)
+        store = make_store(image_feature_id, "image")
+        embedder = _BatchedEmbedder(
+            extractor, store, conn, ModalityType.IMAGE, batch_size, stats,
+            "num_image_vectors",
+        )
+        id_by_path = {str(p): m.id for p, m in entries}
+
+        def factory(files):
+            return get_dataset(
+                MediaType.IMAGE, files,
+                thumbnails=cfg.thumbnail if thumbnails else None,
+            )
+
+        for path, chunk in _ordered_prefetch(
+            factory, [p for p, _ in entries], num_workers
+        ):
+            mid = id_by_path[str(path)]
+            img = chunk["image"]
+            embedder.add_frames(mid, img.tensor, np.atleast_1d(img.pts))
+            for tpts, jpeg in chunk.get("thumbnails", []):
+                thumb_repo.create(
+                    thumbs_conn,
+                    ThumbnailMetadata(media_id=mid, timestamp=tpts, content=jpeg),
+                )
+                stats.num_thumbnails += 1
+            maybe_commit()
+        embedder.finish()
+        store.close()
+
+    # -- 5. video / AV -------------------------------------------------------
+    av_entries = by_type.get(MediaType.VIDEO, []) + by_type.get(MediaType.AV, [])
+    if av_entries:
+        v_extractor = get_extractor(video_feature_id)
+        v_store = make_store(video_feature_id, "video")
+        v_embedder = _BatchedEmbedder(
+            v_extractor, v_store, conn, ModalityType.VIDEO, batch_size, stats,
+            "num_video_vectors",
+        )
+        has_audio = [
+            (p, m) for p, m in av_entries if MediaType(m.media_type) == MediaType.AV
+        ]
+        a_embedder = None
+        a_store = None
+        if has_audio:
+            a_extractor = get_extractor(audio_feature_id)
+            a_store = make_store(audio_feature_id, "audio")
+            a_embedder = _BatchedEmbedder(
+                a_extractor, a_store, conn, ModalityType.AUDIO,
+                max(1, batch_size // 8), stats, "num_audio_vectors",
+            )
+        id_by_path = {str(p): m.id for p, m in av_entries}
+        type_by_path = {str(p): MediaType(m.media_type) for p, m in av_entries}
+
+        def factory(files):
+            # per-file dataset choice: AV for files with audio, VIDEO otherwise
+            mt = type_by_path[str(files[0])] if len(files) == 1 else MediaType.AV
+            return get_dataset(
+                mt, files,
+                video=cfg.video,
+                **({"audio": cfg.audio} if mt == MediaType.AV else {}),
+                thumbnails=cfg.thumbnail if thumbnails else None,
+            )
+
+        def per_file_factory(files):
+            for f in files:
+                yield from factory([f])
+
+        iterator = (
+            _ordered_prefetch(factory, [p for p, _ in av_entries], num_workers)
+            if num_workers > 0
+            else per_file_factory([p for p, _ in av_entries])
+        )
+        for path, chunk in iterator:
+            mid = id_by_path[str(path)]
+            if "video" in chunk:
+                v = chunk["video"]
+                v_embedder.add_frames(mid, v.tensor, v.pts)
+            if "audio" in chunk and a_embedder is not None:
+                a = chunk["audio"]
+                if a.tensor.shape[0] >= min_samples:
+                    pts0 = float(a.pts)
+                    a_embedder.add_segment(
+                        mid,
+                        _pad_to(a.tensor, segment_samples),
+                        pts0,
+                        pts0 + cfg.audio.segment_length,
+                    )
+            for tpts, jpeg in chunk.get("thumbnails", []):
+                thumb_repo.create(
+                    thumbs_conn,
+                    ThumbnailMetadata(media_id=mid, timestamp=tpts, content=jpeg),
+                )
+                stats.num_thumbnails += 1
+            maybe_commit()
+        v_embedder.finish()
+        v_store.close()
+        if a_embedder is not None:
+            a_embedder.finish()
+            a_store.close()
+
+    # -- 6. audio-only files -------------------------------------------------
+    if MediaType.AUDIO in by_type:
+        entries = by_type[MediaType.AUDIO]
+        extractor = get_extractor(audio_feature_id)
+        store = make_store(audio_feature_id, "audio")
+        embedder = _BatchedEmbedder(
+            extractor, store, conn, ModalityType.AUDIO,
+            max(1, batch_size // 8), stats, "num_audio_vectors",
+        )
+        id_by_path = {str(p): m.id for p, m in entries}
+
+        def factory(files):
+            return get_dataset(MediaType.AUDIO, files, audio=cfg.audio)
+
+        for path, chunk in _ordered_prefetch(
+            factory, [p for p, _ in entries], num_workers
+        ):
+            mid = id_by_path[str(path)]
+            a = chunk["audio"]
+            if a.tensor.shape[0] >= min_samples:
+                pts0 = float(a.pts)
+                embedder.add_segment(
+                    mid,
+                    _pad_to(a.tensor, segment_samples),
+                    pts0,
+                    pts0 + cfg.audio.segment_length,
+                )
+            maybe_commit()
+        embedder.finish()
+        store.close()
+
+    conn.commit()
+    thumbs_conn.commit()
+    conn.close()
+    thumbs_conn.close()
+    stats.elapsed_sec = time.time() - t0
+    logger.info(
+        f"extraction done in {stats.elapsed_sec:.1f}s: "
+        f"{stats.num_video_vectors} video / {stats.num_audio_vectors} audio / "
+        f"{stats.num_image_vectors} image vectors, "
+        f"{stats.num_thumbnails} thumbnails"
+    )
+    return stats
+
+
+def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
+    if x.shape[0] >= n:
+        return x[:n]
+    return np.pad(x, (0, n - x.shape[0]))
