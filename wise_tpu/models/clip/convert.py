@@ -1,0 +1,117 @@
+"""OpenCLIP/torch checkpoint -> Flax parameter conversion.
+
+Maps open_clip's CLIP state-dict naming (the checkpoints the reference loads
+through open_clip.create_model_and_transforms,
+src/feature/mlfoundation_openclip.py:38) onto wise_tpu.models.clip.model's
+parameter tree. Pure numpy transposes — no torch ops beyond deserialise.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def _ln(sd, prefix):
+    return {
+        "scale": np.asarray(sd[prefix + ".weight"], dtype=np.float32),
+        "bias": np.asarray(sd[prefix + ".bias"], dtype=np.float32),
+    }
+
+
+def _dense(sd, prefix):
+    return {
+        "kernel": np.asarray(sd[prefix + ".weight"], dtype=np.float32).T,
+        "bias": np.asarray(sd[prefix + ".bias"], dtype=np.float32),
+    }
+
+
+def _resblock(sd, prefix):
+    return {
+        "ln_1": _ln(sd, prefix + ".ln_1"),
+        "ln_2": _ln(sd, prefix + ".ln_2"),
+        "attn": {
+            "in_proj": {
+                "kernel": np.asarray(
+                    sd[prefix + ".attn.in_proj_weight"], dtype=np.float32
+                ).T,
+                "bias": np.asarray(
+                    sd[prefix + ".attn.in_proj_bias"], dtype=np.float32
+                ),
+            },
+            "out_proj": _dense(sd, prefix + ".attn.out_proj"),
+        },
+        "mlp_fc": _dense(sd, prefix + ".mlp.c_fc"),
+        "mlp_proj": _dense(sd, prefix + ".mlp.c_proj"),
+    }
+
+
+def _transformer(sd, prefix, layers):
+    return {
+        f"resblocks_{i}": _resblock(sd, f"{prefix}.resblocks.{i}")
+        for i in range(layers)
+    }
+
+
+def convert_openclip_state_dict(sd: Dict[str, np.ndarray], config) -> Dict:
+    """sd: flat torch-style state dict (tensors or ndarrays). Returns a flax
+    params tree for wise_tpu.models.clip.model.CLIP."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params = {
+        "visual": {
+            "conv1": {
+                # torch conv weight (out, in, kh, kw) -> flax (kh, kw, in, out)
+                "kernel": np.transpose(
+                    np.asarray(sd["visual.conv1.weight"], dtype=np.float32),
+                    (2, 3, 1, 0),
+                )
+            },
+            "class_embedding": np.asarray(
+                sd["visual.class_embedding"], dtype=np.float32
+            ),
+            "positional_embedding": np.asarray(
+                sd["visual.positional_embedding"], dtype=np.float32
+            ),
+            "ln_pre": _ln(sd, "visual.ln_pre"),
+            "transformer": _transformer(
+                sd, "visual.transformer", config.vision_layers
+            ),
+            "ln_post": _ln(sd, "visual.ln_post"),
+            "proj": np.asarray(sd["visual.proj"], dtype=np.float32),
+        },
+        "text": {
+            "token_embedding": np.asarray(
+                sd["token_embedding.weight"], dtype=np.float32
+            ),
+            "positional_embedding": np.asarray(
+                sd["positional_embedding"], dtype=np.float32
+            ),
+            "transformer": _transformer(sd, "transformer", config.text_layers),
+            "ln_final": _ln(sd, "ln_final"),
+            "text_projection": np.asarray(
+                sd["text_projection"], dtype=np.float32
+            ),
+        },
+        "logit_scale": np.asarray(sd["logit_scale"], dtype=np.float32),
+    }
+    return params
+
+
+def load_checkpoint(path, config) -> Dict:
+    """Load a .pt/.bin (torch) or .npz checkpoint into flax params."""
+    path = str(path)
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            sd = {k: z[k] for k in z.files}
+    else:
+        import torch
+
+        raw = torch.load(path, map_location="cpu", weights_only=True)
+        if isinstance(raw, dict) and "state_dict" in raw:
+            raw = raw["state_dict"]
+        sd = {
+            k.replace("module.", ""): v.numpy() if hasattr(v, "numpy") else v
+            for k, v in raw.items()
+        }
+    return convert_openclip_state_dict(sd, config)

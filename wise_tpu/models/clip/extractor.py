@@ -1,0 +1,164 @@
+"""OpenCLIP-compatible feature extractor on the JAX CLIP towers.
+
+Drop-in for the reference's MlfoundationOpenClip
+(src/feature/mlfoundation_openclip.py:25-108): same 4-token id scheme
+(``mlfoundations/open_clip/<model>/<pretrained>``), same L2-normalised
+float32 outputs. Device work (preprocess + forward) is one jitted call;
+batches pad to fixed buckets so XLA compiles a handful of shapes once.
+
+Checkpoints: looks for ``open_clip_*.{pt,bin,npz}`` under
+``$WISE_CHECKPOINT_DIR/<model>/<pretrained>/`` (or
+``~/.cache/wise_tpu/checkpoints/...``); a ``bpe_simple_vocab_16e6.txt.gz``
+alongside enables real CLIP tokenisation. Without a checkpoint the towers
+initialise randomly (deterministic seed) — the full pipeline still runs for
+benchmarking/integration, with a warning that retrieval quality needs real
+weights.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+from pathlib import Path
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..feature_extractor import FeatureExtractor
+from .model import CLIP, get_clip_config
+from .preprocess import preprocess_images
+from .tokenizer import get_tokenizer
+
+logger = logging.getLogger(__name__)
+
+_BATCH_BUCKETS = (1, 8, 32, 128, 256, 512)
+
+
+def _bucket(n: int) -> int:
+    for b in _BATCH_BUCKETS:
+        if n <= b:
+            return b
+    return ((n + 511) // 512) * 512
+
+
+def _checkpoint_dir(model: str, pretrained: str) -> Path:
+    root = os.environ.get(
+        "WISE_CHECKPOINT_DIR",
+        str(Path.home() / ".cache" / "wise_tpu" / "checkpoints"),
+    )
+    return Path(root) / model / pretrained
+
+
+def _find_checkpoint(d: Path) -> Optional[Path]:
+    if not d.exists():
+        return None
+    for pat in ("*.npz", "*.pt", "*.bin", "*.safetensors"):
+        hits = sorted(d.glob(pat))
+        if hits:
+            return hits[0]
+    return None
+
+
+class OpenClipExtractor(FeatureExtractor):
+    def __init__(self, id: str):
+        tok = id.split("/")
+        if len(tok) != 4 or not id.startswith("mlfoundations/open_clip/"):
+            raise ValueError(f"invalid open_clip extractor id {id}")
+        self.id = id
+        self.model_name, self.pretrained = tok[2], tok[3]
+        self.config = get_clip_config(self.model_name)
+        self.output_dim = self.config.embed_dim
+        self.input_size = (self.config.image_size, self.config.image_size)
+
+        self.model = CLIP(self.config)
+        ckpt_dir = _checkpoint_dir(self.model_name, self.pretrained)
+        ckpt = _find_checkpoint(ckpt_dir)
+        if ckpt is not None:
+            from .convert import load_checkpoint
+
+            logger.info(f"loading CLIP checkpoint {ckpt}")
+            self.params = jax.device_put(
+                {"params": load_checkpoint(ckpt, self.config)}
+            )
+        else:
+            logger.warning(
+                f"no checkpoint for {id} under {ckpt_dir}; using random "
+                "weights (pipeline runs, retrieval quality needs real weights)"
+            )
+            rng = jax.random.PRNGKey(0)
+            self.params = self.model.init(
+                rng,
+                jnp.zeros(
+                    (1, self.config.image_size, self.config.image_size, 3),
+                    jnp.float32,
+                ),
+                jnp.zeros((1, self.config.context_length), jnp.int32),
+            )
+
+        bpe = ckpt_dir / "bpe_simple_vocab_16e6.txt.gz"
+        self.tokenizer = get_tokenizer(
+            bpe if bpe.exists() else None,
+            vocab_size=self.config.vocab_size,
+            context_length=self.config.context_length,
+        )
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _encode_image(params, frames_u8):
+            x = preprocess_images(frames_u8, self.config.image_size)
+            return self.model.apply(params, x, method=CLIP.encode_image)
+
+        @jax.jit
+        def _encode_preprocessed(params, x):
+            return self.model.apply(params, x, method=CLIP.encode_image)
+
+        @jax.jit
+        def _encode_text(params, tokens):
+            return self.model.apply(params, tokens, method=CLIP.encode_text)
+
+        self._encode_image = _encode_image
+        self._encode_preprocessed = _encode_preprocessed
+        self._encode_text = _encode_text
+
+    # ------------------------------------------------------------------
+    def preprocess_image(self, images) -> np.ndarray:
+        """Keeps frames uint8; real preprocessing is fused on-device in
+        extract_image_features. Accepts list of HWC arrays or (N,H,W,C)."""
+        if isinstance(images, np.ndarray) and images.ndim == 4:
+            return images
+        return np.stack([np.asarray(im) for im in images])
+
+    def extract_image_features(self, images: np.ndarray) -> np.ndarray:
+        images = np.asarray(images)
+        if images.ndim == 3:
+            images = images[None]
+        n = images.shape[0]
+        m = _bucket(n)
+        if images.dtype == np.uint8:
+            if m != n:
+                images = np.concatenate(
+                    [images, np.zeros((m - n,) + images.shape[1:], np.uint8)]
+                )
+            out = self._encode_image(self.params, jnp.asarray(images))
+        else:
+            if m != n:
+                images = np.concatenate(
+                    [images, np.zeros((m - n,) + images.shape[1:], images.dtype)]
+                )
+            out = self._encode_preprocessed(
+                self.params, jnp.asarray(images, dtype=jnp.float32)
+            )
+        return np.asarray(out[:n], dtype=np.float32)
+
+    def extract_text_features(self, text_query: List[str]) -> np.ndarray:
+        tokens = self.tokenizer(list(text_query))
+        n = tokens.shape[0]
+        m = _bucket(n)
+        if m != n:
+            pad = np.zeros((m - n, tokens.shape[1]), dtype=tokens.dtype)
+            pad[:, 0] = getattr(self.tokenizer, "eot", 0)
+            tokens = np.concatenate([tokens, pad])
+        out = self._encode_text(self.params, jnp.asarray(tokens))
+        return np.asarray(out[:n], dtype=np.float32)

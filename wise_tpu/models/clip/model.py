@@ -1,0 +1,269 @@
+"""CLIP (image + text towers) in Flax linen — OpenCLIP-compatible.
+
+Architecture matches open_clip's CLIP/VisionTransformer/TextTransformer so
+that published checkpoints (e.g. ViT-B-32/laion2b_s34b_b79k, the reference's
+extractor backbones, src/feature/mlfoundation_openclip.py:25-108) convert
+weight-for-weight via convert.py. TPU-first choices:
+
+- whole towers run under one jit; bfloat16 activations with float32
+  LayerNorm/softmax accumulation (precision knob), so matmuls hit the MXU;
+- no data-dependent control flow; static shapes everywhere (text always
+  padded to context_length);
+- batch dimension shardable over the mesh 'dp' axis, head/MLP dims over
+  'mp' (see wise_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    embed_dim: int = 512
+    # vision
+    image_size: int = 224
+    patch_size: int = 32
+    vision_width: int = 768
+    vision_layers: int = 12
+    vision_heads: int = 12
+    # text
+    context_length: int = 77
+    vocab_size: int = 49408
+    text_width: int = 512
+    text_heads: int = 8
+    text_layers: int = 12
+    quick_gelu: bool = False
+    dtype: Any = jnp.float32
+
+
+# registry of standard OpenCLIP model shapes
+CLIP_CONFIGS = {
+    "ViT-B-32": CLIPConfig(),
+    "ViT-B-16": CLIPConfig(patch_size=16),
+    "ViT-L-14": CLIPConfig(
+        embed_dim=768, patch_size=14, vision_width=1024, vision_layers=24,
+        vision_heads=16, text_width=768, text_heads=12, text_layers=12,
+    ),
+    "ViT-H-14": CLIPConfig(
+        embed_dim=1024, patch_size=14, vision_width=1280, vision_layers=32,
+        vision_heads=16, text_width=1024, text_heads=16, text_layers=24,
+    ),
+    # OpenAI checkpoints use QuickGELU
+    "ViT-B-32-quickgelu": CLIPConfig(quick_gelu=True),
+    "ViT-B-16-quickgelu": CLIPConfig(patch_size=16, quick_gelu=True),
+    "ViT-L-14-quickgelu": CLIPConfig(
+        embed_dim=768, patch_size=14, vision_width=1024, vision_layers=24,
+        vision_heads=16, text_width=768, text_heads=12, text_layers=12,
+        quick_gelu=True,
+    ),
+    "ViT-H-14-quickgelu": CLIPConfig(
+        embed_dim=1024, patch_size=14, vision_width=1280, vision_layers=32,
+        vision_heads=16, text_width=1024, text_heads=16, text_layers=24,
+        quick_gelu=True,
+    ),
+}
+
+
+def get_clip_config(model_name: str) -> CLIPConfig:
+    if model_name in CLIP_CONFIGS:
+        return CLIP_CONFIGS[model_name]
+    raise ValueError(
+        f"unknown CLIP model {model_name}; known: {sorted(CLIP_CONFIGS)}"
+    )
+
+
+def _gelu(x, quick: bool):
+    if quick:
+        return x * jax.nn.sigmoid(1.702 * x)
+    return jax.nn.gelu(x, approximate=False)
+
+
+class MultiHeadAttention(nn.Module):
+    """Self-attention with a fused in-projection, matching torch's
+    nn.MultiheadAttention parameterisation (in_proj kernel (D, 3D))."""
+
+    width: int
+    heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jax.Array] = None):
+        D, H = self.width, self.heads
+        head_dim = D // H
+        in_proj = nn.Dense(3 * D, dtype=self.dtype, name="in_proj")(x)
+        q, k, v = jnp.split(in_proj, 3, axis=-1)
+
+        def heads_split(t):
+            return t.reshape(t.shape[0], t.shape[1], H, head_dim)
+
+        q, k, v = map(heads_split, (q, k, v))
+        scale = 1.0 / np.sqrt(head_dim)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, precision=jax.lax.Precision.DEFAULT
+        ) * scale
+        if mask is not None:
+            logits = logits + mask
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+            self.dtype
+        )
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        out = out.reshape(out.shape[0], out.shape[1], D)
+        return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
+
+
+class ResidualAttentionBlock(nn.Module):
+    width: int
+    heads: int
+    quick_gelu: bool
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x)
+        x = x + MultiHeadAttention(
+            self.width, self.heads, dtype=self.dtype, name="attn"
+        )(y, mask)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(x)
+        h = nn.Dense(self.width * 4, dtype=self.dtype, name="mlp_fc")(y)
+        h = _gelu(h, self.quick_gelu)
+        x = x + nn.Dense(self.width, dtype=self.dtype, name="mlp_proj")(h)
+        return x
+
+
+class Transformer(nn.Module):
+    width: int
+    layers: int
+    heads: int
+    quick_gelu: bool
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        for i in range(self.layers):
+            x = ResidualAttentionBlock(
+                self.width, self.heads, self.quick_gelu, dtype=self.dtype,
+                name=f"resblocks_{i}",
+            )(x, mask)
+        return x
+
+
+class VisionTransformer(nn.Module):
+    config: CLIPConfig
+
+    @nn.compact
+    def __call__(self, images):
+        """images: (B, H, W, 3) float, already normalised. Returns (B, embed_dim)."""
+        c = self.config
+        grid = c.image_size // c.patch_size
+        x = nn.Conv(
+            c.vision_width,
+            kernel_size=(c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size),
+            use_bias=False,
+            dtype=c.dtype,
+            name="conv1",
+        )(images.astype(c.dtype))
+        x = x.reshape(x.shape[0], grid * grid, c.vision_width)
+        class_emb = self.param(
+            "class_embedding", nn.initializers.normal(0.02), (c.vision_width,)
+        )
+        cls = jnp.broadcast_to(
+            class_emb.astype(c.dtype), (x.shape[0], 1, c.vision_width)
+        )
+        x = jnp.concatenate([cls, x], axis=1)
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.02),
+            (grid * grid + 1, c.vision_width),
+        )
+        x = x + pos.astype(c.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(x)
+        x = Transformer(
+            c.vision_width, c.vision_layers, c.vision_heads, c.quick_gelu,
+            dtype=c.dtype, name="transformer",
+        )(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(
+            x[:, 0, :]
+        )
+        proj = self.param(
+            "proj", nn.initializers.normal(0.02), (c.vision_width, c.embed_dim)
+        )
+        return (x.astype(c.dtype) @ proj.astype(c.dtype)).astype(jnp.float32)
+
+
+class TextTransformer(nn.Module):
+    config: CLIPConfig
+
+    @nn.compact
+    def __call__(self, tokens):
+        """tokens: (B, context_length) int32. Returns (B, embed_dim).
+        Pooled at the argmax token (EOT has the highest id, matching
+        open_clip)."""
+        c = self.config
+        emb = self.param(
+            "token_embedding",
+            nn.initializers.normal(0.02),
+            (c.vocab_size, c.text_width),
+        )
+        x = emb[tokens].astype(c.dtype)
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.01),
+            (c.context_length, c.text_width),
+        )
+        x = x + pos.astype(c.dtype)
+        # causal mask
+        mask = jnp.full(
+            (c.context_length, c.context_length), -jnp.inf, dtype=jnp.float32
+        )
+        mask = jnp.triu(mask, k=1)[None, None]
+        x = Transformer(
+            c.text_width, c.text_layers, c.text_heads, c.quick_gelu,
+            dtype=c.dtype, name="transformer",
+        )(x, mask)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_final")(x)
+        eot = jnp.argmax(tokens, axis=-1)
+        pooled = x[jnp.arange(x.shape[0]), eot]
+        proj = self.param(
+            "text_projection",
+            nn.initializers.normal(0.02),
+            (c.text_width, c.embed_dim),
+        )
+        return (pooled.astype(c.dtype) @ proj.astype(c.dtype)).astype(
+            jnp.float32
+        )
+
+
+class CLIP(nn.Module):
+    config: CLIPConfig
+
+    def setup(self):
+        self.visual = VisionTransformer(self.config)
+        self.text = TextTransformer(self.config)
+        self.logit_scale = self.param(
+            "logit_scale", nn.initializers.constant(np.log(1 / 0.07)), ()
+        )
+
+    def encode_image(self, images, normalize: bool = True):
+        feats = self.visual(images)
+        if normalize:
+            feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        return feats
+
+    def encode_text(self, tokens, normalize: bool = True):
+        feats = self.text(tokens)
+        if normalize:
+            feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        return feats
+
+    def __call__(self, images, tokens):
+        img = self.encode_image(images)
+        txt = self.encode_text(tokens)
+        return img, txt, jnp.exp(self.logit_scale)

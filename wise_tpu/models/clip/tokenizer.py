@@ -1,0 +1,171 @@
+"""CLIP byte-pair-encoding tokenizer.
+
+A from-scratch implementation of the BPE scheme used by CLIP/open_clip:
+lowercase + whitespace-normalise, split on words, encode bytes through the
+bytes<->unicode table, merge by learned BPE ranks, append '</w>' to word
+ends, wrap with SOT/EOT, pad/truncate to context_length.
+
+The merge table (``bpe_simple_vocab_16e6.txt.gz``) ships with open_clip
+checkpoints; pass its path (or place it next to the checkpoint). When no
+vocab file is available (hermetic tests, random-weight benches) a
+deterministic hashing tokenizer stands in — same interface, stable ids.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import html
+import re
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+
+def bytes_to_unicode():
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def basic_clean(text: str) -> str:
+    text = html.unescape(html.unescape(text))
+    return text.strip()
+
+
+def whitespace_clean(text: str) -> str:
+    return re.sub(r"\s+", " ", text).strip()
+
+
+# CLIP's pattern uses \p{L}/\p{N} (regex module); stdlib `re` equivalents:
+# [^\W\d_]+ = unicode letters, [0-9] = single digit, [^\s\w]+ = punctuation.
+_WORD_PAT = re.compile(
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|[0-9]|[^\s\w]+""",
+    re.IGNORECASE | re.UNICODE,
+)
+
+
+class BPETokenizer:
+    def __init__(self, bpe_path, context_length: int = 77):
+        self.context_length = context_length
+        self.byte_encoder = bytes_to_unicode()
+        opener = gzip.open if str(bpe_path).endswith(".gz") else open
+        with opener(bpe_path, "rt", encoding="utf-8") as f:
+            merges = f.read().split("\n")
+        merges = merges[1 : 49152 - 256 - 2 + 1]
+        merges = [tuple(m.split()) for m in merges if m]
+        vocab = list(self.byte_encoder.values())
+        vocab = vocab + [v + "</w>" for v in vocab]
+        for merge in merges:
+            vocab.append("".join(merge))
+        vocab.extend(["<|startoftext|>", "<|endoftext|>"])
+        self.encoder = {v: i for i, v in enumerate(vocab)}
+        self.bpe_ranks = {m: i for i, m in enumerate(merges)}
+        self.cache = {
+            "<|startoftext|>": "<|startoftext|>",
+            "<|endoftext|>": "<|endoftext|>",
+        }
+        self.sot = self.encoder["<|startoftext|>"]
+        self.eot = self.encoder["<|endoftext|>"]
+        self.vocab_size = len(self.encoder)
+
+    def _bpe(self, token: str) -> str:
+        if token in self.cache:
+            return self.cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        while len(word) > 1:
+            pairs = set(zip(word[:-1], word[1:]))
+            best = min(
+                pairs, key=lambda p: self.bpe_ranks.get(p, float("inf"))
+            )
+            if best not in self.bpe_ranks:
+                break
+            first, second = best
+            new_word: List[str] = []
+            i = 0
+            while i < len(word):
+                if (
+                    i < len(word) - 1
+                    and word[i] == first
+                    and word[i + 1] == second
+                ):
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+        out = " ".join(word)
+        self.cache[token] = out
+        return out
+
+    def encode(self, text: str) -> List[int]:
+        tokens: List[int] = []
+        text = whitespace_clean(basic_clean(text)).lower()
+        for word in _WORD_PAT.findall(text):
+            word_b = "".join(self.byte_encoder[b] for b in word.encode("utf-8"))
+            tokens.extend(self.encoder[t] for t in self._bpe(word_b).split(" "))
+        return tokens
+
+    def __call__(self, texts: List[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.context_length), dtype=np.int32)
+        for i, text in enumerate(texts):
+            toks = [self.sot] + self.encode(text) + [self.eot]
+            if len(toks) > self.context_length:
+                toks = toks[: self.context_length]
+                toks[-1] = self.eot
+            out[i, : len(toks)] = toks
+        return out
+
+
+class HashTokenizer:
+    """Deterministic stand-in when no BPE vocab file is available: each
+    whitespace word hashes to a stable id in [1000, vocab-1000). Same text
+    -> same ids; EOT is the max id so argmax pooling still finds it."""
+
+    def __init__(self, vocab_size: int = 49408, context_length: int = 77):
+        self.vocab_size = vocab_size
+        self.context_length = context_length
+        self.sot = vocab_size - 2
+        self.eot = vocab_size - 1
+
+    def encode(self, text: str) -> List[int]:
+        words = whitespace_clean(basic_clean(text)).lower().split(" ")
+        out = []
+        for w in words:
+            if not w:
+                continue
+            h = int.from_bytes(hashlib.sha1(w.encode()).digest()[:4], "big")
+            out.append(1000 + h % (self.vocab_size - 3000))
+        return out
+
+    def __call__(self, texts: List[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.context_length), dtype=np.int32)
+        for i, text in enumerate(texts):
+            toks = [self.sot] + self.encode(text) + [self.eot]
+            if len(toks) > self.context_length:
+                toks = toks[: self.context_length]
+                toks[-1] = self.eot
+            out[i, : len(toks)] = toks
+        return out
+
+
+def get_tokenizer(
+    bpe_path: Optional[Path] = None,
+    vocab_size: int = 49408,
+    context_length: int = 77,
+):
+    if bpe_path is not None and Path(bpe_path).exists():
+        return BPETokenizer(bpe_path, context_length)
+    return HashTokenizer(vocab_size, context_length)
