@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Headline benchmark (driver-run, real TPU).
+
+Primary metric (BASELINE.json): frames embedded/sec/chip for CLIP ViT-B/32 —
+the throughput core of the reference's extract-features.py path — measured on
+the fused uint8->preprocess->ViT forward. ``vs_baseline`` is the speedup over
+the same architecture executed with PyTorch on this host's CPU (the
+reference pipeline is PyTorch; it publishes no normalised frames/sec, so the
+baseline is measured, not quoted). Extra fields report the 1M-vector exact
+inner-product search p50 device latency (the faiss-replacement path) and its
+CPU numpy baseline.
+
+Timing note: this dev environment reaches the TPU through a tunnel where
+``block_until_ready`` is a no-op and host<->device round trips cost ~29 ms.
+All measurements therefore chain N iterations on-device with a data
+dependency (lax.fori_loop) and do one tiny readback, subtracting the
+measured round-trip latency.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+BATCH = 256
+FRAME_SHAPE = (256, 320, 3)
+N_DB = 1_000_000
+DIM = 512
+TOPK = 100
+
+
+def _measure_roundtrip():
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda a: a + 1)
+    x = jnp.zeros((1,))
+    np.asarray(f(x))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def bench_tpu_vit(roundtrip: float):
+    import jax
+    import jax.numpy as jnp
+
+    from wise_tpu.models.clip.model import CLIP, get_clip_config
+    from wise_tpu.models.clip.preprocess import preprocess_images
+
+    config = get_clip_config("ViT-B-32")
+    model = CLIP(config)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, config.image_size, config.image_size, 3), jnp.float32),
+        jnp.zeros((1, config.context_length), jnp.int32),
+    )
+
+    def forward(params, frames_u8):
+        x = preprocess_images(frames_u8, config.image_size)
+        return model.apply(params, x, method=CLIP.encode_image)
+
+    n_iter = 20
+
+    @jax.jit
+    def bench_loop(params, frames):
+        def body(i, carry):
+            # force a data dependency between iterations so the device
+            # executes them sequentially
+            eps = (carry[0] * 0).astype(frames.dtype)
+            out = forward(params, frames + eps)
+            return out[0]
+
+        return jax.lax.fori_loop(
+            0, n_iter, body, jnp.zeros((config.embed_dim,), jnp.float32)
+        )
+
+    frames = jnp.asarray(
+        np.random.default_rng(0).integers(
+            0, 255, (BATCH,) + FRAME_SHAPE, dtype=np.uint8
+        )
+    )
+    np.asarray(bench_loop(params, frames))  # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(bench_loop(params, frames))
+    dt = time.perf_counter() - t0 - roundtrip
+    return BATCH * n_iter / dt
+
+
+def bench_torch_cpu_vit():
+    """Same ViT-B/32 architecture in PyTorch on host CPU (random init —
+    throughput only). Uses transformers' CLIPVisionModel constructed locally
+    (no downloads)."""
+    try:
+        import torch
+        from transformers import CLIPVisionConfig, CLIPVisionModel
+
+        torch.set_num_threads(os.cpu_count() or 1)
+        cfg = CLIPVisionConfig(
+            hidden_size=768, intermediate_size=3072, num_hidden_layers=12,
+            num_attention_heads=12, image_size=224, patch_size=32,
+        )
+        m = CLIPVisionModel(cfg).eval()
+        batch = 16
+        x = torch.randn(batch, 3, 224, 224)
+        with torch.inference_mode():
+            m(pixel_values=x)  # warmup
+            n_iter = 3
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                m(pixel_values=x)
+            dt = time.perf_counter() - t0
+        return batch * n_iter / dt
+    except Exception:
+        return None
+
+
+def bench_query_latency(roundtrip: float):
+    import jax
+    import jax.numpy as jnp
+
+    from wise_tpu.ops.topk import scan_topk
+
+    rng = np.random.default_rng(0)
+    db = rng.standard_normal((N_DB, DIM)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    db_dev = jax.device_put(db)
+
+    n_iter = 20
+
+    @jax.jit
+    def bench_loop(queries, db_dev):
+        def body(i, carry):
+            q = queries[i] + carry * 0.0
+            vals, idx = scan_topk(q[None], db_dev, k=TOPK, block_rows=131072)
+            return vals[0, 0]
+
+        return jax.lax.fori_loop(0, n_iter, body, jnp.float32(0.0))
+
+    queries = jnp.asarray(
+        rng.standard_normal((n_iter, DIM)).astype(np.float32)
+    )
+    np.asarray(bench_loop(queries, db_dev))  # compile
+    t0 = time.perf_counter()
+    np.asarray(bench_loop(queries, db_dev))
+    dt = time.perf_counter() - t0 - roundtrip
+    per_query = dt / n_iter
+
+    q = rng.standard_normal((1, DIM)).astype(np.float32)
+    # CPU numpy baseline (what the reference's faiss-CPU flat scan does)
+    t0 = time.perf_counter()
+    scores = q @ db.T
+    part = np.argpartition(-scores[0], TOPK)[:TOPK]
+    _ = part[np.argsort(-scores[0][part])]
+    cpu = time.perf_counter() - t0
+    return per_query, cpu
+
+
+def main():
+    roundtrip = _measure_roundtrip()
+    fps = bench_tpu_vit(roundtrip)
+    torch_fps = bench_torch_cpu_vit()
+    p50, cpu_scan = bench_query_latency(roundtrip)
+    vs = (fps / torch_fps) if torch_fps else None
+    print(
+        json.dumps(
+            {
+                "metric": "frames embedded/sec/chip (ViT-B/32)",
+                "value": round(fps, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(vs, 2) if vs else None,
+                "baseline_torch_cpu_frames_per_s": round(torch_fps, 2)
+                if torch_fps
+                else None,
+                "query_p50_latency_s_at_1M": round(p50, 5),
+                "cpu_numpy_scan_s_at_1M": round(cpu_scan, 4),
+                "tunnel_roundtrip_s": round(roundtrip, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Sharded CLIP contrastive training on a device mesh.
+
+The reference has no training at all (SURVEY.md §2: inference-only,
+single-GPU); this is new TPU-native capability: fine-tune/pretrain the CLIP
+towers with data parallelism over 'dp' and Megatron-style tensor parallelism
+over 'mp', expressed as GSPMD sharding constraints — XLA inserts the
+collectives (psum for the contrastive logits across dp shards, all-reduce
+for mp partials) over ICI.
+
+Sharding rules:
+- attention in_proj / mlp_fc kernels: split output dim over 'mp'
+- attention out_proj / mlp_proj kernels: split input dim over 'mp'
+- embeddings / LayerNorms / projections: replicated
+- batch: split over 'dp'
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.clip.model import CLIP, CLIPConfig
+
+
+def _spec_for_path(path: Tuple, leaf) -> P:
+    keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    joined = "/".join(str(k) for k in keys)
+    if leaf.ndim == 2:
+        if "in_proj" in joined or "mlp_fc" in joined:
+            return P(None, "mp")
+        if "out_proj" in joined or "mlp_proj" in joined:
+            return P("mp", None)
+    return P()
+
+
+def clip_param_shardings(params, mesh: Mesh):
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _spec_for_path(path, leaf)),
+        params,
+    )
+
+
+def clip_loss(img_feats, txt_feats, logit_scale):
+    """Symmetric InfoNCE over the global batch. Feature matrices are
+    replicated post-encoder (XLA all-gathers dp-sharded activations as
+    needed for the (B, B) logits)."""
+    logits = logit_scale * img_feats @ txt_feats.T
+    labels = jnp.arange(logits.shape[0])
+    li = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    lt = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels)
+    return 0.5 * (li.mean() + lt.mean())
+
+
+class CLIPTrainer:
+    def __init__(self, config: CLIPConfig, mesh: Mesh,
+                 learning_rate: float = 1e-4, weight_decay: float = 0.01):
+        self.config = config
+        self.mesh = mesh
+        self.model = CLIP(config)
+        self.optimizer = optax.adamw(learning_rate, weight_decay=weight_decay)
+
+        self.batch_sharding = NamedSharding(mesh, P("dp"))
+        self.replicated = NamedSharding(mesh, P())
+
+    def init(self, rng) -> Tuple[Any, Any]:
+        c = self.config
+        params = self.model.init(
+            rng,
+            jnp.zeros((1, c.image_size, c.image_size, 3), jnp.float32),
+            jnp.zeros((1, c.context_length), jnp.int32),
+        )
+        shardings = clip_param_shardings(params, self.mesh)
+        params = jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, s), params, shardings
+        )
+        opt_state = self.optimizer.init(params)
+        self.param_shardings = shardings
+        return params, opt_state
+
+    def make_train_step(self):
+        model, optimizer = self.model, self.optimizer
+
+        def loss_fn(params, images, tokens):
+            img_f, txt_f, scale = model.apply(params, images, tokens)
+            return clip_loss(img_f, txt_f, scale)
+
+        @functools.partial(
+            jax.jit,
+            donate_argnums=(0, 1),
+        )
+        def train_step(params, opt_state, images, tokens):
+            images = jax.lax.with_sharding_constraint(
+                images, self.batch_sharding
+            )
+            tokens = jax.lax.with_sharding_constraint(
+                tokens, self.batch_sharding
+            )
+            loss, grads = jax.value_and_grad(loss_fn)(params, images, tokens)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return train_step
