@@ -1,0 +1,155 @@
+"""CLAP feature extractor (drop-in for the reference's MicrosoftClap,
+src/feature/microsoft_clap.py:20-58): id ``microsoft/clap/<version>/<...>``,
+mono-downmix + fixed-duration collate in preprocess_audio, L2-normalised
+audio/caption embeddings.
+
+The ingest pipeline decodes audio at 48 kHz (config contract); the extractor
+resamples to the model's 44.1 kHz on device (linear interpolation inside the
+jitted forward) and pads/tiles to the model's fixed duration, mirroring
+msclap's read_audio behaviour. Without a converted checkpoint the towers
+run with deterministic random weights (same caveat as the CLIP extractor).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+from pathlib import Path
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.mel import log_mel_spectrogram
+from ..clip.tokenizer import HashTokenizer
+from ..feature_extractor import FeatureExtractor
+from .model import CLAP, get_clap_config
+
+logger = logging.getLogger(__name__)
+
+PIPELINE_SAMPLE_RATE = 48_000
+_BATCH_BUCKETS = (1, 4, 16, 64)
+
+
+def _bucket(n: int) -> int:
+    for b in _BATCH_BUCKETS:
+        if n <= b:
+            return b
+    return ((n + 63) // 64) * 64
+
+
+def _checkpoint_dir(version: str, variant: str) -> Path:
+    root = os.environ.get(
+        "WISE_CHECKPOINT_DIR",
+        str(Path.home() / ".cache" / "wise_tpu" / "checkpoints"),
+    )
+    return Path(root) / "clap" / version / variant
+
+
+class ClapExtractor(FeatureExtractor):
+    def __init__(self, id: str):
+        tok = id.split("/")
+        if len(tok) != 4 or not id.startswith("microsoft/clap/"):
+            raise ValueError(f"invalid clap extractor id {id}")
+        self.id = id
+        self.version, self.variant = tok[2], tok[3]
+        self.config = get_clap_config(self.version)
+        self.output_dim = self.config.joint_dim
+        c = self.config
+        self.model = CLAP(c)
+        self.target_samples = int(c.sample_rate * c.duration)
+
+        ckpt_dir = _checkpoint_dir(self.version, self.variant)
+        ckpt = next(iter(sorted(ckpt_dir.glob("*.npz"))), None) if ckpt_dir.exists() else None
+        rng = jax.random.PRNGKey(0)
+        dummy_mel = jnp.zeros((1, 16, c.n_mels), jnp.float32)
+        dummy_tok = jnp.zeros((1, c.context_length), jnp.int32)
+        if ckpt is not None:
+            logger.info(f"loading CLAP checkpoint {ckpt}")
+            with np.load(ckpt, allow_pickle=True) as z:
+                import flax
+
+                self.params = flax.serialization.from_bytes(
+                    self.model.init(rng, dummy_mel, dummy_tok, jnp.ones((1,), jnp.int32)),
+                    z["params"].tobytes(),
+                )
+        else:
+            logger.warning(
+                f"no checkpoint for {id} under {ckpt_dir}; using random "
+                "weights (pipeline runs, retrieval quality needs real weights)"
+            )
+            self.params = self.model.init(
+                rng, dummy_mel, dummy_tok, jnp.ones((1,), jnp.int32)
+            )
+
+        self.tokenizer = HashTokenizer(
+            vocab_size=c.vocab_size, context_length=c.context_length
+        )
+
+        in_rate = PIPELINE_SAMPLE_RATE
+
+        from ...ops.resample import resample_linear
+
+        @jax.jit
+        def _encode_audio(params, wav_48k):
+            # device-side linear resample 48k -> model rate
+            n_in = wav_48k.shape[1]
+            n_out = int(round(n_in * c.sample_rate / in_rate))
+            x = resample_linear(wav_48k, n_out)
+            # pad (tile) to the model's fixed duration
+            if n_out < self.target_samples:
+                reps = -(-self.target_samples // n_out)
+                x = jnp.tile(x, (1, reps))[:, : self.target_samples]
+            else:
+                x = x[:, : self.target_samples]
+            mel = log_mel_spectrogram(
+                x, sr=c.sample_rate, n_fft=c.n_fft, hop_length=c.hop_length,
+                n_mels=c.n_mels, fmin=c.fmin, fmax=c.fmax,
+            )
+            return self.model.apply(params, mel, method=CLAP.encode_audio)
+
+        @jax.jit
+        def _encode_text(params, tokens, lengths):
+            return self.model.apply(
+                params, tokens, lengths, method=CLAP.encode_text
+            )
+
+        self._encode_audio = _encode_audio
+        self._encode_text = _encode_text
+
+    # ------------------------------------------------------------------
+    def preprocess_audio(self, audio) -> np.ndarray:
+        """audio: (T,), (C,T) or (B,T) float waveform(s) at 48 kHz. Multi-
+        channel input is mono-downmixed (reference: microsoft_clap.py:33-40)."""
+        a = np.asarray(audio, dtype=np.float32)
+        if a.ndim == 1:
+            a = a[None]
+        return a
+
+    def extract_audio_features(self, preprocessed_audio: np.ndarray) -> np.ndarray:
+        a = np.asarray(preprocessed_audio, dtype=np.float32)
+        if a.ndim == 1:
+            a = a[None]
+        n = a.shape[0]
+        m = _bucket(n)
+        if m != n:
+            a = np.concatenate([a, np.zeros((m - n, a.shape[1]), np.float32)])
+        out = self._encode_audio(self.params, jnp.asarray(a))
+        return np.asarray(out[:n], dtype=np.float32)
+
+    def extract_text_features(self, text_query: List[str]) -> np.ndarray:
+        tokens = self.tokenizer(list(text_query))
+        lengths = (tokens != 0).sum(axis=1).astype(np.int32)
+        n = tokens.shape[0]
+        m = _bucket(n)
+        if m != n:
+            tokens = np.concatenate(
+                [tokens, np.zeros((m - n, tokens.shape[1]), tokens.dtype)]
+            )
+            lengths = np.concatenate([lengths, np.ones(m - n, np.int32)])
+        out = self._encode_text(
+            self.params, jnp.asarray(tokens), jnp.asarray(lengths)
+        )
+        return np.asarray(out[:n], dtype=np.float32)

@@ -1,0 +1,339 @@
+"""CLAP (audio + caption towers) in Flax — msclap-2023-shaped.
+
+The reference wraps Microsoft's msclap package
+(/root/reference/src/feature/microsoft_clap.py:31-58): HTSAT audio encoder
+(a Swin transformer over the log-mel spectrogram), GPT2 caption encoder, and
+a Projection head per tower into a shared space (1024-d for the 2023
+weights). This module re-implements that architecture TPU-first:
+
+- the mel frontend is the fused XLA op in wise_tpu.ops.mel;
+- the HTSAT spectrogram->image trick (time chunks stacked along frequency to
+  a square map), 4x4 patch embed, windowed attention with relative position
+  bias, shifted windows, and patch merging, all with static shapes;
+- the caption tower reuses the pre-LN transformer blocks from the CLIP
+  implementation (GPT2 layout: learned positions, causal mask, final LN,
+  last-token pooling);
+- msclap's Projection head: ln(linear1(x) + drop(linear2(gelu(linear1(x))))).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..clip.model import Transformer
+
+
+@dataclasses.dataclass(frozen=True)
+class CLAPConfig:
+    joint_dim: int = 1024
+    # audio (HTSAT-base shapes)
+    sample_rate: int = 44100
+    duration: float = 7.0
+    n_fft: int = 1024
+    hop_length: int = 320
+    n_mels: int = 64
+    fmin: float = 50.0
+    fmax: float = 14000.0
+    spec_frames: int = 1024      # mel frames after pad/crop
+    freq_ratio: int = 4          # time chunks stacked along frequency
+    patch_size: int = 4
+    embed_dim: int = 96
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (4, 8, 16, 32)
+    window_size: int = 8
+    mlp_ratio: float = 4.0
+    # text (GPT2-small shapes)
+    vocab_size: int = 50257
+    context_length: int = 77
+    text_width: int = 768
+    text_heads: int = 12
+    text_layers: int = 12
+    dtype: Any = jnp.float32
+
+
+CLAP_CONFIGS = {
+    "2023": CLAPConfig(),
+    "2022": CLAPConfig(joint_dim=1024, duration=5.0),
+}
+
+
+def get_clap_config(version: str) -> CLAPConfig:
+    if version in CLAP_CONFIGS:
+        return CLAP_CONFIGS[version]
+    raise ValueError(f"unknown CLAP version {version}; known {sorted(CLAP_CONFIGS)}")
+
+
+class Projection(nn.Module):
+    """msclap projection head."""
+
+    d_out: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        e1 = nn.Dense(self.d_out, dtype=self.dtype, name="linear1")(x)
+        e2 = nn.Dense(self.d_out, dtype=self.dtype, name="linear2")(
+            jax.nn.gelu(e1, approximate=False)
+        )
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="layer_norm")(
+            e1 + e2
+        )
+
+
+def window_partition(x, w: int):
+    """(B, H, W, C) -> (B*nH*nW, w*w, C)"""
+    b, h, wid, c = x.shape
+    x = x.reshape(b, h // w, w, wid // w, w, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(-1, w * w, c)
+
+
+def window_reverse(windows, w: int, h: int, wid: int):
+    b = windows.shape[0] // ((h // w) * (wid // w))
+    x = windows.reshape(b, h // w, wid // w, w, w, -1)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(b, h, wid, -1)
+
+
+def _relative_position_index(w: int) -> np.ndarray:
+    coords = np.stack(
+        np.meshgrid(np.arange(w), np.arange(w), indexing="ij")
+    ).reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.transpose(1, 2, 0) + (w - 1)
+    return (rel[..., 0] * (2 * w - 1) + rel[..., 1]).astype(np.int32)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    heads: int
+    window: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None):
+        """x: (nW*B, w*w, C); attn_mask: (nW, w*w, w*w) or None."""
+        n, l, c = x.shape
+        h = self.heads
+        head_dim = c // h
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(n, l, h, head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(n, l, h, head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(n, l, h, head_dim).transpose(0, 2, 1, 3)
+        logits = (q @ k.transpose(0, 1, 3, 2)) * (1.0 / np.sqrt(head_dim))
+
+        bias_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * self.window - 1) ** 2, h),
+        )
+        idx = _relative_position_index(self.window)
+        bias = bias_table[idx.reshape(-1)].reshape(l, l, h)
+        logits = logits + jnp.transpose(bias, (2, 0, 1))[None]
+
+        if attn_mask is not None:
+            n_win = attn_mask.shape[0]
+            logits = logits.reshape(n // n_win, n_win, h, l, l)
+            logits = logits + attn_mask[None, :, None]
+            logits = logits.reshape(n, h, l, l)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+            self.dtype
+        )
+        out = (probs @ v).transpose(0, 2, 1, 3).reshape(n, l, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
+
+def _shift_attn_mask(h: int, w: int, window: int, shift: int) -> np.ndarray:
+    """Swin shifted-window attention mask: (nW, w*w, w*w) additive."""
+    img = np.zeros((h, w))
+    cnt = 0
+    for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+        for ws in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+            img[hs, ws] = cnt
+            cnt += 1
+    img = img.reshape(h // window, window, w // window, window)
+    img = img.transpose(0, 2, 1, 3).reshape(-1, window * window)
+    diff = img[:, :, None] - img[:, None, :]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    heads: int
+    window: int
+    shift: int
+    input_resolution: Tuple[int, int]
+    mlp_ratio: float = 4.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, H*W, C)"""
+        hres, wres = self.input_resolution
+        b, l, c = x.shape
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
+        x = x.reshape(b, hres, wres, c)
+        if self.shift > 0:
+            x = jnp.roll(x, shift=(-self.shift, -self.shift), axis=(1, 2))
+            mask = jnp.asarray(
+                _shift_attn_mask(hres, wres, self.window, self.shift)
+            )
+        else:
+            mask = None
+        windows = window_partition(x, self.window)
+        attn = WindowAttention(
+            self.dim, self.heads, self.window, dtype=self.dtype, name="attn"
+        )(windows, mask)
+        x = window_reverse(attn, self.window, hres, wres)
+        if self.shift > 0:
+            x = jnp.roll(x, shift=(self.shift, self.shift), axis=(1, 2))
+        x = shortcut + x.reshape(b, l, c)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
+        h = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
+        h = jax.nn.gelu(h, approximate=False)
+        x = x + nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(h)
+        return x
+
+
+class PatchMerging(nn.Module):
+    input_resolution: Tuple[int, int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        hres, wres = self.input_resolution
+        b, l, c = x.shape
+        x = x.reshape(b, hres // 2, 2, wres // 2, 2, c)
+        x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+            b, (hres // 2) * (wres // 2), 4 * c
+        )
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
+        return nn.Dense(2 * c, use_bias=False, dtype=self.dtype, name="reduction")(x)
+
+
+class HTSATEncoder(nn.Module):
+    """Hierarchical window-attention encoder over the mel spectrogram."""
+
+    config: CLAPConfig
+
+    @nn.compact
+    def __call__(self, mel):
+        """mel: (B, frames, n_mels) log-mel -> (B, final_dim) latent."""
+        c = self.config
+        b = mel.shape[0]
+        # pad/crop frames to spec_frames, then stack freq_ratio time chunks
+        # along the frequency axis -> square-ish map
+        t = mel.shape[1]
+        if t < c.spec_frames:
+            mel = jnp.pad(mel, ((0, 0), (0, c.spec_frames - t), (0, 0)))
+        else:
+            mel = mel[:, : c.spec_frames]
+        chunk = c.spec_frames // c.freq_ratio
+        x = mel.reshape(b, c.freq_ratio, chunk, c.n_mels)
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(
+            b, chunk, c.freq_ratio * c.n_mels
+        )  # (B, 256, 256) for default config
+        x = x[..., None]  # (B, H, W, 1)
+        # normalise dynamic range (batch-norm-free: fixed affine)
+        x = (x + 40.0) / 40.0
+
+        x = nn.Conv(
+            c.embed_dim,
+            kernel_size=(c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size),
+            dtype=c.dtype,
+            name="patch_embed",
+        )(x.astype(c.dtype))
+        hres = chunk // c.patch_size
+        wres = (c.freq_ratio * c.n_mels) // c.patch_size
+        x = x.reshape(b, hres * wres, c.embed_dim)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="patch_norm")(x)
+
+        dim = c.embed_dim
+        for stage, (depth, heads) in enumerate(zip(c.depths, c.num_heads)):
+            for blk in range(depth):
+                shift = 0 if blk % 2 == 0 else c.window_size // 2
+                x = SwinBlock(
+                    dim, heads, c.window_size, shift, (hres, wres),
+                    mlp_ratio=c.mlp_ratio, dtype=c.dtype,
+                    name=f"stage{stage}_block{blk}",
+                )(x)
+            if stage < len(c.depths) - 1:
+                x = PatchMerging(
+                    (hres, wres), dtype=c.dtype, name=f"merge{stage}"
+                )(x)
+                hres, wres = hres // 2, wres // 2
+                dim *= 2
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
+        return jnp.mean(x, axis=1).astype(jnp.float32)  # (B, 8*embed_dim)
+
+
+class CaptionEncoder(nn.Module):
+    """GPT2-layout causal text encoder, pooled at the last real token."""
+
+    config: CLAPConfig
+
+    @nn.compact
+    def __call__(self, tokens, lengths):
+        c = self.config
+        emb = self.param(
+            "token_embedding",
+            nn.initializers.normal(0.02),
+            (c.vocab_size, c.text_width),
+        )
+        x = emb[tokens].astype(c.dtype)
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.01),
+            (c.context_length, c.text_width),
+        )
+        x = x + pos.astype(c.dtype)
+        mask = jnp.triu(
+            jnp.full((c.context_length, c.context_length), -jnp.inf), k=1
+        )[None, None]
+        x = Transformer(
+            c.text_width, c.text_layers, c.text_heads, quick_gelu=False,
+            dtype=c.dtype, name="transformer",
+        )(x, mask)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_f")(x)
+        idx = jnp.clip(lengths - 1, 0, c.context_length - 1)
+        return x[jnp.arange(x.shape[0]), idx].astype(jnp.float32)
+
+
+class CLAP(nn.Module):
+    config: CLAPConfig
+
+    def setup(self):
+        c = self.config
+        self.audio_encoder = HTSATEncoder(c)
+        self.caption_encoder = CaptionEncoder(c)
+        self.audio_projection = Projection(c.joint_dim, dtype=c.dtype)
+        self.caption_projection = Projection(c.joint_dim, dtype=c.dtype)
+        self.logit_scale = self.param(
+            "logit_scale", nn.initializers.constant(np.log(1 / 0.07)), ()
+        )
+
+    def encode_audio(self, mel, normalize: bool = True):
+        z = self.audio_projection(self.audio_encoder(mel))
+        if normalize:
+            z = z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+        return z
+
+    def encode_text(self, tokens, lengths, normalize: bool = True):
+        z = self.caption_projection(self.caption_encoder(tokens, lengths))
+        if normalize:
+            z = z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+        return z
+
+    def __call__(self, mel, tokens, lengths):
+        a = self.encode_audio(mel)
+        t = self.encode_text(tokens, lengths)
+        return a, t, jnp.exp(self.logit_scale)
