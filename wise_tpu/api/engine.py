@@ -1,0 +1,463 @@
+"""Online search engine: loaded indices + extractors + response assembly.
+
+Behavioural port of the reference's router internals
+(/root/reference/api/routes.py): multimodal query fusion with text x2.0 /
+negative x(-1)*0.2 weights (:759-850), segment -> shot merging with <= 4 s
+gaps (:523-602), per-modality response construction (:604-757), featured
+sampling with a fixed seed (:1159-1208), thumbnail inlining for the first K
+results (:920-943), and /info corpus stats (:348-357).
+"""
+
+from __future__ import annotations
+
+import itertools
+import logging
+import random
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import db as wdb
+from ..config import WiseConfig
+from ..data_models import MediaType, ModalityType
+from ..db.repository import (
+    get_counts,
+    get_featured_vector_ids,
+    get_full_metadata_batch,
+    get_project_total_duration,
+    get_thumbnail_by_timestamp,
+)
+from ..index import SearchIndexFactory
+from ..project import WiseProject
+from ..utils import jpeg_data_uri
+from . import models as M
+
+logger = logging.getLogger(__name__)
+
+
+class SearchEngine:
+    def __init__(self, project_dir, config: Optional[WiseConfig] = None,
+                 index_type: str = "IndexFlatIP"):
+        self.project = WiseProject(project_dir)
+        self.project_id = Path(project_dir).name
+        self.config = config or self.project.load_config()
+        self.assets = self.project.discover_assets()
+        self.index_type = index_type
+        self.conn = wdb.connect(self.project.db_path, readonly=True)
+        self.thumbs_conn = (
+            wdb.connect(self.project.thumbs_db_path, readonly=True)
+            if self.project.thumbs_db_path.exists()
+            else None
+        )
+        self.indices: Dict[str, object] = {}
+        for media_type in ("image", "video", "audio"):
+            for asset_id, asset in self.assets.get(media_type, {}).items():
+                idx = SearchIndexFactory(
+                    media_type, asset_id, asset, config=self.config.index
+                )
+                if idx.load_index(index_type):
+                    self.indices[media_type] = idx
+                    break
+        counts = get_counts(self.conn)
+        self.num_vectors = counts["num_vectors"]
+        self.num_media_files = counts["num_media_files"]
+        # featured ids, seeded sampling (reference: routes.py:1159-1165)
+        ids = get_featured_vector_ids(self.conn, self.config.serve.featured_max)
+        rng = random.Random(self.config.serve.featured_seed)
+        rng.shuffle(ids)
+        self.featured_ids = ids
+
+    # ------------------------------------------------------------------
+    # query fusion
+    # ------------------------------------------------------------------
+    def get_query_features(self, media_type: str, query_items: List[Dict]):
+        """query_items: [{sign: positive|negative, modality: text|image|audio,
+        val: str|bytes|ndarray}]. Weighted average, renormalised."""
+        index = self.indices[media_type]
+        fe = index.extractor
+        s = self.config.search
+        prefix = (
+            s.audio_query_prefix
+            if media_type == "audio"
+            else s.query_prefix
+        ).strip()
+        vectors, weights = [], []
+        for item in query_items:
+            sign = item.get("sign", "positive")
+            modality = item.get("modality", "text")
+            val = item["val"]
+            neg = sign == "negative"
+            if modality == "text":
+                text = f"{prefix} {str(val).strip()}".strip()
+                vec = fe.extract_text_features([text])
+                w = s.text_queries_weight * (
+                    s.negative_queries_weight if neg else 1.0
+                )
+            elif modality == "image":
+                if isinstance(val, bytes):
+                    import cv2
+
+                    arr = cv2.imdecode(
+                        np.frombuffer(val, np.uint8), cv2.IMREAD_COLOR
+                    )
+                    if arr is None:
+                        raise ValueError("cannot decode image query")
+                    rgb = cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
+                    vec = fe.extract_image_features(fe.preprocess_image([rgb]))
+                else:
+                    vec = np.atleast_2d(np.asarray(val, np.float32))
+                w = s.negative_queries_weight if neg else 1.0
+            elif modality == "audio":
+                if isinstance(val, bytes):
+                    import io as _io
+                    import tempfile
+
+                    from ..io.decode import iter_audio_segments
+
+                    with tempfile.NamedTemporaryFile(suffix=".audio") as f:
+                        f.write(val)
+                        f.flush()
+                        segs = [
+                            s0
+                            for s0, _ in iter_audio_segments(
+                                f.name, 48_000, 48_000 * 4
+                            )
+                        ]
+                    if not segs:
+                        raise ValueError("cannot decode audio query")
+                    vec = fe.extract_audio_features(
+                        fe.preprocess_audio(segs[0])
+                    )
+                else:
+                    vec = np.atleast_2d(np.asarray(val, np.float32))
+                w = s.negative_queries_weight if neg else 1.0
+            else:
+                raise ValueError(f"unsupported modality {modality}")
+            if neg:
+                vec = -vec
+            vectors.append(np.asarray(vec, np.float32).reshape(1, -1))
+            weights.append(w)
+        weights_a = np.asarray(weights, np.float32)
+        avg = np.average(
+            np.concatenate(vectors, axis=0), axis=0, weights=weights_a
+        )[None]
+        avg /= np.linalg.norm(avg, axis=-1, keepdims=True)
+        return avg
+
+    # ------------------------------------------------------------------
+    # thumbnails
+    # ------------------------------------------------------------------
+    def _thumbs_for(self, metadata_list, inline_count: int):
+        """First `inline_count` get inline base64 data URIs; the rest get
+        thumbnail URLs (reference: routes.py:920-943)."""
+        out = []
+        for i, m in enumerate(metadata_list):
+            t = m.timestamp or 0.0
+            if self.thumbs_conn is not None and i < inline_count:
+                blob = get_thumbnail_by_timestamp(self.thumbs_conn, m.media_id, t)
+                if blob:
+                    out.append((jpeg_data_uri(blob), 1.0))
+                    continue
+            out.append((f"thumbs/{m.id}", 0.0 if i >= inline_count else 1.0))
+        return out
+
+    # ------------------------------------------------------------------
+    # response assembly
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _merge_close_segments(keyframes: List[M.VideoSegment], gap: float):
+        merged: List[M.VideoSegment] = []
+
+        def flush(start, current, thumb, thumb_score, score):
+            merged.append(
+                M.VideoSegment(
+                    vector_id=start.vector_id,
+                    media_id=start.media_id,
+                    ts=start.ts,
+                    te=current.te,
+                    link=f"media/{start.media_id}#t={start.ts},{current.te}",
+                    distance=score,
+                    thumbnail=thumb,
+                    thumbnail_score=thumb_score,
+                )
+            )
+
+        start = current = None
+        thumb, thumb_score, score = None, 0.0, 0.0
+        for k in keyframes:
+            if start is None:
+                start = current = k
+                thumb, thumb_score, score = k.thumbnail, k.thumbnail_score, k.distance
+            elif (k.ts - current.te) <= gap:
+                current = k
+                if k.thumbnail_score > thumb_score:
+                    thumb_score, thumb = k.thumbnail_score, k.thumbnail
+                if k.distance > score:
+                    score = k.distance
+            else:
+                flush(start, current, thumb, thumb_score, score)
+                start = current = k
+                thumb, thumb_score, score = k.thumbnail, k.thumbnail_score, k.distance
+        if start is not None:
+            flush(start, current, thumb, thumb_score, score)
+        return merged
+
+    def _shots_from_segments(self, segments: List[M.VideoSegment]):
+        gap = self.config.search.shot_merge_gap
+        ordered = sorted(segments, key=lambda x: (x.media_id, x.ts))
+        best_thumbnail = {}
+        shots: List[M.VideoSegment] = []
+        for vid, g in itertools.groupby(ordered, key=lambda x: x.media_id):
+            merged = self._merge_close_segments(list(g), gap)
+            best_thumbnail[vid] = max(merged, key=lambda x: x.thumbnail_score)
+            shots.extend(merged)
+        shots.sort(key=lambda x: x.distance, reverse=True)
+        return shots, best_thumbnail
+
+    def _video_results(self, search_in, dists, metas, thumbs):
+        videos, segments = {}, []
+        for d, m, (thumb, tscore) in zip(dists, metas, thumbs):
+            vid = str(m.media_id)
+            if vid not in videos:
+                videos[vid] = M.VideoInfo(
+                    id=vid,
+                    link=f"media/{vid}",
+                    filename=m.path,
+                    width=m.width,
+                    height=m.height,
+                    media_type=MediaType(m.media_type).value,
+                    format=m.format,
+                    duration=m.duration or 0.0,
+                    thumbnail="",
+                    timeline_hover_thumbnails=f"storyboard/{vid}",
+                )
+            ts = m.timestamp or 0.0
+            te = m.end_timestamp if m.end_timestamp is not None else ts
+            if ts == te:
+                te = ts + 4.0
+            segments.append(
+                M.VideoSegment(
+                    vector_id=str(m.id),
+                    media_id=vid,
+                    ts=float(ts),
+                    te=float(te),
+                    link=f"media/{vid}#t={ts},{te}",
+                    distance=float(d),
+                    thumbnail=thumb,
+                    thumbnail_score=tscore,
+                )
+            )
+        shots, best = self._shots_from_segments(segments)
+        for vid in videos:
+            videos[vid].thumbnail = best[vid].thumbnail
+        cls = M.VideoResults if search_in == MediaType.VIDEO else M.VideoAudioResults
+        return cls(
+            total=300, unmerged_windows=segments, merged_windows=shots,
+            videos=videos,
+        )
+
+    def _audio_results(self, dists, metas, thumbs):
+        audios, segments = {}, []
+        for d, m, _ in zip(dists, metas, thumbs):
+            aid = str(m.media_id)
+            if aid not in audios:
+                audios[aid] = M.AudioInfo(
+                    id=aid,
+                    link=f"media/{aid}",
+                    filename=m.path,
+                    width=m.width,
+                    height=m.height,
+                    media_type=MediaType(m.media_type).value,
+                    format=m.format,
+                    duration=m.duration or 0.0,
+                    thumbnail="",
+                )
+            ts = m.timestamp or 0.0
+            te = m.end_timestamp if m.end_timestamp is not None else ts
+            segments.append(
+                M.AudioSegment(
+                    vector_id=str(m.id),
+                    media_id=aid,
+                    ts=float(ts),
+                    te=float(te),
+                    link=f"media/{aid}#t={ts},{te}",
+                    distance=float(d),
+                )
+            )
+        return M.AudioResults(total=300, unmerged_windows=segments, audios=audios)
+
+    def _image_results(self, dists, metas, thumbs):
+        images, vectors = {}, []
+        for d, m, (thumb, tscore) in zip(dists, metas, thumbs):
+            iid = str(m.media_id)
+            images[iid] = M.ImageInfo(
+                id=iid,
+                link=f"media/{iid}",
+                filename=m.path,
+                width=m.width,
+                height=m.height,
+                media_type=MediaType(m.media_type).value,
+                format=m.format,
+                duration=m.duration or 0.0,
+                thumbnail=thumb,
+                distance=float(d),
+            )
+            vectors.append(
+                M.ImageVector(
+                    vector_id=str(m.id),
+                    media_id=iid,
+                    link=f"media/{iid}",
+                    distance=float(d),
+                    thumbnail=thumb,
+                    thumbnail_score=tscore,
+                )
+            )
+        return M.ImageResults(total=300, vectors=vectors, images=images)
+
+    def construct_search_response(
+        self, dists, ids, search_in: Optional[MediaType],
+        thumbnails_to_send: int = 0,
+    ) -> M.SearchResponse:
+        metas = get_full_metadata_batch(self.conn, [int(i) for i in ids])
+        id_order = {int(i): k for k, i in enumerate(ids)}
+        dists_by_meta = [dists[id_order[m.id]] for m in metas]
+        inline = max(
+            thumbnails_to_send, self.config.serve.num_inline_thumbnails
+        )
+        resp = M.SearchResponse(time=0.0)
+        groups = {
+            MediaType.IMAGE: [
+                i for i, m in enumerate(metas) if m.modality == ModalityType.IMAGE
+            ],
+            MediaType.VIDEO: [
+                i for i, m in enumerate(metas) if m.modality == ModalityType.VIDEO
+            ],
+            MediaType.AV: [
+                i
+                for i, m in enumerate(metas)
+                if m.modality == ModalityType.AUDIO
+                and MediaType(m.media_type) == MediaType.AV
+            ],
+            MediaType.AUDIO: [
+                i
+                for i, m in enumerate(metas)
+                if m.modality == ModalityType.AUDIO
+                and MediaType(m.media_type) == MediaType.AUDIO
+            ],
+        }
+        for mt, idxs in groups.items():
+            if not idxs:
+                continue
+            if search_in is not None and mt != search_in:
+                continue
+            sub_d = [dists_by_meta[i] for i in idxs]
+            sub_m = [metas[i] for i in idxs]
+            thumbs = self._thumbs_for(sub_m, inline)
+            if mt == MediaType.IMAGE:
+                resp.image_results = self._image_results(sub_d, sub_m, thumbs)
+            elif mt == MediaType.VIDEO:
+                resp.video_results = self._video_results(mt, sub_d, sub_m, thumbs)
+            elif mt == MediaType.AV:
+                resp.video_audio_results = self._video_results(
+                    mt, sub_d, sub_m, thumbs
+                )
+            else:
+                resp.audio_results = self._audio_results(sub_d, sub_m, thumbs)
+        return resp
+
+    # ------------------------------------------------------------------
+    # top-level operations
+    # ------------------------------------------------------------------
+    def similarity_search(
+        self, media_type: str, query_items: List[Dict],
+        search_in: Optional[MediaType], start: int = 0, end: int = 20,
+        thumbnails_to_send: int = 0,
+    ) -> M.SearchResponse:
+        t0 = time.time()
+        features = self.get_query_features(media_type, query_items)
+        index = self.indices[media_type]
+        dists, ids = index.search_batch(features, max(end, 1))
+        dists, ids = list(dists[0])[start:end], list(ids[0])[start:end]
+        resp = self.construct_search_response(
+            dists, ids, search_in, thumbnails_to_send
+        )
+        resp.time = round(time.time() - t0, 4)
+        return resp
+
+    def internal_image_features(self, media_type: str, vector_ids: List[int]):
+        """Reconstruct stored feature vectors by id (reference: faiss
+        reconstruct_batch, routes.py:1077-1146). Our .widx keeps ids+vectors
+        memmapped, so this is an O(log n) searchsorted + row gather."""
+        index = self.indices[media_type]
+        ids = np.asarray(index._arrays["ids"])
+        vectors = index._arrays["vectors"]
+        out = []
+        order = np.argsort(ids)
+        for vid in vector_ids:
+            pos = order[np.searchsorted(ids[order], vid)]
+            if ids[pos] != vid:
+                raise KeyError(f"vector id {vid} not in index")
+            out.append(np.asarray(vectors[pos], np.float32))
+        return out
+
+    def featured(self, start: int = 0, end: int = 44,
+                 thumbnails_to_send: int = 10) -> M.SearchResponse:
+        ids = self.featured_ids[start:end]
+        dists = [1.0] * len(ids)
+        resp = self.construct_search_response(dists, ids, None, thumbnails_to_send)
+        resp.time = 0.0
+        return resp
+
+    def info(self) -> M.InfoResponse:
+        return M.InfoResponse(
+            project_id=self.project_id,
+            num_media_files=self.num_media_files,
+            num_vectors=self.num_vectors,
+            total_duration=get_project_total_duration(self.conn),
+            media_types=sorted(self.indices.keys()),
+        )
+
+    def media_path(self, media_id: int) -> Optional[Path]:
+        row = self.conn.execute(
+            "SELECT m.path, s.location FROM media m "
+            "JOIN source_collections s ON m.source_collection_id = s.id "
+            "WHERE m.id = ?",
+            (media_id,),
+        ).fetchone()
+        if row is None:
+            return None
+        return Path(row["location"]) / row["path"]
+
+    def thumbnail(self, vector_or_media_id: int, timestamp: Optional[float]):
+        if self.thumbs_conn is None:
+            return None
+        if timestamp is None:
+            row = self.conn.execute(
+                "SELECT media_id, timestamp FROM vectors WHERE id = ?",
+                (vector_or_media_id,),
+            ).fetchone()
+            if row is None:
+                return None
+            media_id, timestamp = row["media_id"], row["timestamp"] or 0.0
+        else:
+            media_id = vector_or_media_id
+        return get_thumbnail_by_timestamp(self.thumbs_conn, media_id, timestamp)
+
+    def storyboard(self, media_id: int, base_url: str = "") -> Dict:
+        """vidstack-style JSON storyboard from every-4th thumbnail
+        (reference: routes.py:262-318)."""
+        if self.thumbs_conn is None:
+            return {"baseUrl": base_url, "tiles": []}
+        rows = self.thumbs_conn.execute(
+            "SELECT id, timestamp FROM thumbnails WHERE media_id = ? "
+            "ORDER BY timestamp",
+            (media_id,),
+        ).fetchall()
+        rows = rows[::4]
+        tiles = [
+            {"startTime": r["timestamp"], "url": f"{base_url}thumbs/raw/{r['id']}"}
+            for r in rows
+        ]
+        return {"baseUrl": base_url, "tiles": tiles}
