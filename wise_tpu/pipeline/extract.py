@@ -203,28 +203,52 @@ def extract_features(
     sc_repo = SourceCollectionRepo()
     thumb_repo = ThumbnailRepo()
 
-    # -- 1. discover + register media files -------------------------------
+    # -- 1. discover + register media files --------------------------------
+    # Resumable by design (the reference cannot resume or extend a project,
+    # extract-features.py:253-257): files already registered with the same
+    # checksum AND already embedded are skipped; everything else is
+    # (re)processed, with feature stores appending new shards.
     all_media: List[Tuple[Path, "MediaMetadata"]] = []
+    skipped_existing = 0
     for media_dir in media_dir_list:
         files = _scan_media_dirs([media_dir], media_include_list)
         valid, unknown = get_metadata_for_valid_files(files)
         stats.num_unknown_files += len(unknown)
-        sc = sc_repo.create(
-            conn,
-            SourceCollection(
-                location=str(media_dir), type=SourceCollectionType.DIR
-            ),
-        )
+        sc = sc_repo.get_row_by_column_match(conn, "location", str(media_dir))
+        if sc is None:
+            sc = sc_repo.create(
+                conn,
+                SourceCollection(
+                    location=str(media_dir), type=SourceCollectionType.DIR
+                ),
+            )
         for path, meta in valid:
             meta.source_collection_id = sc.id
             meta.path = str(Path(path).relative_to(media_dir))
+            existing = conn.execute(
+                "SELECT id, checksum FROM media WHERE path = ? AND "
+                "source_collection_id = ?",
+                (meta.path, sc.id),
+            ).fetchone()
+            if existing is not None and existing["checksum"] == meta.checksum:
+                n_vec = conn.execute(
+                    "SELECT COUNT(*) FROM vectors WHERE media_id = ?",
+                    (existing["id"],),
+                ).fetchone()[0]
+                if n_vec > 0:
+                    skipped_existing += 1
+                    continue  # fully ingested previously
+                meta.id = existing["id"]
+                all_media.append((path, media_repo.update(conn, meta.id, meta)))
+                continue
             created = media_repo.create(conn, meta)
             all_media.append((path, created))
     conn.commit()
-    stats.num_files = len(all_media)
+    stats.num_files = len(all_media) + skipped_existing
     logger.info(
         f"registered {stats.num_files} media files "
-        f"({stats.num_unknown_files} unknown skipped)"
+        f"({stats.num_unknown_files} unknown skipped, "
+        f"{skipped_existing} already ingested)"
     )
 
     # -- 2. group by modality ----------------------------------------------

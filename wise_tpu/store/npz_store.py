@@ -43,6 +43,11 @@ class NpzShardStore(FeatureStore):
         self.store_data_dir.mkdir(parents=True, exist_ok=True)
         self._writing = True
         self._shard_index = -1
+        # append mode: continue after any existing shards (resumable ingest)
+        existing = self._discover_shards()
+        if existing:
+            last = Path(existing[-1]).stem
+            self._shard_index = int(last.rsplit("-", 1)[1])
         self._ids, self._rows = [], []
 
     def add(self, id: int, features: np.ndarray) -> None:

@@ -57,6 +57,11 @@ class TarShardStore(FeatureStore):
         self.shard_maxcount = int(shard_maxcount)
         self.shard_maxsize = int(shard_maxsize)
         self.store_data_dir.mkdir(parents=True, exist_ok=True)
+        # append mode: continue after any existing shards (resumable ingest)
+        existing = self._discover_shards()
+        if existing:
+            last = Path(existing[-1]).stem  # e.g. video-000004
+            self._shard_index = int(last.rsplit("-", 1)[1])
         self._next_shard()
 
     def _next_shard(self):
