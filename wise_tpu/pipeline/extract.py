@@ -68,6 +68,7 @@ class ExtractionStats:
     elapsed_sec: float = 0.0
     frames_embedded: int = 0
     audio_segments_embedded: int = 0
+    stage_timings: dict = dataclasses.field(default_factory=dict)
 
     @property
     def frames_per_sec(self) -> float:
@@ -114,22 +115,30 @@ class _BatchedEmbedder:
         while len(self._items) >= self.batch_size:
             self._flush(self.batch_size)
 
+    timer = None  # shared StageTimer, set by extract_features
+
     def _flush(self, count: Optional[int] = None):
         if not self._items:
             return
         take = self._items if count is None else self._items[:count]
         self._items = [] if count is None else self._items[count:]
 
-        if self.modality == ModalityType.AUDIO:
-            batch = np.stack([x[3] for x in take])
-            feats = self.extractor.extract_audio_features(
-                self.extractor.preprocess_audio(batch)
-            )
-        else:
-            batch = np.stack([x[3] for x in take])
-            feats = self.extractor.extract_image_features(
-                self.extractor.preprocess_image(batch)
-            )
+        import contextlib
+
+        encode_cm = (
+            self.timer.stage("encode") if self.timer else contextlib.nullcontext()
+        )
+        with encode_cm:
+            if self.modality == ModalityType.AUDIO:
+                batch = np.stack([x[3] for x in take])
+                feats = self.extractor.extract_audio_features(
+                    self.extractor.preprocess_audio(batch)
+                )
+            else:
+                batch = np.stack([x[3] for x in take])
+                feats = self.extractor.extract_image_features(
+                    self.extractor.preprocess_image(batch)
+                )
         vectors = [
             VectorMetadata(
                 modality=self.modality,
@@ -199,6 +208,10 @@ def extract_features(
     thumbs_conn = wdb.init_thumbs(project.thumbs_db_path)
 
     stats = ExtractionStats()
+    from ..utils.profiling import StageTimer
+
+    timer = StageTimer()
+    _BatchedEmbedder.timer = timer
     media_repo = MediaRepo()
     sc_repo = SourceCollectionRepo()
     thumb_repo = ThumbnailRepo()
@@ -425,6 +438,9 @@ def extract_features(
     conn.close()
     thumbs_conn.close()
     stats.elapsed_sec = time.time() - t0
+    timer.add("total", stats.elapsed_sec)
+    stats.stage_timings = timer.report()
+    logger.info(f"stage timings: {timer.summary()}")
     logger.info(
         f"extraction done in {stats.elapsed_sec:.1f}s: "
         f"{stats.num_video_vectors} video / {stats.num_audio_vectors} audio / "
