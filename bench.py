@@ -127,12 +127,12 @@ def bench_query_latency(roundtrip: float):
     import jax
     import jax.numpy as jnp
 
-    from wise_tpu.ops.topk import scan_topk
+    from wise_tpu.ops.topk import hier_topk, pad_rows
 
     rng = np.random.default_rng(0)
     db = rng.standard_normal((N_DB, DIM)).astype(np.float32)
     db /= np.linalg.norm(db, axis=1, keepdims=True)
-    db_dev = jax.device_put(db)
+    db_dev = jax.device_put(pad_rows(db, 4096))
 
     n_iter = 20
 
@@ -140,7 +140,7 @@ def bench_query_latency(roundtrip: float):
     def bench_loop(queries, db_dev):
         def body(i, carry):
             q = queries[i] + carry * 0.0
-            vals, idx = scan_topk(q[None], db_dev, k=TOPK, block_rows=131072)
+            vals, idx = hier_topk(q[None], db_dev, n_valid=N_DB, k=TOPK)
             return vals[0, 0]
 
         return jax.lax.fori_loop(0, n_iter, body, jnp.float32(0.0))

@@ -1,7 +1,12 @@
 import numpy as np
 import pytest
 
-from wise_tpu.ops.topk import exact_topk, numpy_reference_topk
+from wise_tpu.ops.topk import (
+    exact_topk,
+    hier_topk,
+    numpy_reference_topk,
+    pad_rows,
+)
 
 
 @pytest.mark.parametrize("n,d,q,k,block", [
@@ -29,6 +34,32 @@ def test_tie_break_prefers_lower_index(rng):
     vals, idx = exact_topk(q, db, 5, block_rows=8)
     # 5 identical rows -> indices 0..4 in order
     np.testing.assert_array_equal(idx[0], np.arange(5))
+
+
+@pytest.mark.parametrize("n,d,q,k,group", [
+    (1000, 64, 3, 10, 128),
+    (100, 32, 1, 100, 64),      # k > group -> flat fallback
+    (513, 16, 2, 7, 256),       # heavy padding
+    (50, 8, 1, 50, 64),         # k == n < group
+])
+def test_hier_topk_matches_numpy(rng, n, d, q, k, group):
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    padded = pad_rows(db, group)
+    assert padded.shape[0] % group == 0
+    vals, idx = hier_topk(queries, padded, n_valid=n, k=k, group=group)
+    ref_vals, ref_idx = numpy_reference_topk(queries, db, k)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+
+
+def test_hier_topk_tie_break(rng):
+    d = 8
+    row = rng.standard_normal(d).astype(np.float32)
+    db = np.stack([row] * 5 + [rng.standard_normal(d).astype(np.float32)] * 3)
+    padded = pad_rows(db, 4)  # ties split across groups
+    vals, idx = hier_topk(row[None], padded, n_valid=8, k=5, group=4)
+    np.testing.assert_array_equal(np.asarray(idx)[0], np.arange(5))
 
 
 def test_scores_are_f32_inner_products(rng):

@@ -150,13 +150,19 @@ class FeatureSearchIndex(SearchIndex):
         self._device_db = None
         return True
 
+    GROUP = 4096  # top-k group size; DB rows pad to a multiple of this
+
     def _ensure_device_db(self):
-        """Move vectors to accelerator memory once (HBM-resident shards)."""
+        """Move vectors to accelerator memory once (HBM-resident), rows
+        padded to a multiple of GROUP for the hierarchical top-k."""
         if self._device_db is None:
             import jax
 
-            dtype = self._arrays["vectors"].dtype
-            self._device_db = jax.device_put(np.asarray(self._arrays["vectors"]))
+            from ..ops.topk import pad_rows
+
+            self._device_db = jax.device_put(
+                pad_rows(np.asarray(self._arrays["vectors"]), self.GROUP)
+            )
         return self._device_db
 
     # ------------------------------------------------------------------
@@ -193,13 +199,12 @@ class FeatureSearchIndex(SearchIndex):
         return scores, ids
 
     def _search_flat(self, qvec, topk):
-        from ..ops.topk import scan_topk
+        from ..ops.topk import hier_topk
 
         db = self._ensure_device_db()
-        k = min(int(topk), db.shape[0])
-        vals, idx = scan_topk(
-            qvec, db, k=k, block_rows=self.config.scan_block_rows
-        )
+        n_valid = int(self._metadata["count"])
+        k = min(int(topk), n_valid)
+        vals, idx = hier_topk(qvec, db, n_valid=n_valid, k=k, group=self.GROUP)
         return np.asarray(vals), np.asarray(idx)
 
     def _search_ivf(self, qvec, topk, nprobe):

@@ -1,3 +1,3 @@
-from .topk import exact_topk, scan_topk
+from .topk import exact_topk, hier_topk, pad_rows, scan_topk
 
-__all__ = ["exact_topk", "scan_topk"]
+__all__ = ["exact_topk", "hier_topk", "pad_rows", "scan_topk"]
