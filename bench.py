@@ -49,7 +49,9 @@ def _measure_roundtrip():
     return float(np.median(ts))
 
 
-def bench_tpu_vit(roundtrip: float):
+def bench_tpu_vit(roundtrip: float, dtype_name: str = "bfloat16"):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -57,6 +59,10 @@ def bench_tpu_vit(roundtrip: float):
     from wise_tpu.models.clip.preprocess import preprocess_images
 
     config = get_clip_config("ViT-B-32")
+    config = dataclasses.replace(
+        config,
+        dtype=jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32,
+    )
     model = CLIP(config)
     params = model.init(
         jax.random.PRNGKey(0),
@@ -166,7 +172,8 @@ def bench_query_latency(roundtrip: float):
 
 def main():
     roundtrip = _measure_roundtrip()
-    fps = bench_tpu_vit(roundtrip)
+    fps = bench_tpu_vit(roundtrip, "bfloat16")
+    fps_f32 = bench_tpu_vit(roundtrip, "float32")
     torch_fps = bench_torch_cpu_vit()
     p50, cpu_scan = bench_query_latency(roundtrip)
     vs = (fps / torch_fps) if torch_fps else None
@@ -177,6 +184,7 @@ def main():
                 "value": round(fps, 1),
                 "unit": "frames/s",
                 "vs_baseline": round(vs, 2) if vs else None,
+                "f32_frames_per_s": round(fps_f32, 1),
                 "baseline_torch_cpu_frames_per_s": round(torch_fps, 2)
                 if torch_fps
                 else None,

@@ -70,6 +70,16 @@ class OpenClipExtractor(FeatureExtractor):
         self.id = id
         self.model_name, self.pretrained = tok[2], tok[3]
         self.config = get_clip_config(self.model_name)
+        # bf16 activations by default: MXU peak is ~4x f32 on v5e, and CLIP
+        # retrieval is robust to bf16 forward error (params stay f32, LayerNorm
+        # and the final features are f32). Override with WISE_CLIP_DTYPE=float32.
+        import dataclasses as _dc
+
+        dtype_name = os.environ.get("WISE_CLIP_DTYPE", "bfloat16")
+        self.config = _dc.replace(
+            self.config,
+            dtype=jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32,
+        )
         self.output_dim = self.config.embed_dim
         self.input_size = (self.config.image_size, self.config.image_size)
 
