@@ -1,0 +1,49 @@
+"""Frontend bundle served by the API server."""
+
+import json
+import threading
+import urllib.request
+from pathlib import Path
+
+import pytest
+
+from tests.media_fixtures import make_video
+from wise_tpu.api.server import create_server
+from wise_tpu.cli.create_index import main as create_index_main
+from wise_tpu.pipeline import extract_features
+
+FRONTEND = Path(__file__).resolve().parents[1] / "frontend"
+
+
+@pytest.fixture(scope="module")
+def frontend_server(tmp_path_factory):
+    media = tmp_path_factory.mktemp("femedia")
+    make_video(media / "v.mp4", seconds=4, fps=10)
+    pdir = tmp_path_factory.mktemp("feproj") / "proj"
+    fid = "wise/random_features/16/fe"
+    extract_features([media], pdir, image_feature_id=fid,
+                     video_feature_id=fid, audio_feature_id=fid)
+    create_index_main(["--project-dir", str(pdir)])
+    server = create_server(
+        pdir, hostname="127.0.0.1", port=0, frontend_dir=FRONTEND
+    )
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}/proj"
+    server.shutdown()
+
+
+def test_index_html_served(frontend_server):
+    with urllib.request.urlopen(frontend_server + "/", timeout=10) as r:
+        body = r.read().decode()
+    assert r.headers["Content-Type"].startswith("text/html")
+    assert "WISE" in body
+    # the page drives the same endpoints the API exposes
+    for endpoint in ("search?", "featured?", "media/", "report", "info"):
+        assert endpoint in body
+
+
+def test_spa_fallback(frontend_server):
+    with urllib.request.urlopen(frontend_server + "/some/route", timeout=10) as r:
+        assert "WISE" in r.read().decode()

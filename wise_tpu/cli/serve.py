@@ -35,6 +35,10 @@ def main(argv=None) -> int:
 
     project = WiseProject(args.project_dir)
     config = project.load_config()
+    if args.frontend_dir is None:
+        bundled = Path(__file__).resolve().parents[2] / "frontend"
+        if (bundled / "index.html").exists():
+            args.frontend_dir = str(bundled)
     if args.query_blocklist:
         blocked = [
             line.strip()
