@@ -1,0 +1,134 @@
+"""Pallas fused distance-scan + per-group top-k kernel.
+
+The XLA path (ops/topk.py::hier_topk) materialises the full (Q, N) score
+matrix in HBM between the matmul and the top-k. This kernel fuses them: each
+grid step DMAs one (group, D) row-block of the DB into VMEM, runs the
+q @ blockᵀ matmul on the MXU, and extracts that block's top-k entirely in
+VMEM by iterative max + one-hot mask (k VPU passes — no sort, no dynamic
+lane indexing, Mosaic-friendly). Only (num_groups, Q, k) candidates ever
+reach HBM; the final cross-group merge is a tiny ``lax.top_k``.
+
+Tie-break matches the rest of the engine: equal scores prefer the lower row
+index (argmax picks the first occurrence; groups are scanned in order).
+
+Measured on a v5e chip at 1M x 512, k=100: this kernel runs ~12.6 ms
+(group=2048; larger groups exceed the 16 MB VMEM scoped limit with double
+buffering) while the XLA path (ops/topk.py::hier_topk) runs ~2.7 ms against
+a ~2.3 ms HBM-read floor — XLA's sort-based per-group top-k beats the k
+iterative max-extraction passes here, so hier_topk is the production path
+and this kernel is kept as the Pallas reference implementation (exercised in
+interpret mode by tests; useful as the starting point for a future
+threshold-skip variant that only sorts blocks whose max beats the running
+k-th score).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _group_topk_kernel(n_valid_ref, q_ref, db_ref, vals_ref, idx_ref,
+                       *, group: int, k_pad: int):
+    g = pl.program_id(0)
+    q = q_ref[:]                       # (Q_pad, D)
+    block = db_ref[:]                  # (group, D)
+    scores = jax.lax.dot_general(
+        q, block,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                  # (Q_pad, group)
+    qn = scores.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (qn, group), 1)
+    global_row = col + g * group
+    n_valid = n_valid_ref[0]
+    scores = jnp.where(global_row < n_valid, scores, -jnp.inf)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (qn, k_pad), 1)
+
+    def body(i, carry):
+        s, vals, idxs = carry
+        m = jnp.max(s, axis=1, keepdims=True)                 # (Q,1)
+        am = jnp.argmax(s, axis=1).astype(jnp.int32)[:, None]  # (Q,1)
+        sel = lane == i
+        vals = jnp.where(sel, m, vals)
+        idxs = jnp.where(sel, am + g * group, idxs)
+        s = jnp.where(col == am, -jnp.inf, s)
+        return s, vals, idxs
+
+    init = (
+        scores,
+        jnp.full((qn, k_pad), -jnp.inf, dtype=jnp.float32),
+        jnp.zeros((qn, k_pad), dtype=jnp.int32),
+    )
+    _, vals, idxs = jax.lax.fori_loop(0, k_pad, body, init)
+    vals_ref[0] = vals
+    idx_ref[0] = idxs
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "group", "n_valid", "interpret")
+)
+def pallas_topk(
+    queries: jax.Array,
+    db_padded: jax.Array,
+    n_valid: int,
+    k: int,
+    group: int = 8192,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """queries (Q, D) f32, db_padded (N_pad, D) with N_pad % group == 0.
+    Returns (scores (Q, k), row_indices (Q, k)). Exact for k <= group."""
+    qn, d = queries.shape
+    n_pad = db_padded.shape[0]
+    assert n_pad % group == 0
+    k_eff = min(k, n_valid)
+    k_pad = _round_up(max(k_eff, 1), 128)
+    q_pad = _round_up(qn, 8)
+    q = jnp.pad(queries.astype(jnp.float32), ((0, q_pad - qn), (0, 0)))
+    num_groups = n_pad // group
+
+    vals, idxs = pl.pallas_call(
+        functools.partial(_group_topk_kernel, group=group, k_pad=k_pad),
+        grid=(num_groups,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((q_pad, d), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, d), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, q_pad, k_pad), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_pad, k_pad), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_groups, q_pad, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((num_groups, q_pad, k_pad), jnp.int32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_pad * d * n_pad + 2 * k_pad * q_pad * n_pad,
+            bytes_accessed=n_pad * d * 4,
+            transcendentals=0,
+        ),
+    )(jnp.asarray([n_valid], dtype=jnp.int32), q, db_padded)
+
+    # merge candidates across groups (tiny): (Q, G*k_pad)
+    flat_v = jnp.moveaxis(vals, 0, 1).reshape(q_pad, num_groups * k_pad)
+    flat_i = jnp.moveaxis(idxs, 0, 1).reshape(q_pad, num_groups * k_pad)
+    top_v, pos = jax.lax.top_k(flat_v, k_eff)
+    top_i = jnp.take_along_axis(flat_i, pos, axis=1)
+    return top_v[:qn], top_i[:qn]
