@@ -1,0 +1,118 @@
+"""train CLI: contrastive CLIP fine-tuning on a project's caption metadata.
+
+New capability over the reference (inference-only). Runs the GSPMD-sharded
+train step over the available device mesh, checkpoints with orbax, and can
+resume.
+
+    python -m wise_tpu.cli.train --project-dir P \\
+        --metadata-id EK/ann/train --caption-column narration \\
+        --model ViT-B-32 --steps 1000 --batch-size 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="train", description=__doc__)
+    p.add_argument("--project-dir", required=True)
+    p.add_argument("--metadata-id", required=True,
+                   help="FOLDER/DB/TABLE with __filename/__starttime/__stoptime")
+    p.add_argument("--caption-column", required=True)
+    p.add_argument("--model", default="ViT-B-32")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--learning-rate", type=float, default=1e-5)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=500)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--dp", type=int, default=-1)
+    p.add_argument("--mp", type=int, default=1)
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    log = logging.getLogger("train")
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.clip.model import get_clip_config
+    from ..models.clip.tokenizer import get_tokenizer
+    from ..parallel.mesh import get_mesh
+    from ..parallel.train import CLIPTrainer
+    from ..pipeline.train_data import caption_batches, load_caption_segments
+    from ..project import WiseProject
+
+    project = WiseProject(args.project_dir)
+    segments = load_caption_segments(
+        project, args.metadata_id, args.caption_column
+    )
+    if not segments:
+        log.error("no caption segments found")
+        return 1
+    log.info(f"{len(segments)} caption segments")
+
+    config = get_clip_config(args.model)
+    config = dataclasses.replace(
+        config,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+    )
+    mesh = get_mesh(dp=args.dp, mp=args.mp)
+    trainer = CLIPTrainer(config, mesh, learning_rate=args.learning_rate)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+    start_step = 0
+    ckpt_dir = args.checkpoint_dir or str(
+        project.project_dir / "checkpoints" / args.model
+    )
+    if args.resume:
+        try:
+            start_step, params, opt_state = trainer.restore_checkpoint(
+                ckpt_dir, params, opt_state
+            )
+            log.info(f"resumed from step {start_step}")
+        except FileNotFoundError:
+            log.info("no checkpoint found; starting fresh")
+    step_fn = trainer.make_train_step()
+    tokenizer = get_tokenizer(
+        None, vocab_size=config.vocab_size,
+        context_length=config.context_length,
+    )
+
+    batches = caption_batches(
+        segments, tokenizer, args.batch_size, config.image_size,
+        epochs=10_000,
+    )
+    t0 = time.time()
+    step = start_step
+    for images, tokens in batches:
+        if step >= args.steps:
+            break
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(images), jnp.asarray(tokens)
+        )
+        step += 1
+        if step % 10 == 0 or step == args.steps:
+            log.info(
+                f"step {step}/{args.steps} loss={float(loss):.4f} "
+                f"({step - start_step}/{time.time()-t0:.0f}s)"
+            )
+        if args.checkpoint_every and step % args.checkpoint_every == 0:
+            trainer.save_checkpoint(ckpt_dir, step, params, opt_state)
+    trainer.save_checkpoint(ckpt_dir, step, params, opt_state)
+    log.info(f"saved final checkpoint at step {step} to {ckpt_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -79,7 +79,12 @@ class CLIPTrainer:
         params = jax.tree_util.tree_map(
             lambda x, s: jax.device_put(x, s), params, shardings
         )
-        opt_state = self.optimizer.init(params)
+        # optimizer state is replicated (adam moments re-shard to param
+        # shardings is a TODO for large-mp configs; at dp-only meshes
+        # replication is exactly right and keeps scalar leaves consistent)
+        opt_state = jax.jit(
+            self.optimizer.init, out_shardings=self.replicated
+        )(params)
         self.param_shardings = shardings
         return params, opt_state
 
@@ -107,3 +112,52 @@ class CLIPTrainer:
             return params, opt_state, loss
 
         return train_step
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (orbax) — a subsystem the reference lacks
+    # entirely (SURVEY.md §5: no checkpoint/resume anywhere)
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, ckpt_dir, step: int, params, opt_state):
+        import orbax.checkpoint as ocp
+
+        from pathlib import Path
+
+        path = Path(ckpt_dir).absolute() / f"step_{step:08d}"
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, {"params": params, "opt_state": opt_state})
+        return path
+
+    def restore_checkpoint(self, ckpt_dir, params_like, opt_state_like,
+                           step: int = -1):
+        """Restore latest (or given) step; shapes/shardings come from the
+        provided abstract targets."""
+        import orbax.checkpoint as ocp
+
+        from pathlib import Path
+
+        d = Path(ckpt_dir).absolute()
+        if step < 0:
+            steps = sorted(
+                int(p.name.split("_")[1])
+                for p in d.glob("step_*")
+                if p.is_dir()
+            )
+            if not steps:
+                raise FileNotFoundError(f"no checkpoints under {d}")
+            step = steps[-1]
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(
+                d / f"step_{step:08d}",
+                {"params": params_like, "opt_state": opt_state_like},
+            )
+        # re-establish the template's shardings (restore may place arrays on
+        # a single device)
+        params = jax.tree_util.tree_map(
+            lambda t, r: jax.device_put(r, t.sharding),
+            params_like, restored["params"],
+        )
+        opt_state = jax.tree_util.tree_map(
+            lambda t, r: jax.device_put(r, t.sharding),
+            opt_state_like, restored["opt_state"],
+        )
+        return step, params, opt_state
