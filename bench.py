@@ -135,10 +135,12 @@ def bench_query_latency(roundtrip: float):
 
     from wise_tpu.ops.topk import hier_topk, pad_rows
 
-    rng = np.random.default_rng(0)
-    db = rng.standard_normal((N_DB, DIM)).astype(np.float32)
-    db /= np.linalg.norm(db, axis=1, keepdims=True)
-    db_dev = jax.device_put(pad_rows(db, 4096))
+    # generate the synthetic DB on device: uploading 2 GB over the dev
+    # tunnel costs minutes and benchmarks nothing
+    n_pad = ((N_DB + 4095) // 4096) * 4096
+    db_dev = jax.jit(
+        lambda key: jax.random.normal(key, (n_pad, DIM), jnp.float32)
+    )(jax.random.PRNGKey(0))
 
     n_iter = 20
 
@@ -151,8 +153,8 @@ def bench_query_latency(roundtrip: float):
 
         return jax.lax.fori_loop(0, n_iter, body, jnp.float32(0.0))
 
-    queries = jnp.asarray(
-        rng.standard_normal((n_iter, DIM)).astype(np.float32)
+    queries = jax.random.normal(
+        jax.random.PRNGKey(1), (n_iter, DIM), jnp.float32
     )
     np.asarray(bench_loop(queries, db_dev))  # compile
     t0 = time.perf_counter()
@@ -160,10 +162,12 @@ def bench_query_latency(roundtrip: float):
     dt = time.perf_counter() - t0 - roundtrip
     per_query = dt / n_iter
 
-    q = rng.standard_normal((1, DIM)).astype(np.float32)
     # CPU numpy baseline (what the reference's faiss-CPU flat scan does)
+    rng = np.random.default_rng(0)
+    db_host = rng.standard_normal((N_DB, DIM)).astype(np.float32)
+    q = rng.standard_normal((1, DIM)).astype(np.float32)
     t0 = time.perf_counter()
-    scores = q @ db.T
+    scores = q @ db_host.T
     part = np.argpartition(-scores[0], TOPK)[:TOPK]
     _ = part[np.argsort(-scores[0][part])]
     cpu = time.perf_counter() - t0
