@@ -154,15 +154,21 @@ class FeatureSearchIndex(SearchIndex):
 
     def _ensure_device_db(self):
         """Move vectors to accelerator memory once (HBM-resident), rows
-        padded to a multiple of GROUP for the hierarchical top-k."""
+        padded to a multiple of GROUP for the hierarchical top-k. With
+        config.storage_dtype == "bfloat16" the HBM copy is bf16 (half the
+        scan bandwidth -> ~2x faster; scores still accumulate f32, ordering
+        may differ from f32 storage in the last ulp)."""
         if self._device_db is None:
             import jax
+            import jax.numpy as jnp
 
             from ..ops.topk import pad_rows
 
-            self._device_db = jax.device_put(
-                pad_rows(np.asarray(self._arrays["vectors"]), self.GROUP)
-            )
+            host = pad_rows(np.asarray(self._arrays["vectors"]), self.GROUP)
+            arr = jax.device_put(host)
+            if self.config.storage_dtype == "bfloat16":
+                arr = jax.jit(lambda x: x.astype(jnp.bfloat16))(arr)
+            self._device_db = arr
         return self._device_db
 
     # ------------------------------------------------------------------

@@ -107,26 +107,35 @@ def hier_topk(
     and score -inf. Tie-break: equal scores prefer the lower row index
     (group-major candidate order preserves it).
     """
-    q = queries.astype(jnp.float32)
     n_pad = db_padded.shape[0]
     assert n_pad % group == 0, "db rows must be padded to a multiple of group"
     k_eff = min(k, n_valid)
+
+    if db_padded.dtype == jnp.bfloat16:
+        # bf16 storage: half the HBM traffic; accumulate f32 on the MXU
+        def _scores(q):
+            return jax.lax.dot_general(
+                q.astype(jnp.bfloat16), db_padded,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    else:
+        def _scores(q):
+            return jax.lax.dot_general(
+                q.astype(jnp.float32), db_padded,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
     if k_eff > group:
         # fall back to the flat sort (rare: very large k)
-        scores = jax.lax.dot_general(
-            q, db_padded,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        scores = _scores(queries)
         row = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
         scores = jnp.where(row < n_valid, scores, -jnp.inf)
         return jax.lax.top_k(scores, k_eff)
 
-    scores = jax.lax.dot_general(
-        q, db_padded,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (Q, n_pad)
+    q = queries
+    scores = _scores(q)  # (Q, n_pad)
     row = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
     scores = jnp.where(row < n_valid, scores, -jnp.inf)
     n_groups = n_pad // group
