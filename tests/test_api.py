@@ -175,7 +175,15 @@ def test_featured_and_storyboard(served_project):
     status, sb = _get(f"{base}/storyboard/{vid}")
     assert status == 200
     assert "tiles" in sb and len(sb["tiles"]) >= 1
-    assert sb["tiles"][0]["url"].startswith("/proj/thumbs/raw/")
+    tile = sb["tiles"][0]
+    assert {"startTime", "x", "y", "width", "height"} <= set(tile)
+    assert sb["url"].endswith(f"storyboard/{vid}/sprite.jpg")
+    # sprite image is a decodable JPEG
+    with urllib.request.urlopen(
+        f"{base}/storyboard/{vid}/sprite.jpg", timeout=30
+    ) as r:
+        data = r.read()
+    assert data[:3] == b"\xff\xd8\xff"
 
 
 def test_metadata_endpoint(served_project):

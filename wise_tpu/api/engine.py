@@ -445,19 +445,71 @@ class SearchEngine:
             media_id = vector_or_media_id
         return get_thumbnail_by_timestamp(self.thumbs_conn, media_id, timestamp)
 
-    def storyboard(self, media_id: int, base_url: str = "") -> Dict:
-        """vidstack-style JSON storyboard from every-4th thumbnail
-        (reference: routes.py:262-318)."""
-        if self.thumbs_conn is None:
-            return {"baseUrl": base_url, "tiles": []}
+    STORYBOARD_COLS = 10  # thumbnails per sprite row (reference: routes.py:262-318)
+
+    def _build_storyboard(self, media_id: int):
+        """Tile every-4th thumbnail into one sprite image, 10 wide, and
+        return (sprite_jpeg, tiles_meta) — the reference's vidstack
+        storyboard (routes.py:262-318)."""
+        import cv2
+
         rows = self.thumbs_conn.execute(
-            "SELECT id, timestamp FROM thumbnails WHERE media_id = ? "
+            "SELECT id, timestamp, content FROM thumbnails WHERE media_id = ? "
             "ORDER BY timestamp",
             (media_id,),
         ).fetchall()
         rows = rows[::4]
-        tiles = [
-            {"startTime": r["timestamp"], "url": f"{base_url}thumbs/raw/{r['id']}"}
-            for r in rows
-        ]
-        return {"baseUrl": base_url, "tiles": tiles}
+        if not rows:
+            return None, []
+        imgs = []
+        for r in rows:
+            arr = cv2.imdecode(
+                np.frombuffer(r["content"], np.uint8), cv2.IMREAD_COLOR
+            )
+            if arr is not None:
+                imgs.append((r["timestamp"], arr))
+        if not imgs:
+            return None, []
+        th, tw = imgs[0][1].shape[:2]
+        cols = self.STORYBOARD_COLS
+        n = len(imgs)
+        grid_rows = (n + cols - 1) // cols
+        sprite = np.zeros((grid_rows * th, cols * tw, 3), np.uint8)
+        tiles = []
+        for i, (ts, img) in enumerate(imgs):
+            if img.shape[:2] != (th, tw):
+                img = cv2.resize(img, (tw, th))
+            r, c = divmod(i, cols)
+            sprite[r * th : (r + 1) * th, c * tw : (c + 1) * tw] = img
+            tiles.append(
+                {
+                    "startTime": float(ts),
+                    "x": c * tw,
+                    "y": r * th,
+                    "width": tw,
+                    "height": th,
+                }
+            )
+        ok, buf = cv2.imencode(
+            ".jpg", sprite, [int(cv2.IMWRITE_JPEG_QUALITY), 70]
+        )
+        return (bytes(buf) if ok else None), tiles
+
+    def storyboard(self, media_id: int, base_url: str = "") -> Dict:
+        """vidstack-style JSON storyboard with sprite-sheet tiles."""
+        if self.thumbs_conn is None:
+            return {"url": "", "tiles": []}
+        if not hasattr(self, "_storyboard_cache"):
+            self._storyboard_cache = {}
+        if media_id not in self._storyboard_cache:
+            self._storyboard_cache[media_id] = self._build_storyboard(media_id)
+        sprite, tiles = self._storyboard_cache[media_id]
+        return {
+            "url": f"{base_url}storyboard/{media_id}/sprite.jpg",
+            "tiles": tiles,
+        }
+
+    def storyboard_sprite(self, media_id: int) -> Optional[bytes]:
+        self.storyboard(media_id)  # populate cache
+        sprite, _ = self._storyboard_cache.get(media_id, (None, []))
+        return sprite

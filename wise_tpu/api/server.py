@@ -146,6 +146,12 @@ class WiseAPIHandler(BaseHTTPRequestHandler):
                 if blob is None:
                     return self._send_error_json(404, "thumbnail not found")
                 return self._send_bytes(blob, "image/jpeg")
+            m = re.match(r"storyboard/(\d+)/sprite\.jpg$", path)
+            if m:
+                sprite = self.engine.storyboard_sprite(int(m.group(1)))
+                if sprite is None:
+                    return self._send_error_json(404, "no storyboard")
+                return self._send_bytes(sprite, "image/jpeg")
             m = re.match(r"storyboard/(\d+)$", path)
             if m:
                 base = f"/{self.project_id}/"
