@@ -74,29 +74,29 @@ def bench_tpu_vit(roundtrip: float, dtype_name: str = "bfloat16"):
         x = preprocess_images(frames_u8, config.image_size)
         return model.apply(params, x, method=CLIP.encode_image)
 
-    n_iter = 20
+    # Chain iterations with a data dependency in a host loop (compile cost =
+    # one forward; the device executes the queued chain sequentially, and one
+    # tiny readback at the end synchronises).
+    n_iter = 15
 
     @jax.jit
-    def bench_loop(params, frames):
-        def body(i, carry):
-            # force a data dependency between iterations so the device
-            # executes them sequentially
-            eps = (carry[0] * 0).astype(frames.dtype)
-            out = forward(params, frames + eps)
-            return out[0]
-
-        return jax.lax.fori_loop(
-            0, n_iter, body, jnp.zeros((config.embed_dim,), jnp.float32)
-        )
+    def step(params, frames, carry):
+        eps = (carry * 0).astype(frames.dtype)
+        out = forward(params, frames + eps)
+        return out[0, 0]
 
     frames = jnp.asarray(
         np.random.default_rng(0).integers(
             0, 255, (BATCH,) + FRAME_SHAPE, dtype=np.uint8
         )
     )
-    np.asarray(bench_loop(params, frames))  # compile + warm
+    carry = jnp.float32(0)
+    carry = step(params, frames, carry)
+    np.asarray(carry)  # compile + warm
     t0 = time.perf_counter()
-    np.asarray(bench_loop(params, frames))
+    for _ in range(n_iter):
+        carry = step(params, frames, carry)
+    np.asarray(carry)
     dt = time.perf_counter() - t0 - roundtrip
     return BATCH * n_iter / dt
 
@@ -145,20 +145,22 @@ def bench_query_latency(roundtrip: float):
     n_iter = 20
 
     @jax.jit
-    def bench_loop(queries, db_dev):
-        def body(i, carry):
-            q = queries[i] + carry * 0.0
-            vals, idx = hier_topk(q[None], db_dev, n_valid=N_DB, k=TOPK)
-            return vals[0, 0]
-
-        return jax.lax.fori_loop(0, n_iter, body, jnp.float32(0.0))
+    def qstep(q, db_dev, carry):
+        vals, idx = hier_topk(
+            (q + carry * 0.0)[None], db_dev, n_valid=N_DB, k=TOPK
+        )
+        return vals[0, 0]
 
     queries = jax.random.normal(
         jax.random.PRNGKey(1), (n_iter, DIM), jnp.float32
     )
-    np.asarray(bench_loop(queries, db_dev))  # compile
+    carry = jnp.float32(0)
+    carry = qstep(queries[0], db_dev, carry)
+    np.asarray(carry)  # compile
     t0 = time.perf_counter()
-    np.asarray(bench_loop(queries, db_dev))
+    for i in range(n_iter):
+        carry = qstep(queries[i], db_dev, carry)
+    np.asarray(carry)
     dt = time.perf_counter() - t0 - roundtrip
     per_query = dt / n_iter
 

@@ -1,0 +1,67 @@
+"""Concurrent API access: the threaded server + WAL sqlite must serve
+parallel searches and media reads without errors (the closest thing this
+system has to race conditions — reference has no concurrency tests at all,
+SURVEY.md §5)."""
+
+import json
+import threading
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+import pytest
+
+from tests.media_fixtures import make_video
+from wise_tpu.api.server import create_server
+from wise_tpu.cli.create_index import main as create_index_main
+from wise_tpu.pipeline import extract_features
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    media = tmp_path_factory.mktemp("cmedia")
+    for i in range(3):
+        make_video(media / f"v{i}.mp4", seconds=4, fps=10)
+    pdir = tmp_path_factory.mktemp("cproj") / "proj"
+    fid = "wise/random_features/32/conc"
+    extract_features([media], pdir, image_feature_id=fid,
+                     video_feature_id=fid, audio_feature_id=fid)
+    create_index_main(["--project-dir", str(pdir)])
+    srv = create_server(pdir, hostname="127.0.0.1", port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/proj"
+    srv.shutdown()
+
+
+def test_parallel_mixed_requests(server):
+    def search(i):
+        with urllib.request.urlopen(
+            f"{server}/search?q=query{i}&end=10", timeout=30
+        ) as r:
+            body = json.loads(r.read())
+            assert body["video_results"] is not None
+            return body["video_results"]["unmerged_windows"][0]["distance"]
+
+    def info(_):
+        with urllib.request.urlopen(f"{server}/info", timeout=30) as r:
+            return json.loads(r.read())["num_vectors"]
+
+    def media(_):
+        with urllib.request.urlopen(
+            urllib.request.Request(
+                f"{server}/media/1", headers={"Range": "bytes=0-499"}
+            ),
+            timeout=30,
+        ) as r:
+            return len(r.read())
+
+    with ThreadPoolExecutor(16) as pool:
+        results = list(pool.map(search, range(24)))
+        results += list(pool.map(info, range(12)))
+        results += list(pool.map(media, range(12)))
+    assert all(r is not None for r in results)
+
+    # determinism under concurrency: same query always same score
+    with ThreadPoolExecutor(8) as pool:
+        scores = list(pool.map(lambda _: search(0), range(16)))
+    assert len(set(scores)) == 1
