@@ -27,7 +27,7 @@ import time
 
 import numpy as np
 
-BATCH = 256
+BATCH = 512
 FRAME_SHAPE = (256, 320, 3)
 N_DB = 1_000_000
 DIM = 512

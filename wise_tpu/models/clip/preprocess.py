@@ -28,20 +28,27 @@ def preprocess_images(
     mean: Tuple[float, ...] = OPENAI_DATASET_MEAN,
     std: Tuple[float, ...] = OPENAI_DATASET_STD,
 ) -> jax.Array:
-    """frames: (B, H, W, 3) uint8 -> (B, S, S, 3) float32 normalised."""
-    x = frames.astype(jnp.float32) / 255.0
-    b, h, w, c = x.shape
-    # resize shorter side to target_size, preserving aspect ratio
-    scale = target_size / min(h, w)
-    new_h = max(target_size, int(round(h * scale)))
-    new_w = max(target_size, int(round(w * scale)))
-    x = jax.image.resize(x, (b, new_h, new_w, c), method="bicubic", antialias=True)
-    # center crop
-    top = (new_h - target_size) // 2
-    left = (new_w - target_size) // 2
+    """frames: (B, H, W, 3) uint8 -> (B, S, S, 3) float32 normalised.
+
+    Semantics: Resize(shorter side -> S, bicubic, antialias) + CenterCrop(S),
+    computed as crop-first (central min-side square on uint8, then one
+    bicubic resize). Crop-first touches only the pixels that survive the
+    crop — for 16:9 video frames that is ~44% less resize work — and is
+    numerically identical to resize-first except within the bicubic kernel
+    footprint at the crop border."""
+    b, h, w, c = frames.shape
+    square = min(h, w)
+    top = (h - square) // 2
+    left = (w - square) // 2
     x = jax.lax.dynamic_slice(
-        x, (0, top, left, 0), (b, target_size, target_size, c)
+        frames, (0, top, left, 0), (b, square, square, c)
     )
+    x = x.astype(jnp.float32) / 255.0
+    if square != target_size:
+        x = jax.image.resize(
+            x, (b, target_size, target_size, c), method="bicubic",
+            antialias=True,
+        )
     mean_a = jnp.asarray(mean, dtype=jnp.float32)
     std_a = jnp.asarray(std, dtype=jnp.float32)
     return (x - mean_a) / std_a

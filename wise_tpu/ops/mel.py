@@ -7,6 +7,11 @@ strided gather, the DFT is two real matmuls against fixed cos/sin bases
 (MXU work, no FFT kernel needed at these sizes), and the mel projection is
 one more matmul — XLA fuses the whole chain.
 
+The GEMM-native NDFT formulation follows the approach surveyed in MelT
+(arXiv:2606.01009): at speech/audio frame sizes, expressing the DFT as dense
+matmuls beats FFT kernels on systolic-array accelerators and fuses with the
+downstream mel projection.
+
 Conventions follow librosa defaults as used by CLAP/HTSAT: hann window,
 centre padding (reflect), power spectrum, Slaney mel filterbank + Slaney
 normalisation, log10 dynamic compression (ref=1.0, amin=1e-10, top_db None).
