@@ -56,8 +56,23 @@ def _transformer(sd, prefix, layers):
 
 def convert_openclip_state_dict(sd: Dict[str, np.ndarray], config) -> Dict:
     """sd: flat torch-style state dict (tensors or ndarrays). Returns a flax
-    params tree for wise_tpu.models.clip.model.CLIP."""
+    params tree for wise_tpu.models.clip.model.CLIP. Dispatches the text
+    tower mapping for HF-text models (xlm-roberta variants)."""
     sd = {k: np.asarray(v) for k, v in sd.items()}
+    if getattr(config, "text_tower", "clip") == "hf_xlm_roberta":
+        from .hf_text import HFTextConfig, convert_hf_text_state_dict
+
+        text_params = convert_hf_text_state_dict(
+            sd,
+            HFTextConfig(
+                vocab_size=config.vocab_size, width=config.text_width,
+                layers=config.text_layers, heads=config.text_heads,
+                intermediate=4 * config.text_width,
+                embed_dim=config.embed_dim,
+            ),
+        )
+    else:
+        text_params = None
     params = {
         "visual": {
             "conv1": {
@@ -80,7 +95,9 @@ def convert_openclip_state_dict(sd: Dict[str, np.ndarray], config) -> Dict:
             "ln_post": _ln(sd, "visual.ln_post"),
             "proj": np.asarray(sd["visual.proj"], dtype=np.float32),
         },
-        "text": {
+        "text": text_params
+        if text_params is not None
+        else {
             "token_embedding": np.asarray(
                 sd["token_embedding.weight"], dtype=np.float32
             ),

@@ -108,12 +108,23 @@ class OpenClipExtractor(FeatureExtractor):
                 jnp.zeros((1, self.config.context_length), jnp.int32),
             )
 
-        bpe = ckpt_dir / "bpe_simple_vocab_16e6.txt.gz"
-        self.tokenizer = get_tokenizer(
-            bpe if bpe.exists() else None,
-            vocab_size=self.config.vocab_size,
-            context_length=self.config.context_length,
-        )
+        if self.config.text_tower == "hf_xlm_roberta":
+            # sentencepiece vocab unavailable offline -> hash fallback with
+            # RoBERTa padding convention
+            from .tokenizer import HashTokenizer
+
+            self.tokenizer = HashTokenizer(
+                vocab_size=self.config.vocab_size,
+                context_length=self.config.context_length,
+                pad_id=1,
+            )
+        else:
+            bpe = ckpt_dir / "bpe_simple_vocab_16e6.txt.gz"
+            self.tokenizer = get_tokenizer(
+                bpe if bpe.exists() else None,
+                vocab_size=self.config.vocab_size,
+                context_length=self.config.context_length,
+            )
 
         @functools.partial(jax.jit, static_argnames=())
         def _encode_image(params, frames_u8):
@@ -167,7 +178,11 @@ class OpenClipExtractor(FeatureExtractor):
         n = tokens.shape[0]
         m = _bucket(n)
         if m != n:
-            pad = np.zeros((m - n, tokens.shape[1]), dtype=tokens.dtype)
+            pad = np.full(
+                (m - n, tokens.shape[1]),
+                getattr(self.tokenizer, "pad_id", 0),
+                dtype=tokens.dtype,
+            )
             pad[:, 0] = getattr(self.tokenizer, "eot", 0)
             tokens = np.concatenate([tokens, pad])
         out = self._encode_text(self.params, jnp.asarray(tokens))

@@ -40,6 +40,9 @@ class CLIPConfig:
     text_heads: int = 8
     text_layers: int = 12
     quick_gelu: bool = False
+    #: "clip" (causal transformer, argmax/EOT pooling) or "hf_xlm_roberta"
+    #: (open_clip HFTextEncoder-style tower, see hf_text.py)
+    text_tower: str = "clip"
     dtype: Any = jnp.float32
 
 
@@ -54,6 +57,14 @@ CLIP_CONFIGS = {
     "ViT-H-14": CLIPConfig(
         embed_dim=1024, patch_size=14, vision_width=1280, vision_layers=32,
         vision_heads=16, text_width=1024, text_heads=16, text_layers=24,
+    ),
+    # the reference's default extractor backbone
+    # (extract-features.py:195-207): ViT-H-14 vision + XLM-RoBERTa-large text
+    "xlm-roberta-large-ViT-H-14": CLIPConfig(
+        embed_dim=1024, patch_size=14, vision_width=1280, vision_layers=32,
+        vision_heads=16, context_length=64, vocab_size=250002,
+        text_width=1024, text_heads=16, text_layers=24,
+        text_tower="hf_xlm_roberta",
     ),
     # OpenAI checkpoints use QuickGELU
     "ViT-B-32-quickgelu": CLIPConfig(quick_gelu=True),
@@ -246,7 +257,20 @@ class CLIP(nn.Module):
 
     def setup(self):
         self.visual = VisionTransformer(self.config)
-        self.text = TextTransformer(self.config)
+        if self.config.text_tower == "hf_xlm_roberta":
+            from .hf_text import HFTextConfig, XLMRobertaTextTower
+
+            c = self.config
+            self.text = XLMRobertaTextTower(
+                HFTextConfig(
+                    vocab_size=c.vocab_size, width=c.text_width,
+                    layers=c.text_layers, heads=c.text_heads,
+                    intermediate=4 * c.text_width, embed_dim=c.embed_dim,
+                    dtype=c.dtype,
+                )
+            )
+        else:
+            self.text = TextTransformer(self.config)
         self.logit_scale = self.param(
             "logit_scale", nn.initializers.constant(np.log(1 / 0.07)), ()
         )

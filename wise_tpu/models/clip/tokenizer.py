@@ -130,13 +130,17 @@ class BPETokenizer:
 
 
 class HashTokenizer:
-    """Deterministic stand-in when no BPE vocab file is available: each
-    whitespace word hashes to a stable id in [1000, vocab-1000). Same text
-    -> same ids; EOT is the max id so argmax pooling still finds it."""
+    """Deterministic stand-in when no BPE/sentencepiece vocab file is
+    available: each whitespace word hashes to a stable id in
+    [1000, vocab-1000). Same text -> same ids; EOT is the max id so argmax
+    pooling still finds it; pad_id configures the padding convention (0 for
+    CLIP, 1 for RoBERTa-style towers)."""
 
-    def __init__(self, vocab_size: int = 49408, context_length: int = 77):
+    def __init__(self, vocab_size: int = 49408, context_length: int = 77,
+                 pad_id: int = 0):
         self.vocab_size = vocab_size
         self.context_length = context_length
+        self.pad_id = pad_id
         self.sot = vocab_size - 2
         self.eot = vocab_size - 1
 
@@ -151,7 +155,9 @@ class HashTokenizer:
         return out
 
     def __call__(self, texts: List[str]) -> np.ndarray:
-        out = np.zeros((len(texts), self.context_length), dtype=np.int32)
+        out = np.full(
+            (len(texts), self.context_length), self.pad_id, dtype=np.int32
+        )
         for i, text in enumerate(texts):
             toks = [self.sot] + self.encode(text) + [self.eot]
             if len(toks) > self.context_length:
