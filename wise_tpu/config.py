@@ -66,6 +66,10 @@ class IndexConfig:
     ivf_train_per_cell: int = 100          # train on min(N, 100*nlist) samples
     nprobe: int = 1024
     use_direct_map: bool = False
+    # PQ (IndexIVFPQ): M subquantizers x 256-entry codebooks over residuals
+    pq_m: int = 8
+    pq_ksub: int = 256
+    pq_train_samples: int = 100_000
     # device-side scan parameters
     scan_block_rows: int = 4096            # DB rows per Pallas scan block
     storage_dtype: str = "float32"         # "float32" | "bfloat16"

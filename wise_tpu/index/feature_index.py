@@ -98,7 +98,7 @@ class FeatureSearchIndex(SearchIndex):
                     "count": n,
                 },
             )
-        elif index_type == "IndexIVFFlat":
+        elif index_type in ("IndexIVFFlat", "IndexIVFPQ"):
             cfg = self.config
             if n < cfg.ivf_nlist_threshold:
                 nlist = int(cfg.ivf_nlist_small_factor * math.sqrt(n))
@@ -108,33 +108,56 @@ class FeatureSearchIndex(SearchIndex):
             train_count = min(n, cfg.ivf_train_per_cell * nlist)
             rng = np.random.default_rng(0)
             train_idx = rng.permutation(n)[:train_count]
-            from ..ops.kmeans import kmeans, _np_assign_final
+            from ..ops.kmeans import _assign, kmeans
 
             logger.info(f"IVF training: nlist={nlist} train_count={train_count}")
             centroids, _ = kmeans(vecs[train_idx], nlist, iters=20, seed=0)
-            from ..ops.kmeans import _assign
-
             assign = np.asarray(_assign(vecs, centroids), dtype=np.int32)
             perm = np.argsort(assign, kind="stable")
             counts = np.bincount(assign, minlength=nlist)
             offsets = np.zeros(nlist + 1, dtype=np.int64)
             np.cumsum(counts, out=offsets[1:])
-            write_index_file(
-                out,
-                {
-                    "ids": ids[perm],
-                    "vectors": vecs[perm],
-                    "centroids": centroids,
-                    "cell_offsets": offsets,
-                },
-                {
-                    "index_type": "IndexIVFFlat",
-                    "metric": "inner_product",
-                    "dim": d,
-                    "count": n,
-                    "nlist": int(nlist),
-                },
-            )
+            meta = {
+                "metric": "inner_product",
+                "dim": d,
+                "count": n,
+                "nlist": int(nlist),
+            }
+            if index_type == "IndexIVFFlat":
+                write_index_file(
+                    out,
+                    {
+                        "ids": ids[perm],
+                        "vectors": vecs[perm],
+                        "centroids": centroids,
+                        "cell_offsets": offsets,
+                    },
+                    {"index_type": "IndexIVFFlat", **meta},
+                )
+            else:
+                from ..ops.pq import encode_pq, train_pq
+
+                residuals = vecs - centroids[assign]
+                pq_train = residuals[
+                    rng.permutation(n)[: min(n, cfg.pq_train_samples)]
+                ]
+                logger.info(
+                    f"PQ training: M={cfg.pq_m} ksub={cfg.pq_ksub} "
+                    f"on {len(pq_train)} residuals"
+                )
+                codebooks = train_pq(pq_train, cfg.pq_m, cfg.pq_ksub)
+                codes = encode_pq(residuals, codebooks)
+                write_index_file(
+                    out,
+                    {
+                        "ids": ids[perm],
+                        "codes": codes[perm],
+                        "centroids": centroids,
+                        "pq_codebooks": codebooks,
+                        "cell_offsets": offsets,
+                    },
+                    {"index_type": "IndexIVFPQ", "pq_m": int(cfg.pq_m), **meta},
+                )
         else:
             raise ValueError(f"unsupported index_type {index_type}")
         logger.info(f"wrote {out}")
@@ -183,24 +206,25 @@ class FeatureSearchIndex(SearchIndex):
         else:
             qvec = np.atleast_2d(np.asarray(query, dtype=np.float32))
 
-        if self._index_type == "IndexFlatIP":
-            scores, rows = self._search_flat(qvec, topk)
-        elif self._index_type == "IndexIVFFlat":
-            scores, rows = self._search_ivf(qvec, topk, self.config.nprobe)
-        else:
-            raise ValueError(f"unknown index type {self._index_type}")
+        scores, rows = self._dispatch_search(qvec, topk)
         ids = np.asarray(self._arrays["ids"])[rows]
         return scores[0], ids[0]
+
+    def _dispatch_search(self, qvec, topk):
+        if self._index_type == "IndexFlatIP":
+            return self._search_flat(qvec, topk)
+        if self._index_type == "IndexIVFFlat":
+            return self._search_ivf(qvec, topk, self.config.nprobe)
+        if self._index_type == "IndexIVFPQ":
+            return self._search_ivfpq(qvec, topk, self.config.nprobe)
+        raise ValueError(f"unknown index type {self._index_type}")
 
     def search_batch(
         self, query_vectors: np.ndarray, topk: int
     ) -> Tuple[np.ndarray, np.ndarray]:
         """(Q, D) query vectors -> (scores (Q, k), ids (Q, k))."""
         qvec = np.atleast_2d(np.asarray(query_vectors, dtype=np.float32))
-        if self._index_type == "IndexFlatIP":
-            scores, rows = self._search_flat(qvec, topk)
-        else:
-            scores, rows = self._search_ivf(qvec, topk, self.config.nprobe)
+        scores, rows = self._dispatch_search(qvec, topk)
         ids = np.asarray(self._arrays["ids"])[rows]
         return scores, ids
 
@@ -212,6 +236,45 @@ class FeatureSearchIndex(SearchIndex):
         k = min(int(topk), n_valid)
         vals, idx = hier_topk(qvec, db, n_valid=n_valid, k=k, group=self.GROUP)
         return np.asarray(vals), np.asarray(idx)
+
+    def _search_ivfpq(self, qvec, topk, nprobe):
+        """IVF+PQ asymmetric-distance search: score = q . cell_centroid +
+        sum_m LUT[m, code_m] over probed cells (reference config
+        docs/Search-Index-Evaluation.md)."""
+        from ..ops.pq import adc_scores, adc_tables
+
+        centroids = np.asarray(self._arrays["centroids"])
+        offsets = np.asarray(self._arrays["cell_offsets"])
+        codebooks = np.asarray(self._arrays["pq_codebooks"])
+        codes = self._arrays["codes"]  # memmap
+        nlist = centroids.shape[0]
+        nprobe = min(int(nprobe), nlist)
+        cscores = qvec.astype(np.float32) @ centroids.T
+        probe_cells = np.argsort(-cscores, axis=1, kind="stable")[:, :nprobe]
+
+        out_scores = np.full((qvec.shape[0], topk), -np.inf, dtype=np.float32)
+        out_rows = np.zeros((qvec.shape[0], topk), dtype=np.int64)
+        for qi in range(qvec.shape[0]):
+            tables = adc_tables(qvec[qi], codebooks)
+            cand_scores = []
+            cand_rows = []
+            for c in np.sort(probe_cells[qi]):
+                a, b = int(offsets[c]), int(offsets[c + 1])
+                if b <= a:
+                    continue
+                s = adc_scores(np.asarray(codes[a:b]), tables)
+                s += cscores[qi, c]
+                cand_scores.append(s)
+                cand_rows.append(np.arange(a, b, dtype=np.int64))
+            if not cand_scores:
+                continue
+            s = np.concatenate(cand_scores)
+            r = np.concatenate(cand_rows)
+            k = min(int(topk), len(s))
+            order = np.argsort(-s, kind="stable")[:k]
+            out_scores[qi, :k] = s[order]
+            out_rows[qi, :k] = r[order]
+        return out_scores, out_rows
 
     def _search_ivf(self, qvec, topk, nprobe):
         from ..ops.topk import scan_topk
