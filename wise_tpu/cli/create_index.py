@@ -20,7 +20,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["audio", "video", "metadata", "image"],
                    help="create index only for these media types (default: all)")
     p.add_argument("--index-type", default="IndexFlatIP",
-                   choices=["IndexFlatIP", "IndexIVFFlat"])
+                   choices=["IndexFlatIP", "IndexIVFFlat", "IndexIVFPQ"])
     p.add_argument("--overwrite", action="store_true", default=False)
     p.add_argument("--project-dir", required=True, type=str)
     return p

@@ -16,7 +16,7 @@ def build_parser():
     p.add_argument("--hostname", default="0.0.0.0")
     p.add_argument("--port", type=int, default=9670)
     p.add_argument("--index-type", default="IndexFlatIP",
-                   choices=["IndexFlatIP", "IndexIVFFlat"])
+                   choices=["IndexFlatIP", "IndexIVFFlat", "IndexIVFPQ"])
     p.add_argument("--query-blocklist", type=str, default=None,
                    help="file with one blocked query per line")
     p.add_argument("--frontend-dir", type=str, default=None,
