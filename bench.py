@@ -27,6 +27,22 @@ import time
 
 import numpy as np
 
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: remote compiles through the dev
+    tunnel cost minutes; cache hits make repeat benchmark runs fast."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 BATCH = 512
 FRAME_SHAPE = (256, 320, 3)
 N_DB = 1_000_000
