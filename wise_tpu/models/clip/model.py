@@ -43,6 +43,12 @@ class CLIPConfig:
     #: "clip" (causal transformer, argmax/EOT pooling) or "hf_xlm_roberta"
     #: (open_clip HFTextEncoder-style tower, see hf_text.py)
     text_tower: str = "clip"
+    #: vision pooling: "cls" (class token, CLIP) or "map" (attention-pool
+    #: latent head, SigLIP — no class token)
+    vision_pool: str = "cls"
+    #: text tower variants for SigLIP: non-causal attention, last-token pool
+    text_causal: bool = True
+    text_pool: str = "argmax"      # "argmax" (EOT) | "last"
     dtype: Any = jnp.float32
 
 
@@ -65,6 +71,20 @@ CLIP_CONFIGS = {
         vision_heads=16, context_length=64, vocab_size=250002,
         text_width=1024, text_heads=16, text_layers=24,
         text_tower="hf_xlm_roberta",
+    ),
+    # SigLIP variants (reference's integration test uses ViT-L-16-SigLIP-384,
+    # tests/test-kinetics-6.sh): MAP-pooled vision, non-causal last-pooled text
+    "ViT-L-16-SigLIP-384": CLIPConfig(
+        embed_dim=1024, image_size=384, patch_size=16, vision_width=1024,
+        vision_layers=24, vision_heads=16, context_length=64,
+        vocab_size=32000, text_width=1024, text_heads=16, text_layers=12,
+        vision_pool="map", text_causal=False, text_pool="last",
+    ),
+    "ViT-B-16-SigLIP-256": CLIPConfig(
+        embed_dim=768, image_size=256, patch_size=16, vision_width=768,
+        vision_layers=12, vision_heads=12, context_length=64,
+        vocab_size=32000, text_width=768, text_heads=12, text_layers=12,
+        vision_pool="map", text_causal=False, text_pool="last",
     ),
     # OpenAI checkpoints use QuickGELU
     "ViT-B-32-quickgelu": CLIPConfig(quick_gelu=True),
@@ -165,6 +185,46 @@ class Transformer(nn.Module):
         return x
 
 
+class MAPHead(nn.Module):
+    """Attention-pool latent head (SigLIP/big_vision style): a learned query
+    attends over all tokens, followed by an MLP block."""
+
+    width: int
+    heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens):
+        D, H = self.width, self.heads
+        head_dim = D // H
+        b = tokens.shape[0]
+        probe = self.param(
+            "probe", nn.initializers.normal(0.02), (1, D)
+        )
+        q = nn.Dense(D, dtype=self.dtype, name="q_proj")(
+            jnp.broadcast_to(probe.astype(self.dtype), (b, 1, D))
+        )
+        kv = nn.Dense(2 * D, dtype=self.dtype, name="kv_proj")(tokens)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        def heads_split(t):
+            return t.reshape(t.shape[0], t.shape[1], H, head_dim)
+
+        q, k, v = map(heads_split, (q, k, v))
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(head_dim)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+            self.dtype
+        )
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        out = out.reshape(b, 1, D)
+        out = nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(out)
+        h = nn.Dense(4 * D, dtype=self.dtype, name="mlp_fc")(y)
+        h = jax.nn.gelu(h, approximate=False)
+        out = out + nn.Dense(D, dtype=self.dtype, name="mlp_proj")(h)
+        return out[:, 0, :]
+
+
 class VisionTransformer(nn.Module):
     config: CLIPConfig
 
@@ -173,26 +233,31 @@ class VisionTransformer(nn.Module):
         """images: (B, H, W, 3) float, already normalised. Returns (B, embed_dim)."""
         c = self.config
         grid = c.image_size // c.patch_size
+        use_cls = c.vision_pool == "cls"
         x = nn.Conv(
             c.vision_width,
             kernel_size=(c.patch_size, c.patch_size),
             strides=(c.patch_size, c.patch_size),
-            use_bias=False,
+            use_bias=not use_cls,  # SigLIP patch embed has a bias
             dtype=c.dtype,
             name="conv1",
         )(images.astype(c.dtype))
         x = x.reshape(x.shape[0], grid * grid, c.vision_width)
-        class_emb = self.param(
-            "class_embedding", nn.initializers.normal(0.02), (c.vision_width,)
-        )
-        cls = jnp.broadcast_to(
-            class_emb.astype(c.dtype), (x.shape[0], 1, c.vision_width)
-        )
-        x = jnp.concatenate([cls, x], axis=1)
+        n_tokens = grid * grid
+        if use_cls:
+            class_emb = self.param(
+                "class_embedding", nn.initializers.normal(0.02),
+                (c.vision_width,),
+            )
+            cls = jnp.broadcast_to(
+                class_emb.astype(c.dtype), (x.shape[0], 1, c.vision_width)
+            )
+            x = jnp.concatenate([cls, x], axis=1)
+            n_tokens += 1
         pos = self.param(
             "positional_embedding",
             nn.initializers.normal(0.02),
-            (grid * grid + 1, c.vision_width),
+            (n_tokens, c.vision_width),
         )
         x = x + pos.astype(c.dtype)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(x)
@@ -200,9 +265,15 @@ class VisionTransformer(nn.Module):
             c.vision_width, c.vision_layers, c.vision_heads, c.quick_gelu,
             dtype=c.dtype, name="transformer",
         )(x)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(
-            x[:, 0, :]
-        )
+        if use_cls:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(
+                x[:, 0, :]
+            )
+        else:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(x)
+            x = MAPHead(
+                c.vision_width, c.vision_heads, dtype=c.dtype, name="attn_pool"
+            )(x.astype(c.dtype))
         proj = self.param(
             "proj", nn.initializers.normal(0.02), (c.vision_width, c.embed_dim)
         )
@@ -230,18 +301,24 @@ class TextTransformer(nn.Module):
             (c.context_length, c.text_width),
         )
         x = x + pos.astype(c.dtype)
-        # causal mask
-        mask = jnp.full(
-            (c.context_length, c.context_length), -jnp.inf, dtype=jnp.float32
-        )
-        mask = jnp.triu(mask, k=1)[None, None]
+        if c.text_causal:
+            mask = jnp.full(
+                (c.context_length, c.context_length), -jnp.inf,
+                dtype=jnp.float32,
+            )
+            mask = jnp.triu(mask, k=1)[None, None]
+        else:
+            mask = None  # SigLIP text attends bidirectionally
         x = Transformer(
             c.text_width, c.text_layers, c.text_heads, c.quick_gelu,
             dtype=c.dtype, name="transformer",
         )(x, mask)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_final")(x)
-        eot = jnp.argmax(tokens, axis=-1)
-        pooled = x[jnp.arange(x.shape[0]), eot]
+        if c.text_pool == "last":
+            pooled = x[:, -1, :]
+        else:
+            eot = jnp.argmax(tokens, axis=-1)
+            pooled = x[jnp.arange(x.shape[0]), eot]
         proj = self.param(
             "text_projection",
             nn.initializers.normal(0.02),
