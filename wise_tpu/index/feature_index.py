@@ -180,7 +180,11 @@ class FeatureSearchIndex(SearchIndex):
         padded to a multiple of GROUP for the hierarchical top-k. With
         config.storage_dtype == "bfloat16" the HBM copy is bf16 (half the
         scan bandwidth -> ~2x faster; scores still accumulate f32, ordering
-        may differ from f32 storage in the last ulp)."""
+        may differ from f32 storage in the last ulp).
+
+        With more than one device visible, rows are sharded over a 'dp' mesh
+        (each chip scans its shard; ICI all-gather merges per-chip top-k —
+        parallel/sharded_search.py)."""
         if self._device_db is None:
             import jax
             import jax.numpy as jnp
@@ -188,7 +192,14 @@ class FeatureSearchIndex(SearchIndex):
             from ..ops.topk import pad_rows
 
             host = pad_rows(np.asarray(self._arrays["vectors"]), self.GROUP)
-            arr = jax.device_put(host)
+            if jax.device_count() > 1:
+                from ..parallel.mesh import get_mesh
+                from ..parallel.sharded_search import pad_and_shard_db
+
+                self._mesh = get_mesh(dp=jax.device_count())
+                arr, _ = pad_and_shard_db(self._mesh, host)
+            else:
+                arr = jax.device_put(host)
             if self.config.storage_dtype == "bfloat16":
                 arr = jax.jit(lambda x: x.astype(jnp.bfloat16))(arr)
             self._device_db = arr
@@ -234,6 +245,13 @@ class FeatureSearchIndex(SearchIndex):
         db = self._ensure_device_db()
         n_valid = int(self._metadata["count"])
         k = min(int(topk), n_valid)
+        if self._mesh is not None:
+            from ..parallel.sharded_search import sharded_scan_topk
+
+            return sharded_scan_topk(
+                self._mesh, qvec, db, n_valid, k,
+                block_rows=self.config.scan_block_rows,
+            )
         vals, idx = hier_topk(qvec, db, n_valid=n_valid, k=k, group=self.GROUP)
         return np.asarray(vals), np.asarray(idx)
 

@@ -39,11 +39,15 @@ def scan_topk(
     db: jax.Array,
     k: int,
     block_rows: int = 4096,
+    n_valid=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """queries (Q, D), db (N, D) -> (scores (Q, k), row_indices (Q, k)).
 
     k and block_rows are static. N is padded to a block multiple internally;
     padded rows score -inf and can never appear in results (k must be <= N).
+    ``n_valid`` (traced scalar, optional) additionally masks rows >= n_valid
+    BEFORE the local top-k — required when the caller's db rows carry
+    zero-padding, whose score of 0 would otherwise beat negative true scores.
     """
     q = queries.astype(jnp.float32)
     n, d = db.shape
@@ -70,6 +74,8 @@ def scan_topk(
         )  # (Q, block_rows)
         global_row = row_in_block + block_id * block_rows
         valid = global_row < n
+        if n_valid is not None:
+            valid = jnp.logical_and(valid, global_row < n_valid)
         scores = jnp.where(valid, scores, -jnp.inf)
         loc_vals, loc_pos = jax.lax.top_k(scores, k)
         loc_idx = loc_pos + block_id * block_rows

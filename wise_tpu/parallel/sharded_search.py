@@ -26,11 +26,13 @@ def _shard_body(q, db_shard, n_total, k: int, block_rows: int, axis: str):
     """Runs per-chip under shard_map; db_shard is this chip's rows."""
     shard_rows = db_shard.shape[0]
     my = jax.lax.axis_index(axis)
-    vals, idx = scan_topk(q, db_shard, k=k, block_rows=block_rows)
+    # rows >= n_total are zero padding and must be masked BEFORE the local
+    # top-k (their score 0 would beat negative true scores)
+    local_valid = n_total - my * shard_rows
+    vals, idx = scan_topk(
+        q, db_shard, k=k, block_rows=block_rows, n_valid=local_valid
+    )
     idx = idx + my * shard_rows  # local row -> global row
-    # mask padded tail rows of the last shard
-    valid = idx < n_total
-    vals = jnp.where(valid, vals, -jnp.inf)
     all_vals = jax.lax.all_gather(vals, axis)  # (ndev, Q, k)
     all_idx = jax.lax.all_gather(idx, axis)
     ndev = all_vals.shape[0]
