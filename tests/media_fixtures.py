@@ -19,7 +19,7 @@ def make_video(path, seconds=4, fps=10, size=(64, 48), fourcc="mp4v"):
     for i in range(n):
         sec = int(i / fps)
         frame = np.zeros((h, w, 3), dtype=np.uint8)
-        frame[:, :, 2] = 10 + 20 * sec  # BGR: red channel
+        frame[:, :, 2] = (10 + 20 * sec) % 256  # BGR: red channel
         frame[:, :, 1] = (i * 3) % 256  # green varies per frame
         writer.write(frame)
     writer.release()
