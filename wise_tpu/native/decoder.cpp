@@ -60,11 +60,13 @@ struct Decoder {
   bool eof = true;
 
   // video fps-grid state: `prev` = last frame with pts <= current tick,
-  // `ahead` = first decoded frame beyond it.
+  // `ahead` = first decoded frame beyond it. Held as refcounted AVFrame
+  // clones; RGB conversion happens only on emit (at 2 fps from a 30 fps
+  // source that is 15x less sws_scale work than converting every frame).
   int64_t next_tick = 0;
-  std::vector<uint8_t> prev_rgb, ahead_rgb;
+  AVFrame* prev_frame = nullptr;
+  AVFrame* ahead_frame = nullptr;
   double prev_pts = -1.0, ahead_pts = -1.0;
-  bool have_prev = false, have_ahead = false;
 
   // audio buffered output
   std::deque<float> audio_buf;
@@ -165,28 +167,27 @@ void frame_to_rgb(Decoder* d, AVFrame* f, uint8_t* dst) {
   sws_scale(d->sws, f->data, f->linesize, 0, f->height, dst_data, dst_linesize);
 }
 
-// Decode one frame into `ahead`. Returns 1 ok, 0 eof, <0 error.
+// Decode one frame into `ahead` (refcounted clone; no pixel conversion).
+// Returns 1 ok, 0 eof, <0 error.
 int advance_ahead(Decoder* d) {
   int r = next_frame(d);
   if (r <= 0) {
     if (r == 0) d->eof = true;
     return r;
   }
-  const size_t fb = (size_t)d->codec->width * d->codec->height * 3;
-  if (d->ahead_rgb.size() != fb) d->ahead_rgb.resize(fb);
-  frame_to_rgb(d, d->frame, d->ahead_rgb.data());
+  if (d->ahead_frame) av_frame_free(&d->ahead_frame);
+  d->ahead_frame = av_frame_clone(d->frame);
   double fpts = frame_pts_seconds(d, d->frame);
-  d->ahead_pts = fpts >= 0 ? fpts : (d->have_ahead ? d->ahead_pts : 0.0);
-  d->have_ahead = true;
+  d->ahead_pts = fpts >= 0 ? fpts : (d->ahead_frame ? d->ahead_pts : 0.0);
   av_frame_unref(d->frame);
-  return 1;
+  return d->ahead_frame ? 1 : -1;
 }
 
 void promote_ahead(Decoder* d) {
-  d->prev_rgb.swap(d->ahead_rgb);
+  if (d->prev_frame) av_frame_free(&d->prev_frame);
+  d->prev_frame = d->ahead_frame;
+  d->ahead_frame = nullptr;
   d->prev_pts = d->ahead_pts;
-  d->have_prev = true;
-  d->have_ahead = false;
 }
 
 }  // namespace
@@ -237,6 +238,8 @@ void* wise_decoder_open(const char* path, int mode, double fps, int sample_rate)
 void wise_decoder_close(void* h) {
   Decoder* d = (Decoder*)h;
   if (!d) return;
+  if (d->prev_frame) av_frame_free(&d->prev_frame);
+  if (d->ahead_frame) av_frame_free(&d->ahead_frame);
   if (d->sws) sws_freeContext(d->sws);
   if (d->swr) swr_free(&d->swr);
   if (d->frame) av_frame_free(&d->frame);
@@ -290,25 +293,25 @@ int wise_decoder_read_video(void* h, uint8_t* buf, double* pts, int max_frames) 
     const double target = d->next_tick * step;
     // invariant sought: prev = last frame with pts <= target,
     //                   ahead = first frame with pts > target (or eof)
-    while (!d->eof && (!d->have_ahead || d->ahead_pts <= target + EPS)) {
-      if (d->have_ahead) promote_ahead(d);
+    while (!d->eof && (!d->ahead_frame || d->ahead_pts <= target + EPS)) {
+      if (d->ahead_frame) promote_ahead(d);
       int r = advance_ahead(d);
       if (r < 0) return r;
       if (r == 0) break;
     }
-    if (d->eof && d->have_ahead && d->ahead_pts <= target + EPS) {
+    if (d->eof && d->ahead_frame && d->ahead_pts <= target + EPS) {
       promote_ahead(d);
     }
-    const uint8_t* src = nullptr;
-    if (d->have_prev) {
-      if (d->eof && !d->have_ahead && target > d->prev_pts + EPS) break;
-      src = d->prev_rgb.data();
-    } else if (d->have_ahead) {
-      src = d->ahead_rgb.data();  // stream starts late: first frame covers
+    AVFrame* src = nullptr;
+    if (d->prev_frame) {
+      if (d->eof && !d->ahead_frame && target > d->prev_pts + EPS) break;
+      src = d->prev_frame;
+    } else if (d->ahead_frame) {
+      src = d->ahead_frame;  // stream starts late: first frame covers
     } else {
       break;  // no frames at all
     }
-    std::memcpy(buf + produced * frame_bytes, src, frame_bytes);
+    frame_to_rgb(d, src, buf + produced * frame_bytes);
     pts[produced] = target;
     produced++;
     d->next_tick++;

@@ -164,6 +164,18 @@ class _BatchedEmbedder:
         self._flush(None)
 
 
+def _timed_iter(iterator, timer, name: str):
+    """Accounts iterator-blocking time (decode wait) to a timer stage."""
+    it = iter(iterator)
+    while True:
+        with timer.stage(name):
+            try:
+                item = next(it)
+            except StopIteration:
+                return
+        yield item
+
+
 def _ordered_prefetch(dataset_factory, files, num_workers):
     """Decode files on worker threads but yield their chunk streams in file
     order (deterministic ids). Each worker fully materialises one file's
@@ -315,8 +327,9 @@ def extract_features(
                 thumbnails=cfg.thumbnail if thumbnails else None,
             )
 
-        for path, chunk in _ordered_prefetch(
-            factory, [p for p, _ in entries], num_workers
+        for path, chunk in _timed_iter(
+            _ordered_prefetch(factory, [p for p, _ in entries], num_workers),
+            timer, "decode",
         ):
             mid = id_by_path[str(path)]
             img = chunk["image"]
@@ -374,7 +387,7 @@ def extract_features(
             if num_workers > 0
             else per_file_factory([p for p, _ in av_entries])
         )
-        for path, chunk in iterator:
+        for path, chunk in _timed_iter(iterator, timer, "decode"):
             mid = id_by_path[str(path)]
             if "video" in chunk:
                 v = chunk["video"]
@@ -416,8 +429,9 @@ def extract_features(
         def factory(files):
             return get_dataset(MediaType.AUDIO, files, audio=cfg.audio)
 
-        for path, chunk in _ordered_prefetch(
-            factory, [p for p, _ in entries], num_workers
+        for path, chunk in _timed_iter(
+            _ordered_prefetch(factory, [p for p, _ in entries], num_workers),
+            timer, "decode",
         ):
             mid = id_by_path[str(path)]
             a = chunk["audio"]
