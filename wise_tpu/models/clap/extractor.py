@@ -24,20 +24,12 @@ import numpy as np
 
 from ...ops.mel import log_mel_spectrogram
 from ..clip.tokenizer import HashTokenizer
-from ..feature_extractor import FeatureExtractor
+from ..feature_extractor import BucketPolicy, FeatureExtractor
 from .model import CLAP, get_clap_config
 
 logger = logging.getLogger(__name__)
 
 PIPELINE_SAMPLE_RATE = 48_000
-_BATCH_BUCKETS = (1, 4, 16, 64)
-
-
-def _bucket(n: int) -> int:
-    for b in _BATCH_BUCKETS:
-        if n <= b:
-            return b
-    return ((n + 63) // 64) * 64
 
 
 def _checkpoint_dir(version: str, variant: str) -> Path:
@@ -118,6 +110,8 @@ class ClapExtractor(FeatureExtractor):
 
         self._encode_audio = _encode_audio
         self._encode_text = _encode_text
+        self._audio_buckets = BucketPolicy((1, 4, 16, 64))
+        self._text_buckets = BucketPolicy((1, 4, 16, 64))
 
     # ------------------------------------------------------------------
     def preprocess_audio(self, audio) -> np.ndarray:
@@ -133,7 +127,7 @@ class ClapExtractor(FeatureExtractor):
         if a.ndim == 1:
             a = a[None]
         n = a.shape[0]
-        m = _bucket(n)
+        m = self._audio_buckets.pick(n)
         if m != n:
             a = np.concatenate([a, np.zeros((m - n, a.shape[1]), np.float32)])
         out = self._encode_audio(self.params, jnp.asarray(a))
@@ -143,7 +137,7 @@ class ClapExtractor(FeatureExtractor):
         tokens = self.tokenizer(list(text_query))
         lengths = (tokens != 0).sum(axis=1).astype(np.int32)
         n = tokens.shape[0]
-        m = _bucket(n)
+        m = self._text_buckets.pick(n)
         if m != n:
             tokens = np.concatenate(
                 [tokens, np.zeros((m - n, tokens.shape[1]), tokens.dtype)]

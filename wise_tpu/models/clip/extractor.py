@@ -27,21 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..feature_extractor import FeatureExtractor
+from ..feature_extractor import BucketPolicy, FeatureExtractor
 from .model import CLIP, get_clip_config
 from .preprocess import preprocess_images
 from .tokenizer import get_tokenizer
 
 logger = logging.getLogger(__name__)
-
-_BATCH_BUCKETS = (1, 8, 32, 128, 256, 512)
-
-
-def _bucket(n: int) -> int:
-    for b in _BATCH_BUCKETS:
-        if n <= b:
-            return b
-    return ((n + 511) // 512) * 512
 
 
 def _checkpoint_dir(model: str, pretrained: str) -> Path:
@@ -142,6 +133,8 @@ class OpenClipExtractor(FeatureExtractor):
         self._encode_image = _encode_image
         self._encode_preprocessed = _encode_preprocessed
         self._encode_text = _encode_text
+        self._image_buckets = BucketPolicy()
+        self._text_buckets = BucketPolicy()
 
     # ------------------------------------------------------------------
     def preprocess_image(self, images) -> np.ndarray:
@@ -156,7 +149,7 @@ class OpenClipExtractor(FeatureExtractor):
         if images.ndim == 3:
             images = images[None]
         n = images.shape[0]
-        m = _bucket(n)
+        m = self._image_buckets.pick(n)
         if images.dtype == np.uint8:
             if m != n:
                 images = np.concatenate(
@@ -176,7 +169,7 @@ class OpenClipExtractor(FeatureExtractor):
     def extract_text_features(self, text_query: List[str]) -> np.ndarray:
         tokens = self.tokenizer(list(text_query))
         n = tokens.shape[0]
-        m = _bucket(n)
+        m = self._text_buckets.pick(n)
         if m != n:
             pad = np.full(
                 (m - n, tokens.shape[1]),

@@ -54,3 +54,26 @@ def l2_normalize(x: np.ndarray, axis: int = -1, eps: float = 1e-12) -> np.ndarra
     x = np.asarray(x, dtype=np.float32)
     norm = np.linalg.norm(x, axis=axis, keepdims=True)
     return x / np.maximum(norm, eps)
+
+
+class BucketPolicy:
+    """Pick padded batch sizes so XLA compiles few shapes. Prefers reusing an
+    already-compiled bucket over compiling a smaller one (tail batches ride
+    the big batch's executable instead of triggering fresh compiles — remote
+    compiles can cost minutes)."""
+
+    def __init__(self, buckets=(1, 8, 32, 128, 256, 512)):
+        self.buckets = tuple(sorted(buckets))
+        self.compiled = set()
+
+    def pick(self, n: int) -> int:
+        compiled_fit = [b for b in self.compiled if b >= n]
+        if compiled_fit:
+            return min(compiled_fit)
+        for b in self.buckets:
+            if b >= n:
+                self.compiled.add(b)
+                return b
+        b = -(-n // self.buckets[-1]) * self.buckets[-1]
+        self.compiled.add(b)
+        return b
