@@ -34,7 +34,7 @@ def main(argv=None) -> int:
     from ..project import WiseProject
 
     project = WiseProject(args.project_dir)
-    config = project.load_config()
+    config = project.load_config().apply_env_overrides()
     if args.frontend_dir is None:
         bundled = Path(__file__).resolve().parents[2] / "frontend"
         if (bundled / "index.html").exists():

@@ -157,6 +157,31 @@ class WiseConfig:
                 kwargs[f.name] = v
         return cls(**kwargs)
 
+    def apply_env_overrides(self) -> "WiseConfig":
+        """Serve-time env overrides, matching the reference's
+        pydantic-settings APIConfig behaviour (config.py:6-20 reads MODE,
+        HOSTNAME, PORT, TOP_K, QUERY_PREFIX, ... from the environment)."""
+        import os
+
+        env = os.environ
+        s, v = self.serve, self.search
+        s.mode = env.get("MODE", s.mode)
+        s.hostname = env.get("HOSTNAME_BIND", env.get("WISE_HOSTNAME", s.hostname))
+        if env.get("PORT"):
+            s.port = int(env["PORT"])
+        if env.get("TOP_K"):
+            s.top_k = int(env["TOP_K"])
+        v.query_prefix = env.get("QUERY_PREFIX", v.query_prefix)
+        if env.get("TEXT_QUERIES_WEIGHT"):
+            v.text_queries_weight = float(env["TEXT_QUERIES_WEIGHT"])
+        if env.get("NEGATIVE_QUERIES_WEIGHT"):
+            v.negative_queries_weight = float(env["NEGATIVE_QUERIES_WEIGHT"])
+        if env.get("NPROBE"):
+            self.index.nprobe = int(env["NPROBE"])
+        if env.get("INDEX_TYPE"):
+            self.index.index_type = env["INDEX_TYPE"]
+        return self
+
     def save(self, path: Path) -> None:
         Path(path).write_text(self.to_json())
 
