@@ -115,6 +115,22 @@ def convert_openclip_state_dict(sd: Dict[str, np.ndarray], config) -> Dict:
     return params
 
 
+def convert_checkpoint_file(src, dst) -> int:
+    """Re-serialise a torch .pt/.bin checkpoint as .npz (torch key names
+    preserved), so runtime loads need numpy only. Returns tensor count."""
+    import torch
+
+    raw = torch.load(str(src), map_location="cpu", weights_only=True)
+    if isinstance(raw, dict) and "state_dict" in raw:
+        raw = raw["state_dict"]
+    sd = {
+        k.replace("module.", ""): (v.numpy() if hasattr(v, "numpy") else v)
+        for k, v in raw.items()
+    }
+    np.savez(str(dst), **sd)
+    return len(sd)
+
+
 def load_checkpoint(path, config) -> Dict:
     """Load a .pt/.bin (torch) or .npz checkpoint into flax params."""
     path = str(path)
@@ -132,3 +148,13 @@ def load_checkpoint(path, config) -> Dict:
             for k, v in raw.items()
         }
     return convert_openclip_state_dict(sd, config)
+
+
+if __name__ == "__main__":
+    import sys
+
+    if len(sys.argv) != 3:
+        print("usage: python -m wise_tpu.models.clip.convert IN.pt OUT.npz")
+        raise SystemExit(1)
+    n = convert_checkpoint_file(sys.argv[1], sys.argv[2])
+    print(f"converted {n} tensors -> {sys.argv[2]}")
