@@ -138,7 +138,7 @@ def bench_query_latency(roundtrip: float):
     import jax
     import jax.numpy as jnp
 
-    from wise_tpu.ops.topk import hier_topk, pad_rows
+    from wise_tpu.ops.topk import pad_rows, two_stage_topk
 
     # generate the synthetic DB on device: uploading 2 GB over the dev
     # tunnel costs minutes and benchmarks nothing
@@ -151,7 +151,7 @@ def bench_query_latency(roundtrip: float):
 
     @jax.jit
     def qstep(q, db_dev, carry):
-        vals, idx = hier_topk(
+        vals, idx = two_stage_topk(
             (q + carry * 0.0)[None], db_dev, n_valid=N_DB, k=TOPK
         )
         return vals[0, 0]

@@ -6,6 +6,7 @@ from wise_tpu.ops.topk import (
     hier_topk,
     numpy_reference_topk,
     pad_rows,
+    two_stage_topk,
 )
 
 
@@ -51,6 +52,44 @@ def test_hier_topk_matches_numpy(rng, n, d, q, k, group):
     ref_vals, ref_idx = numpy_reference_topk(queries, db, k)
     np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+
+
+@pytest.mark.parametrize("n,d,q,k,group", [
+    (1000, 64, 3, 10, 128),
+    (513, 16, 2, 7, 256),
+    (50, 8, 1, 50, 64),
+    (3000, 32, 2, 100, 64),    # k > num_blocks contributions spread thin
+    (64, 8, 1, 64, 8),         # k == n, many tiny blocks
+])
+def test_two_stage_matches_numpy(rng, n, d, q, k, group):
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    padded = pad_rows(db, group)
+    vals, idx = two_stage_topk(queries, padded, n_valid=n, k=k, group=group)
+    ref_vals, ref_idx = numpy_reference_topk(queries, db, k)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+
+
+def test_two_stage_cross_block_ties(rng):
+    """Equal scores in different blocks must come out in ascending row order,
+    even when a later block has a higher max."""
+    d = 8
+    tie_row = rng.standard_normal(d).astype(np.float32)
+    big_row = tie_row * 2.0
+    rows = []
+    # block 0: tie at row 1; block 1: big max at row 4 + tie at row 5
+    filler = (-np.abs(rng.standard_normal((1, d)))).astype(np.float32)
+    rows = np.concatenate(
+        [filler, tie_row[None], filler, filler, big_row[None], tie_row[None],
+         filler, filler]
+    )
+    padded = pad_rows(rows, 4)  # blocks of 4: rows 0-3, 4-7
+    q = tie_row[None]
+    vals, idx = two_stage_topk(q, padded, n_valid=8, k=3, group=4)
+    ref_vals, ref_idx = numpy_reference_topk(q, rows, 3)
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    assert list(np.asarray(idx)[0][:3]) == [4, 1, 5]  # big first, then tie rows asc
 
 
 def test_hier_topk_tie_break(rng):

@@ -240,7 +240,7 @@ class FeatureSearchIndex(SearchIndex):
         return scores, ids
 
     def _search_flat(self, qvec, topk):
-        from ..ops.topk import hier_topk
+        from ..ops.topk import flat_topk
 
         db = self._ensure_device_db()
         n_valid = int(self._metadata["count"])
@@ -252,7 +252,7 @@ class FeatureSearchIndex(SearchIndex):
                 self._mesh, qvec, db, n_valid, k,
                 block_rows=self.config.scan_block_rows,
             )
-        vals, idx = hier_topk(qvec, db, n_valid=n_valid, k=k, group=self.GROUP)
+        vals, idx = flat_topk(qvec, db, n_valid=n_valid, k=k, group=self.GROUP)
         return np.asarray(vals), np.asarray(idx)
 
     def _search_ivfpq(self, qvec, topk, nprobe):
