@@ -23,22 +23,37 @@ from ..ops.topk import scan_topk
 
 
 def _shard_body(q, db_shard, n_total, k: int, block_rows: int, axis: str):
-    """Runs per-chip under shard_map; db_shard is this chip's rows."""
+    """Runs per-chip under shard_map; db_shard is this chip's rows. One fused
+    matmul + top_k over the shard (HBM-bandwidth-bound; the merge across
+    chips happens on the gathered (ndev, Q, k) candidates)."""
     shard_rows = db_shard.shape[0]
     my = jax.lax.axis_index(axis)
     # rows >= n_total are zero padding and must be masked BEFORE the local
     # top-k (their score 0 would beat negative true scores)
     local_valid = n_total - my * shard_rows
-    vals, idx = scan_topk(
-        q, db_shard, k=k, block_rows=block_rows, n_valid=local_valid
-    )
+    if db_shard.dtype == jnp.bfloat16:
+        scores = jax.lax.dot_general(
+            q.astype(jnp.bfloat16), db_shard,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        scores = jax.lax.dot_general(
+            q.astype(jnp.float32), db_shard,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, shard_rows), 1)
+    scores = jnp.where(col < local_valid, scores, -jnp.inf)
+    k_local = min(k, shard_rows)
+    vals, idx = jax.lax.top_k(scores, k_local)
     idx = idx + my * shard_rows  # local row -> global row
     all_vals = jax.lax.all_gather(vals, axis)  # (ndev, Q, k)
     all_idx = jax.lax.all_gather(idx, axis)
     ndev = all_vals.shape[0]
     q_n = all_vals.shape[1]
-    flat_vals = jnp.moveaxis(all_vals, 0, 1).reshape(q_n, ndev * k)
-    flat_idx = jnp.moveaxis(all_idx, 0, 1).reshape(q_n, ndev * k)
+    flat_vals = jnp.moveaxis(all_vals, 0, 1).reshape(q_n, ndev * k_local)
+    flat_idx = jnp.moveaxis(all_idx, 0, 1).reshape(q_n, ndev * k_local)
     # sort ties by (score desc, global index asc): top_k prefers first
     # occurrence, so pre-sort each row by index via stable ordering trick:
     # shards are concatenated in device order == ascending global index, so
