@@ -15,7 +15,7 @@ import logging
 import random
 import time
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -111,7 +111,6 @@ class SearchEngine:
                 w = s.negative_queries_weight if neg else 1.0
             elif modality == "audio":
                 if isinstance(val, bytes):
-                    import io as _io
                     import tempfile
 
                     from ..io.decode import iter_audio_segments

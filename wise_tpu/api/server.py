@@ -16,7 +16,6 @@ import json
 import logging
 import mimetypes
 import re
-import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path

@@ -8,7 +8,6 @@ import argparse
 import csv
 import logging
 import sys
-import time
 
 from .. import db as wdb
 from ..index import SearchIndexFactory

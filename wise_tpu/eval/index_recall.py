@@ -9,7 +9,7 @@ Protocol from the reference's docs/Search-Index-Evaluation.md:
 from __future__ import annotations
 
 import time
-from typing import Dict, Sequence
+from typing import Dict
 
 import numpy as np
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import logging
 import sqlite3
-from typing import List, Tuple
+from typing import List
 
 from .search_index import SearchIndex
 

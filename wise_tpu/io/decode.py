@@ -11,7 +11,6 @@ from __future__ import annotations
 import dataclasses
 import logging
 import wave
-from pathlib import Path
 from typing import Iterator, Optional, Tuple
 
 import numpy as np

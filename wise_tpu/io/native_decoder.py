@@ -11,7 +11,7 @@ import ctypes
 import logging
 import subprocess
 from pathlib import Path
-from typing import Iterator, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

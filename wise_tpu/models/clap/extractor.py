@@ -12,11 +12,10 @@ run with deterministic random weights (same caveat as the CLIP extractor).
 
 from __future__ import annotations
 
-import functools
 import logging
 import os
 from pathlib import Path
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

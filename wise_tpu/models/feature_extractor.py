@@ -10,7 +10,7 @@ jitted JAX computations.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Union
+from typing import List
 
 import numpy as np
 

@@ -11,8 +11,6 @@ subspace inner products, then score candidates by summing table entries.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 from .kmeans import kmeans

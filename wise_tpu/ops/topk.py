@@ -15,7 +15,7 @@ lower row index (matches faiss and keeps multi-chip merges deterministic).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,6 @@ The framework uses one global mesh with axes:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

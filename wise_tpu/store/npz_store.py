@@ -12,7 +12,7 @@ import glob
 import os
 import random
 from pathlib import Path
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Tuple
 
 import numpy as np
 
