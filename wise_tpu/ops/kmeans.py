@@ -75,7 +75,8 @@ def kmeans(
         empty = np.where(counts_np == 0)[0]
         if len(empty):
             # re-seed empty clusters near points of the biggest cluster
-            centroids = np.asarray(centroids)
+            # (np.array: np.asarray of a jax array is a read-only view)
+            centroids = np.array(centroids)
             big = int(np.argmax(counts_np))
             donors = np.where(np.asarray(assign) == big)[0]
             pick = rng.choice(donors, size=len(empty), replace=len(donors) < len(empty))

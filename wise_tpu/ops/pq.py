@@ -25,13 +25,11 @@ def train_pq(
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by M={m}")
     dsub = d // m
-    codebooks = np.empty((m, ksub, dsub), dtype=np.float32)
+    codebooks = np.zeros((m, ksub, dsub), dtype=np.float32)
     for i in range(m):
         sub = residuals[:, i * dsub : (i + 1) * dsub]
-        codebooks[i], _ = kmeans(sub, min(ksub, n), iters=iters, seed=seed + i)
-        if codebooks[i].shape[0] < ksub:  # pad degenerate codebooks
-            pad = np.zeros((ksub - codebooks[i].shape[0], dsub), np.float32)
-            codebooks[i] = np.concatenate([codebooks[i][: ksub], pad])
+        cb, _ = kmeans(sub, min(ksub, n), iters=iters, seed=seed + i)
+        codebooks[i, : cb.shape[0]] = cb[:ksub]  # zero-pad degenerate books
     return codebooks
 
 
