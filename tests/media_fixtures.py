@@ -40,6 +40,74 @@ def make_wav(path, seconds=4.0, rate=16000, freq=440.0, channels=1):
     return len(t)
 
 
+def make_av(path, seconds=4, fps=10, size=(64, 48), rate=16000, freq=440.0):
+    """True AV file: MJPEG video + PCM16 audio muxed into an AVI container,
+    written by hand (RIFF chunks) — no encoder dependency. FFmpeg reads it
+    as MediaType.AV."""
+    import struct
+
+    import cv2
+
+    w, h = size
+    n_frames = int(seconds * fps)
+    # JPEG frames (red encodes second index, like make_video)
+    jpegs = []
+    for i in range(n_frames):
+        sec = int(i / fps)
+        frame = np.zeros((h, w, 3), dtype=np.uint8)
+        frame[:, :, 2] = (10 + 20 * sec) % 256
+        frame[:, :, 1] = (i * 3) % 256
+        ok, buf = cv2.imencode(".jpg", frame, [cv2.IMWRITE_JPEG_QUALITY, 90])
+        assert ok
+        jpegs.append(bytes(buf))
+    t = np.arange(int(seconds * rate)) / rate
+    pcm = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2").tobytes()
+    samples_per_frame = rate // fps
+
+    def chunk(fourcc, payload):
+        pad = b"\0" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind, payload):
+        return chunk(b"LIST", kind + payload)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, 0, 0, 0x10, n_frames, 0, 2, 0, w, h,
+        0, 0, 0, 0,
+    )
+    strh_v = (
+        b"vids" + b"MJPG" + struct.pack("<I", 0)
+        + struct.pack("<2H", 0, 0)
+        + struct.pack("<8I", 0, 1, fps, 0, n_frames, 0, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    bmih = struct.pack("<I2i2H2I2i2I", 40, w, h, 1, 24, 0x47504A4D,
+                       w * h * 3, 0, 0, 0, 0)
+    strl_v = lst(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", bmih))
+    strh_a = (
+        b"auds" + b"\0\0\0\0" + struct.pack("<I", 0)
+        + struct.pack("<2H", 0, 0)
+        + struct.pack("<8I", 0, 1, rate, 0, int(seconds * rate), 0,
+                      0xFFFFFFFF, 2)
+        + struct.pack("<4H", 0, 0, 0, 0)
+    )
+    wfmt = struct.pack("<2H2I2H", 1, 1, rate, rate * 2, 2, 16)
+    strl_a = lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", wfmt))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl_v + strl_a)
+
+    movi_payload = b""
+    for i, jp in enumerate(jpegs):
+        movi_payload += chunk(b"00dc", jp)
+        a0 = i * samples_per_frame * 2
+        movi_payload += chunk(b"01wb", pcm[a0 : a0 + samples_per_frame * 2])
+    movi = lst(b"movi", movi_payload)
+
+    riff_payload = b"AVI " + hdrl + movi
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload)
+    return n_frames
+
+
 def make_image(path, size=(32, 32), value=128):
     import cv2
 
