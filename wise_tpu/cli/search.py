@@ -185,12 +185,50 @@ def main(argv=None) -> int:
     return 0
 
 
-def console(search_index_list, conn, args, out_lines) -> int:
-    """Interactive search console using the audiovisual query grammar."""
-    from ..search import parse_search_query
+def compound_query_vector(search_index_list, unit):
+    """Build a fused query vector for a grammar unit with @file items and/or
+    +/- embedding ops (e.g. '@dog.jpg + "in snow" IN video'). Returns an
+    (1, dim) array, or None for plain single-text units."""
+    import numpy as np
 
-    print("WISE search console. Query grammar: <query> IN (audio|video|metadata)")
-    print("Type q to quit.")
+    if unit["query_type"] == ["text"] and not unit["query_embedding_vec_op"]:
+        return None
+    index = search_index_list[unit["search_target"]]
+    fe = index.extractor
+    from ..index.feature_index import QUERY_PROMPTS
+
+    prompt = QUERY_PROMPTS.get(unit["search_target"], "")
+    vecs = []
+    for qstr, qtype in zip(unit["query_str"], unit["query_type"]):
+        if qtype == "file":
+            from ..io.decode import load_image
+
+            img = load_image(qstr)
+            vecs.append(fe.extract_image_features(fe.preprocess_image([img])))
+        else:
+            vecs.append(
+                fe.extract_text_features([prompt + qstr.strip('"')])
+            )
+    out = vecs[0].astype(np.float64)
+    for op, v in zip(unit["query_embedding_vec_op"], vecs[1:]):
+        out = out + v if op == "+" else out - v
+    out = out / max(np.linalg.norm(out), 1e-12)
+    return out.astype(np.float32)
+
+
+def console(search_index_list, conn, args, out_lines) -> int:
+    """Interactive search console using the audiovisual query grammar,
+    including compound @file +/- embedding queries."""
+    from ..search import parse_search_query
+    from ..search.results import (
+        apply_subtract,
+        merge0,
+        process_text_query,
+    )
+
+    print("WISE search console. Query grammar: "
+          '<query>[+/-<query>] (IN|NOT IN) (audio|video|image|metadata) [AND ...]')
+    print("Items: words, \"quoted phrases\", @image-files. Type q to quit.")
     while True:
         try:
             cmd = input("wise> ").strip()
@@ -204,20 +242,46 @@ def console(search_index_list, conn, args, out_lines) -> int:
         if status["status"] != "OK":
             print(f"parse error: {status.get('message')}")
             continue
-        queries, media_types, not_queries, not_media_types = [], [], [], []
-        for unit in tree["query"]:
-            qtext = " ".join(s.strip('"') for s in unit["query_str"])
-            if unit["search_target_link"] == "in":
-                queries.append(qtext)
-                media_types.append(unit["search_target"])
-            else:
-                not_queries.append(qtext)
-                not_media_types.append(unit["search_target"])
         lines: list = []
-        run_queries(
-            search_index_list, conn, args, queries, media_types,
-            not_queries, not_media_types, [10] * max(1, len(queries)), lines,
-        )
+        try:
+            results = []
+            not_results = []
+            for unit in tree["query"]:
+                mt = unit["search_target"]
+                if mt not in search_index_list:
+                    print(f"no index loaded for {mt}")
+                    results = []
+                    break
+                qtext = " ".join(s.strip('"') for s in unit["query_str"])
+                vec = compound_query_vector(search_index_list, unit)
+                r = process_text_query(
+                    search_index_list, conn, qtext, mt, 10, query_vector=vec
+                )
+                r["query"] = [qtext]
+                if unit["search_target_link"] == "in":
+                    r["in"] = [mt]
+                    r["not_in"] = []
+                    results.append(r)
+                else:
+                    not_results.append((qtext, mt, r))
+            for nq, nmt, nr in not_results:
+                results = [apply_subtract(r, nr) for r in results]
+                for r in results:
+                    r["query"].append(nq)
+                    r["not_in"].append(nmt)
+            if results:
+                results = merge0(
+                    results,
+                    merge_tolerance_video=args.merge_tolerance_video,
+                    merge_tolerance_audio=args.merge_tolerance_audio,
+                    merge_rank_tolerance=args.merge_rank_tolerance,
+                )
+                emit(results, args, lines)
+                if len(results) == 2:
+                    emit(merge1(results), args, lines)
+        except Exception as e:  # console stays alive on bad input
+            print(f"error: {e}")
+            continue
         print("\n".join(lines))
     return 0
 

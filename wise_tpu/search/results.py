@@ -78,7 +78,10 @@ def apply_subtract(search_result: Dict, not_search_result: Dict) -> Dict:
 # ---------------------------------------------------------------------------
 
 def process_text_query(search_index_list: Dict, conn, query_text: str,
-                       media_type: str, topk: int) -> Dict:
+                       media_type: str, topk: int,
+                       query_vector=None) -> Dict:
+    """query_vector (optional np array) bypasses text embedding — used for
+    compound @file +/- text queries from the console grammar."""
     if media_type == "metadata":
         dist, rows = search_index_list[media_type].search(
             media_type, query_text, topk, query_type="text"
@@ -91,9 +94,14 @@ def process_text_query(search_index_list: Dict, conn, query_text: str,
             ],
             "match_score_list": list(dist),
         }
-    dist, ids = search_index_list[media_type].search(
-        media_type, query_text, topk, query_type="text"
-    )
+    if query_vector is not None:
+        dist, ids = search_index_list[media_type].search(
+            media_type, query_vector, topk, query_type="vector"
+        )
+    else:
+        dist, ids = search_index_list[media_type].search(
+            media_type, query_text, topk, query_type="text"
+        )
     valid = [
         (int(i), float(d)) for i, d in zip(ids, dist) if int(i) != -1
     ]
