@@ -72,6 +72,19 @@ CLIP_CONFIGS = {
         text_width=1024, text_heads=16, text_layers=24,
         text_tower="hf_xlm_roberta",
     ),
+    "ViT-L-14-336": CLIPConfig(
+        embed_dim=768, image_size=336, patch_size=14, vision_width=1024,
+        vision_layers=24, vision_heads=16, text_width=768, text_heads=12,
+        text_layers=12,
+    ),
+    "ViT-g-14": CLIPConfig(
+        embed_dim=1024, patch_size=14, vision_width=1408, vision_layers=40,
+        vision_heads=16, text_width=1024, text_heads=16, text_layers=24,
+    ),
+    "ViT-bigG-14": CLIPConfig(
+        embed_dim=1280, patch_size=14, vision_width=1664, vision_layers=48,
+        vision_heads=16, text_width=1280, text_heads=20, text_layers=32,
+    ),
     # SigLIP variants (reference's integration test uses ViT-L-16-SigLIP-384,
     # tests/test-kinetics-6.sh): MAP-pooled vision, non-causal last-pooled text
     "ViT-L-16-SigLIP-384": CLIPConfig(
