@@ -295,6 +295,44 @@ class FeatureSearchIndex(SearchIndex):
         return out_scores, out_rows
 
     def _search_ivf(self, qvec, topk, nprobe):
+        """IVF dispatch: single-device -> fully on-device jitted search
+        (ops/ivf.py); multi-device setups keep the host-orchestrated scan
+        (a row gather across row-sharded HBM would all-gather the DB)."""
+        import jax
+
+        if jax.device_count() == 1:
+            return self._search_ivf_device(qvec, topk, nprobe)
+        return self._search_ivf_host(qvec, topk, nprobe)
+
+    def _search_ivf_device(self, qvec, topk, nprobe):
+        import jax
+
+        from ..ops.ivf import ivf_search
+
+        if not hasattr(self, "_ivf_dev"):
+            offsets = np.asarray(self._arrays["cell_offsets"], dtype=np.int32)
+            self._ivf_lmax = int(np.max(np.diff(offsets)))
+            self._ivf_dev = (
+                jax.device_put(np.asarray(self._arrays["centroids"])),
+                jax.device_put(offsets),
+            )
+        centroids_dev, offsets_dev = self._ivf_dev
+        db = self._ensure_device_db()
+        nlist = centroids_dev.shape[0]
+        vals, rows = ivf_search(
+            qvec, centroids_dev, offsets_dev, db,
+            nprobe=min(int(nprobe), nlist),
+            lmax=max(self._ivf_lmax, 1),
+            k=int(topk),
+        )
+        vals, rows = np.asarray(vals), np.asarray(rows).astype(np.int64)
+        if vals.shape[1] < topk:  # pad to requested k
+            pad = topk - vals.shape[1]
+            vals = np.pad(vals, ((0, 0), (0, pad)), constant_values=-np.inf)
+            rows = np.pad(rows, ((0, 0), (0, pad)))
+        return vals, rows
+
+    def _search_ivf_host(self, qvec, topk, nprobe):
         from ..ops.topk import scan_topk
 
         centroids = np.asarray(self._arrays["centroids"])
