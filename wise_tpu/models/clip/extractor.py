@@ -138,16 +138,40 @@ class OpenClipExtractor(FeatureExtractor):
 
     # ------------------------------------------------------------------
     def preprocess_image(self, images) -> np.ndarray:
-        """Keeps frames uint8; real preprocessing is fused on-device in
-        extract_image_features. Accepts list of HWC arrays or (N,H,W,C)."""
-        if isinstance(images, np.ndarray) and images.ndim == 4:
-            return images
-        return np.stack([np.asarray(im) for im in images])
+        """Host-side canonicalisation: centre-crop to square + area-resize to
+        the model size, keeping frames uint8. This fixes the device graph's
+        input shape regardless of source resolution (otherwise every distinct
+        video resolution would trigger a fresh XLA compile); the remaining
+        normalisation runs fused on-device. cv2 INTER_AREA stands in for
+        PIL's antialiased bicubic on the downscale (both antialias; kernel
+        differs — retrieval-insignificant, noted for parity audits)."""
+        if isinstance(images, np.ndarray) and images.ndim == 3:
+            images = images[None]
+        s = self.config.image_size
+        out = []
+        for im in images:
+            im = np.asarray(im)
+            h, w = im.shape[:2]
+            if (h, w) != (s, s):
+                import cv2
+
+                square = min(h, w)
+                top, left = (h - square) // 2, (w - square) // 2
+                im = im[top : top + square, left : left + square]
+                interp = (
+                    cv2.INTER_AREA if square > s else cv2.INTER_CUBIC
+                )
+                im = cv2.resize(im, (s, s), interpolation=interp)
+            out.append(im)
+        return np.stack(out)
 
     def extract_image_features(self, images: np.ndarray) -> np.ndarray:
         images = np.asarray(images)
         if images.ndim == 3:
             images = images[None]
+        s = self.config.image_size
+        if images.shape[1:3] != (s, s):
+            images = self.preprocess_image(images)  # canonicalise host-side
         n = images.shape[0]
         m = self._image_buckets.pick(n)
         if images.dtype == np.uint8:

@@ -102,6 +102,32 @@ class _BatchedEmbedder:
         self.stat_field = stat_field
         self._items: List[Tuple[int, float, Optional[float], np.ndarray]] = []
         self.vector_repo = VectorRepo()
+        self._warmup_thread = None
+
+    def start_warmup(self, sample_shape):
+        """Pre-compile the encoder's main batch bucket on a background thread
+        so the (potentially minutes-long) XLA compile overlaps with decode."""
+        import threading
+
+        def _warm():
+            try:
+                dummy = np.zeros((self.batch_size,) + tuple(sample_shape),
+                                 dtype=np.uint8
+                                 if self.modality != ModalityType.AUDIO
+                                 else np.float32)
+                if self.modality == ModalityType.AUDIO:
+                    self.extractor.extract_audio_features(
+                        self.extractor.preprocess_audio(dummy)
+                    )
+                else:
+                    self.extractor.extract_image_features(
+                        self.extractor.preprocess_image(dummy)
+                    )
+            except Exception:
+                logger.debug("encoder warmup failed (non-fatal)", exc_info=True)
+
+        self._warmup_thread = threading.Thread(target=_warm, daemon=True)
+        self._warmup_thread.start()
 
     def add_frames(self, media_id: int, frames: np.ndarray, pts: np.ndarray):
         for i in range(len(frames)):
@@ -353,6 +379,8 @@ def extract_features(
             v_extractor, v_store, conn, ModalityType.VIDEO, batch_size, stats,
             "num_video_vectors",
         )
+        if getattr(v_extractor, "input_size", None):
+            v_embedder.start_warmup(tuple(v_extractor.input_size) + (3,))
         has_audio = [
             (p, m) for p, m in av_entries if MediaType(m.media_type) == MediaType.AV
         ]
