@@ -163,6 +163,12 @@ class TarShardStore(FeatureStore):
         if self._writer is not None:
             self._writer.close()
             self._writer = None
+            if self._shard_count == 0:
+                # nothing was added to the last shard (e.g. a resumed run
+                # with no new files) — drop the empty tar
+                path = Path(self.store_data_filename % self._shard_index)
+                if path.exists():
+                    path.unlink()
 
     def __del__(self):
         try:
