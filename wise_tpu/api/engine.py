@@ -83,15 +83,29 @@ class SearchEngine:
             if media_type == "audio"
             else s.query_prefix
         ).strip()
+        # embed all text items in ONE encoder call (the reference embeds
+        # per-item, routes.py:831-836)
+        text_positions = [
+            i for i, it in enumerate(query_items)
+            if it.get("modality", "text") == "text"
+        ]
+        text_vecs = {}
+        if text_positions:
+            texts = [
+                f"{prefix} {str(query_items[i]['val']).strip()}".strip()
+                for i in text_positions
+            ]
+            batch = fe.extract_text_features(texts)
+            text_vecs = {i: batch[j : j + 1] for j, i in enumerate(text_positions)}
+
         vectors, weights = [], []
-        for item in query_items:
+        for item_idx, item in enumerate(query_items):
             sign = item.get("sign", "positive")
             modality = item.get("modality", "text")
             val = item["val"]
             neg = sign == "negative"
             if modality == "text":
-                text = f"{prefix} {str(val).strip()}".strip()
-                vec = fe.extract_text_features([text])
+                vec = text_vecs[item_idx]
                 w = s.text_queries_weight * (
                     s.negative_queries_weight if neg else 1.0
                 )
