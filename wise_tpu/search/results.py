@@ -102,6 +102,12 @@ def process_text_query(search_index_list: Dict, conn, query_text: str,
         dist, ids = search_index_list[media_type].search(
             media_type, query_text, topk, query_type="text"
         )
+    return hydrate_result(conn, dist, ids)
+
+
+def hydrate_result(conn, dist, ids) -> Dict:
+    """vector ids + scores -> (filename, pts, score) lists via one batched
+    JOIN (the reference hydrates with N+1 per-id queries, search.py:137-153)."""
     valid = [
         (int(i), float(d)) for i, d in zip(ids, dist) if int(i) != -1
     ]
