@@ -147,25 +147,25 @@ def bench_query_latency(roundtrip: float):
         lambda key: jax.random.normal(key, (n_pad, DIM), jnp.float32)
     )(jax.random.PRNGKey(0))
 
+    # the query kernel is ~3 ms; per-call dispatch through the dev tunnel
+    # costs more than that, so iterate on-device (small graph, cheap compile)
     n_iter = 20
 
     @jax.jit
-    def qstep(q, db_dev, carry):
-        vals, idx = two_stage_topk(
-            (q + carry * 0.0)[None], db_dev, n_valid=N_DB, k=TOPK
-        )
-        return vals[0, 0]
+    def bench_loop(queries, db_dev):
+        def body(i, carry):
+            q = (queries[i] + carry * 0.0)[None]
+            vals, idx = two_stage_topk(q, db_dev, n_valid=N_DB, k=TOPK)
+            return vals[0, 0]
+
+        return jax.lax.fori_loop(0, n_iter, body, jnp.float32(0))
 
     queries = jax.random.normal(
         jax.random.PRNGKey(1), (n_iter, DIM), jnp.float32
     )
-    carry = jnp.float32(0)
-    carry = qstep(queries[0], db_dev, carry)
-    np.asarray(carry)  # compile
+    np.asarray(bench_loop(queries, db_dev))  # compile
     t0 = time.perf_counter()
-    for i in range(n_iter):
-        carry = qstep(queries[i], db_dev, carry)
-    np.asarray(carry)
+    np.asarray(bench_loop(queries, db_dev))
     dt = time.perf_counter() - t0 - roundtrip
     per_query = dt / n_iter
 
