@@ -72,6 +72,39 @@ def build_torch_layer(flax_params, shift):
     return layer
 
 
+def test_patch_merging_matches_torch():
+    from transformers.models.swin.modeling_swin import (
+        SwinConfig,
+        SwinPatchMerging,
+    )
+
+    from wise_tpu.models.clap.model import PatchMerging
+
+    merge = PatchMerging(input_resolution=RES)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, RES[0] * RES[1], DIM)).astype(np.float32)
+    params = merge.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    tm = SwinPatchMerging(
+        input_resolution=RES, dim=DIM,
+        norm_layer=torch.nn.LayerNorm,
+    ).eval()
+    # HF merges then norms AFTER reduction? inspect: SwinPatchMerging applies
+    # reduction(norm(x)) in original Swin order — map both weights
+    sd = {
+        "reduction.weight": _t(
+            np.asarray(params["params"]["reduction"]["kernel"])
+        ).T,
+        "norm.weight": _t(params["params"]["norm"]["scale"]),
+        "norm.bias": _t(params["params"]["norm"]["bias"]),
+    }
+    missing, unexpected = tm.load_state_dict(sd, strict=False)
+    assert not missing and not unexpected, (missing, unexpected)
+    ours = np.asarray(merge.apply(params, jnp.asarray(x)))
+    with torch.inference_mode():
+        theirs = tm(torch.tensor(x), RES).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=1e-3)
+
+
 @pytest.mark.parametrize("shift", [0, WINDOW // 2])
 def test_swin_block_matches_torch(shift):
     block = SwinBlock(

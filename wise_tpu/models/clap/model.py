@@ -204,6 +204,10 @@ class SwinBlock(nn.Module):
 
 
 class PatchMerging(nn.Module):
+    """2x2 patch merging with the official Swin concat order
+    ([x0;x1;x2;x3] = [(row0,col0),(row1,col0),(row0,col1),(row1,col1)]) so
+    published Swin/HTSAT reduction weights map without column permutation."""
+
     input_resolution: Tuple[int, int]
     dtype: Any = jnp.float32
 
@@ -211,10 +215,11 @@ class PatchMerging(nn.Module):
     def __call__(self, x):
         hres, wres = self.input_resolution
         b, l, c = x.shape
-        x = x.reshape(b, hres // 2, 2, wres // 2, 2, c)
-        x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
-            b, (hres // 2) * (wres // 2), 4 * c
-        )
+        g = x.reshape(b, hres // 2, 2, wres // 2, 2, c)
+        x = jnp.concatenate(
+            [g[:, :, 0, :, 0], g[:, :, 1, :, 0], g[:, :, 0, :, 1], g[:, :, 1, :, 1]],
+            axis=-1,
+        ).reshape(b, (hres // 2) * (wres // 2), 4 * c)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
         return nn.Dense(2 * c, use_bias=False, dtype=self.dtype, name="reduction")(x)
 
