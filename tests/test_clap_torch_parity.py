@@ -2,10 +2,8 @@
 GPT2Model. GPT2's Conv1D stores weights (in, out) — exactly our Dense kernel
 layout, so fused qkv/proj map without transposes.
 
-Note: real GPT2 checkpoints use the tanh-approximate 'gelu_new' activation;
-this test pins the structural mapping with activation_function='gelu'
-(matching our towers) — the activation switch is part of the CLAP weight
-conversion work (ROADMAP item 2).
+Uses torch's 'gelu_new' (tanh approximation) on both sides — the activation
+real GPT2 checkpoints were trained with.
 """
 
 import numpy as np
@@ -40,7 +38,7 @@ def build_torch(flax_params):
         n_embd=CFG.text_width,
         n_layer=CFG.text_layers,
         n_head=CFG.text_heads,
-        activation_function="gelu",
+        activation_function="gelu_new",
         resid_pdrop=0.0,
         embd_pdrop=0.0,
         attn_pdrop=0.0,

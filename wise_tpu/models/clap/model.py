@@ -54,6 +54,8 @@ class CLAPConfig:
     text_width: int = 768
     text_heads: int = 12
     text_layers: int = 12
+    #: GPT2 checkpoints use torch's 'gelu_new' (tanh approximation)
+    text_act: str = "gelu_tanh"
     dtype: Any = jnp.float32
 
 
@@ -305,7 +307,7 @@ class CaptionEncoder(nn.Module):
             jnp.full((c.context_length, c.context_length), -jnp.inf), k=1
         )[None, None]
         x = Transformer(
-            c.text_width, c.text_layers, c.text_heads, quick_gelu=False,
+            c.text_width, c.text_layers, c.text_heads, quick_gelu=c.text_act,
             dtype=c.dtype, name="transformer",
         )(x, mask)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_f")(x)

@@ -123,9 +123,13 @@ def get_clip_config(model_name: str) -> CLIPConfig:
     )
 
 
-def _gelu(x, quick: bool):
-    if quick:
+def _gelu(x, act):
+    """act: False/'gelu' (exact), True/'quick_gelu' (sigmoid approx, OpenAI
+    CLIP), 'gelu_tanh' (tanh approx — torch 'gelu_new', used by GPT2)."""
+    if act is True or act == "quick_gelu":
         return x * jax.nn.sigmoid(1.702 * x)
+    if act == "gelu_tanh":
+        return jax.nn.gelu(x, approximate=True)
     return jax.nn.gelu(x, approximate=False)
 
 
