@@ -1,0 +1,163 @@
+"""msclap checkpoint -> Flax parameter conversion (best-effort).
+
+Sub-mappings are torch-parity-verified in tests:
+- GPT2 caption tower (Conv1D fused qkv; tests/test_clap_torch_parity.py)
+- Swin blocks + patch merging (tests/test_swin_torch_parity.py)
+- Projection heads (linear1/linear2/layer_norm naming as in msclap)
+
+Caveats, surfaced as warnings at load time until validated against a real
+msclap checkpoint (ROADMAP item 2):
+- the reference HTSAT applies BatchNorm over mel bins (bn0) and a
+  time->frequency reshape before patch embedding; our encoder uses a fixed
+  affine — converted audio embeddings are therefore approximate;
+- HTSAT's token-semantic (tscam) head is not part of the CLAP latent path
+  and is ignored;
+- key prefixes are auto-detected (msclap wraps towers as
+  ``caption_encoder.base.*`` / ``audio_encoder.base.*``).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _detect_prefix(sd: Dict, suffix: str) -> str:
+    """Find the key prefix P such that P+suffix exists (e.g. suffix
+    'wte.weight' -> 'caption_encoder.base.')."""
+    for k in sd:
+        if k.endswith(suffix):
+            return k[: -len(suffix)]
+    raise KeyError(f"no key ending with {suffix!r} in checkpoint")
+
+
+def _dense(sd, prefix, transpose=True):
+    w = np.asarray(sd[prefix + ".weight"], dtype=np.float32)
+    return {
+        "kernel": w.T if transpose else w,
+        "bias": np.asarray(sd[prefix + ".bias"], dtype=np.float32),
+    }
+
+
+def _ln(sd, prefix):
+    return {
+        "scale": np.asarray(sd[prefix + ".weight"], dtype=np.float32),
+        "bias": np.asarray(sd[prefix + ".bias"], dtype=np.float32),
+    }
+
+
+def _projection(sd, prefix):
+    return {
+        "linear1": _dense(sd, prefix + ".linear1"),
+        "linear2": _dense(sd, prefix + ".linear2"),
+        "layer_norm": _ln(sd, prefix + ".layer_norm"),
+    }
+
+
+def convert_caption_tower(sd: Dict, config) -> Dict:
+    """GPT2 (msclap caption_encoder.base) -> CaptionEncoder params."""
+    p = _detect_prefix(sd, "wte.weight")
+    params = {
+        "token_embedding": np.asarray(sd[p + "wte.weight"], np.float32),
+        "positional_embedding": np.asarray(sd[p + "wpe.weight"], np.float32),
+        "ln_f": _ln(sd, p + "ln_f"),
+        "transformer": {},
+    }
+    for i in range(config.text_layers):
+        b = f"{p}h.{i}"
+        params["transformer"][f"resblocks_{i}"] = {
+            "ln_1": _ln(sd, b + ".ln_1"),
+            "ln_2": _ln(sd, b + ".ln_2"),
+            "attn": {
+                # GPT2 Conv1D weight is (in, out) == flax Dense kernel
+                "in_proj": _dense(sd, b + ".attn.c_attn", transpose=False),
+                "out_proj": _dense(sd, b + ".attn.c_proj", transpose=False),
+            },
+            "mlp_fc": _dense(sd, b + ".mlp.c_fc", transpose=False),
+            "mlp_proj": _dense(sd, b + ".mlp.c_proj", transpose=False),
+        }
+    return params
+
+
+def convert_audio_tower(sd: Dict, config) -> Dict:
+    """HTSAT Swin core (msclap audio_encoder.base) -> HTSATEncoder params.
+    Maps patch embed, Swin blocks, and patch-merging; bn0/tscam are skipped
+    (see module docstring)."""
+    p = _detect_prefix(sd, "patch_embed.proj.weight")
+    conv_w = np.asarray(sd[p + "patch_embed.proj.weight"], np.float32)
+    params = {
+        "patch_embed": {
+            # torch conv (out, in, kh, kw) -> flax (kh, kw, in, out)
+            "kernel": np.transpose(conv_w, (2, 3, 1, 0)),
+            "bias": np.asarray(sd[p + "patch_embed.proj.bias"], np.float32),
+        },
+        "patch_norm": _ln(sd, p + "patch_embed.norm"),
+        "norm": _ln(sd, p + "norm"),
+    }
+    for stage, depth in enumerate(config.depths):
+        for blk in range(depth):
+            b = f"{p}layers.{stage}.blocks.{blk}"
+            params[f"stage{stage}_block{blk}"] = {
+                "norm1": _ln(sd, b + ".norm1"),
+                "norm2": _ln(sd, b + ".norm2"),
+                "attn": {
+                    "qkv": _dense(sd, b + ".attn.qkv"),
+                    "proj": _dense(sd, b + ".attn.proj"),
+                    "relative_position_bias_table": np.asarray(
+                        sd[b + ".attn.relative_position_bias_table"],
+                        np.float32,
+                    ),
+                },
+                "mlp_fc1": _dense(sd, b + ".mlp.fc1"),
+                "mlp_fc2": _dense(sd, b + ".mlp.fc2"),
+            }
+        if stage < len(config.depths) - 1:
+            d = f"{p}layers.{stage}.downsample"
+            params[f"merge{stage}"] = {
+                "norm": _ln(sd, d + ".norm"),
+                "reduction": {
+                    "kernel": np.asarray(
+                        sd[d + ".reduction.weight"], np.float32
+                    ).T
+                },
+            }
+    return params
+
+
+def convert_msclap_state_dict(sd: Dict, config) -> Dict:
+    """Full msclap CLAP state dict -> wise_tpu CLAP params tree."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    logger.warning(
+        "msclap conversion is best-effort: HTSAT bn0/reshape differences "
+        "make audio embeddings approximate until validated against the "
+        "reference implementation (ROADMAP item 2)"
+    )
+    cap_proj_prefix = _detect_prefix(sd, "linear1.weight")
+    # disambiguate caption vs audio projection by substring
+    cap_proj = next(
+        (k[: -len("linear1.weight")] for k in sd
+         if k.endswith("linear1.weight") and "caption" in k),
+        cap_proj_prefix,
+    )
+    aud_proj = next(
+        (k[: -len("linear1.weight")] for k in sd
+         if k.endswith("linear1.weight") and "audio" in k),
+        None,
+    )
+    params = {
+        "caption_encoder": convert_caption_tower(sd, config),
+        "audio_encoder": convert_audio_tower(sd, config),
+        "caption_projection": _projection(sd, cap_proj.rstrip(".")),
+        "logit_scale": np.asarray(
+            sd.get("logit_scale", np.log(1 / 0.07)), np.float32
+        ),
+    }
+    if aud_proj:
+        params["audio_projection"] = _projection(sd, aud_proj.rstrip("."))
+    else:
+        raise KeyError("audio projection keys not found in checkpoint")
+    return params

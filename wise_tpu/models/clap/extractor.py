@@ -53,11 +53,32 @@ class ClapExtractor(FeatureExtractor):
         self.target_samples = int(c.sample_rate * c.duration)
 
         ckpt_dir = _checkpoint_dir(self.version, self.variant)
-        ckpt = next(iter(sorted(ckpt_dir.glob("*.npz"))), None) if ckpt_dir.exists() else None
+        ckpt = None
+        if ckpt_dir.exists():
+            for pat in ("*.npz", "*.pth", "*.pt"):
+                hits = sorted(ckpt_dir.glob(pat))
+                if hits:
+                    ckpt = hits[0]
+                    break
         rng = jax.random.PRNGKey(0)
         dummy_mel = jnp.zeros((1, 16, c.n_mels), jnp.float32)
         dummy_tok = jnp.zeros((1, c.context_length), jnp.int32)
-        if ckpt is not None:
+        if ckpt is not None and ckpt.suffix in (".pth", ".pt"):
+            # msclap torch checkpoint (staged by scripts/fetch_checkpoints.py)
+            import torch
+
+            from .convert import convert_msclap_state_dict
+
+            logger.info(f"converting msclap checkpoint {ckpt}")
+            raw = torch.load(str(ckpt), map_location="cpu", weights_only=True)
+            if isinstance(raw, dict) and "model" in raw:
+                raw = raw["model"]
+            sd = {
+                k: (v.numpy() if hasattr(v, "numpy") else v)
+                for k, v in raw.items()
+            }
+            self.params = {"params": convert_msclap_state_dict(sd, c)}
+        elif ckpt is not None:
             logger.info(f"loading CLAP checkpoint {ckpt}")
             with np.load(ckpt, allow_pickle=True) as z:
                 import flax
