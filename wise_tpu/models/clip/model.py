@@ -40,6 +40,11 @@ class CLIPConfig:
     text_heads: int = 8
     text_layers: int = 12
     quick_gelu: bool = False
+    #: activation override: "" (use quick_gelu flag), "gelu", "quick_gelu",
+    #: "gelu_tanh" (SigLIP / GPT2 'gelu_new')
+    act: str = ""
+    #: SigLIP text head is a biased Linear; CLIP text_projection is bias-free
+    text_proj_bias: bool = False
     #: "clip" (causal transformer, argmax/EOT pooling) or "hf_xlm_roberta"
     #: (open_clip HFTextEncoder-style tower, see hf_text.py)
     text_tower: str = "clip"
@@ -92,12 +97,14 @@ CLIP_CONFIGS = {
         vision_layers=24, vision_heads=16, context_length=64,
         vocab_size=32000, text_width=1024, text_heads=16, text_layers=12,
         vision_pool="map", text_causal=False, text_pool="last",
+        act="gelu_tanh", text_proj_bias=True,
     ),
     "ViT-B-16-SigLIP-256": CLIPConfig(
         embed_dim=768, image_size=256, patch_size=16, vision_width=768,
         vision_layers=12, vision_heads=12, context_length=64,
         vocab_size=32000, text_width=768, text_heads=12, text_layers=12,
         vision_pool="map", text_causal=False, text_pool="last",
+        act="gelu_tanh", text_proj_bias=True,
     ),
     # OpenAI checkpoints use QuickGELU
     "ViT-B-32-quickgelu": CLIPConfig(quick_gelu=True),
@@ -208,6 +215,7 @@ class MAPHead(nn.Module):
 
     width: int
     heads: int
+    act: Any = "gelu_tanh"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -237,7 +245,7 @@ class MAPHead(nn.Module):
         out = nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(out)
         h = nn.Dense(4 * D, dtype=self.dtype, name="mlp_fc")(y)
-        h = jax.nn.gelu(h, approximate=False)
+        h = _gelu(h, self.act)
         out = out + nn.Dense(D, dtype=self.dtype, name="mlp_proj")(h)
         return out[:, 0, :]
 
@@ -277,9 +285,12 @@ class VisionTransformer(nn.Module):
             (n_tokens, c.vision_width),
         )
         x = x + pos.astype(c.dtype)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(x)
+        if use_cls:
+            # CLIP applies a pre-LN; SigLIP (MAP-pooled) has none
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(x)
         x = Transformer(
-            c.vision_width, c.vision_layers, c.vision_heads, c.quick_gelu,
+            c.vision_width, c.vision_layers, c.vision_heads,
+            c.act or c.quick_gelu,
             dtype=c.dtype, name="transformer",
         )(x)
         if use_cls:
@@ -289,7 +300,8 @@ class VisionTransformer(nn.Module):
         else:
             x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(x)
             x = MAPHead(
-                c.vision_width, c.vision_heads, dtype=c.dtype, name="attn_pool"
+                c.vision_width, c.vision_heads,
+                act=c.act or c.quick_gelu, dtype=c.dtype, name="attn_pool",
             )(x.astype(c.dtype))
         proj = self.param(
             "proj", nn.initializers.normal(0.02), (c.vision_width, c.embed_dim)
@@ -327,7 +339,8 @@ class TextTransformer(nn.Module):
         else:
             mask = None  # SigLIP text attends bidirectionally
         x = Transformer(
-            c.text_width, c.text_layers, c.text_heads, c.quick_gelu,
+            c.text_width, c.text_layers, c.text_heads,
+            c.act or c.quick_gelu,
             dtype=c.dtype, name="transformer",
         )(x, mask)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_final")(x)
@@ -341,9 +354,13 @@ class TextTransformer(nn.Module):
             nn.initializers.normal(0.02),
             (c.text_width, c.embed_dim),
         )
-        return (pooled.astype(c.dtype) @ proj.astype(c.dtype)).astype(
-            jnp.float32
-        )
+        out = pooled.astype(c.dtype) @ proj.astype(c.dtype)
+        if c.text_proj_bias:  # SigLIP text head is a biased Linear
+            bias = self.param(
+                "text_projection_bias", nn.initializers.zeros, (c.embed_dim,)
+            )
+            out = out + bias.astype(c.dtype)
+        return out.astype(jnp.float32)
 
 
 class CLIP(nn.Module):
