@@ -54,11 +54,102 @@ def _transformer(sd, prefix, layers):
     }
 
 
+def _timm_block(sd, prefix):
+    """timm ViT block (SigLIP vision trunk) -> our resblock tree."""
+    return {
+        "ln_1": _ln(sd, prefix + ".norm1"),
+        "ln_2": _ln(sd, prefix + ".norm2"),
+        "attn": {
+            "in_proj": _dense(sd, prefix + ".attn.qkv"),
+            "out_proj": _dense(sd, prefix + ".attn.proj"),
+        },
+        "mlp_fc": _dense(sd, prefix + ".mlp.fc1"),
+        "mlp_proj": _dense(sd, prefix + ".mlp.fc2"),
+    }
+
+
+def convert_siglip_state_dict(sd: Dict[str, np.ndarray], config) -> Dict:
+    """open_clip SigLIP checkpoint (timm vision trunk under ``visual.trunk``,
+    open_clip TextTransformer under ``text``) -> our CLIP params tree with
+    vision_pool='map'. Architecture parity vs transformers-Siglip is pinned
+    by tests/test_siglip_torch_parity.py."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    vt = "visual.trunk"
+    width = config.vision_width
+    pos = np.asarray(sd[f"{vt}.pos_embed"], dtype=np.float32)
+    if pos.ndim == 3:
+        pos = pos[0]
+    ap = f"{vt}.attn_pool"
+    qk = np.asarray(sd[f"{ap}.q.weight"], np.float32).T        # (D, D)
+    qb = np.asarray(sd[f"{ap}.q.bias"], np.float32)
+    kvk = np.asarray(sd[f"{ap}.kv.weight"], np.float32).T      # (D, 2D)
+    kvb = np.asarray(sd[f"{ap}.kv.bias"], np.float32)
+    latent = np.asarray(sd[f"{ap}.latent"], np.float32)
+    if latent.ndim == 3:
+        latent = latent[0]
+    visual = {
+        "conv1": {
+            "kernel": np.transpose(
+                np.asarray(sd[f"{vt}.patch_embed.proj.weight"], np.float32),
+                (2, 3, 1, 0),
+            ),
+            "bias": np.asarray(
+                sd[f"{vt}.patch_embed.proj.bias"], np.float32
+            ),
+        },
+        "positional_embedding": pos,
+        "transformer": {
+            f"resblocks_{i}": _timm_block(sd, f"{vt}.blocks.{i}")
+            for i in range(config.vision_layers)
+        },
+        "ln_post": _ln(sd, f"{vt}.norm"),
+        "attn_pool": {
+            "probe": latent,
+            "q_proj": {"kernel": qk, "bias": qb},
+            "kv_proj": {"kernel": kvk, "bias": kvb},
+            "out_proj": _dense(sd, f"{ap}.proj")
+            if f"{ap}.proj.weight" in sd
+            else _dense(sd, f"{ap}.proj_drop"),  # naming variants
+            "norm": _ln(sd, f"{ap}.norm"),
+            "mlp_fc": _dense(sd, f"{ap}.mlp.fc1"),
+            "mlp_proj": _dense(sd, f"{ap}.mlp.fc2"),
+        },
+        # SigLIP has no separate visual projection; ours stays identity
+        "proj": np.eye(width, config.embed_dim, dtype=np.float32),
+    }
+    text = {
+        "token_embedding": np.asarray(
+            sd["text.token_embedding.weight"], np.float32
+        ),
+        "positional_embedding": np.asarray(
+            sd["text.positional_embedding"], np.float32
+        ),
+        "transformer": {
+            f"resblocks_{i}": _resblock(sd, f"text.transformer.resblocks.{i}")
+            for i in range(config.text_layers)
+        },
+        "ln_final": _ln(sd, "text.ln_final"),
+        "text_projection": np.asarray(
+            sd["text.text_projection.weight"], np.float32
+        ).T,
+        "text_projection_bias": np.asarray(
+            sd["text.text_projection.bias"], np.float32
+        ),
+    }
+    return {
+        "visual": visual,
+        "text": text,
+        "logit_scale": np.asarray(sd["logit_scale"], np.float32),
+    }
+
+
 def convert_openclip_state_dict(sd: Dict[str, np.ndarray], config) -> Dict:
     """sd: flat torch-style state dict (tensors or ndarrays). Returns a flax
     params tree for wise_tpu.models.clip.model.CLIP. Dispatches the text
     tower mapping for HF-text models (xlm-roberta variants)."""
     sd = {k: np.asarray(v) for k, v in sd.items()}
+    if getattr(config, "vision_pool", "cls") == "map":
+        return convert_siglip_state_dict(sd, config)
     if getattr(config, "text_tower", "clip") == "hf_xlm_roberta":
         from .hf_text import HFTextConfig, convert_hf_text_state_dict
 
