@@ -54,6 +54,9 @@ class CLIPConfig:
     #: text tower variants for SigLIP: non-causal attention, last-token pool
     text_causal: bool = True
     text_pool: str = "argmax"      # "argmax" (EOT) | "last"
+    #: rematerialise transformer blocks (recompute activations in backward —
+    #: trades FLOPs for memory when training large towers)
+    remat: bool = False
     dtype: Any = jnp.float32
 
 
@@ -198,11 +201,17 @@ class Transformer(nn.Module):
     heads: int
     quick_gelu: bool
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
+        block_cls = (
+            nn.remat(ResidualAttentionBlock, static_argnums=())
+            if self.remat
+            else ResidualAttentionBlock
+        )
         for i in range(self.layers):
-            x = ResidualAttentionBlock(
+            x = block_cls(
                 self.width, self.heads, self.quick_gelu, dtype=self.dtype,
                 name=f"resblocks_{i}",
             )(x, mask)
@@ -291,7 +300,7 @@ class VisionTransformer(nn.Module):
         x = Transformer(
             c.vision_width, c.vision_layers, c.vision_heads,
             c.act or c.quick_gelu,
-            dtype=c.dtype, name="transformer",
+            dtype=c.dtype, remat=c.remat, name="transformer",
         )(x)
         if use_cls:
             x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(
@@ -341,7 +350,7 @@ class TextTransformer(nn.Module):
         x = Transformer(
             c.text_width, c.text_layers, c.text_heads,
             c.act or c.quick_gelu,
-            dtype=c.dtype, name="transformer",
+            dtype=c.dtype, remat=c.remat, name="transformer",
         )(x, mask)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_final")(x)
         if c.text_pool == "last":

@@ -12,6 +12,15 @@ from __future__ import annotations
 
 
 def FeatureExtractorFactory(id: str):
+    # reference factory docstring documents __RANDOM_<dim>__ debug ids
+    # (src/feature/feature_extractor_factory.py:14)
+    import re
+
+    m = re.fullmatch(r"__RANDOM_(\d+)__", id)
+    if m:
+        from .random_features import RandomFeatures
+
+        return RandomFeatures(f"wise/random_features/{m.group(1)}/default")
     if len(id.split("/")) != 4:
         raise ValueError(
             "Feature extractor id must be formatted as "
