@@ -30,6 +30,8 @@ def build_parser():
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--learning-rate", type=float, default=1e-5)
+    p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--grad-clip", type=float, default=1.0)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=500)
     p.add_argument("--resume", action="store_true")
@@ -69,7 +71,11 @@ def main(argv=None) -> int:
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
     )
     mesh = get_mesh(dp=args.dp, mp=args.mp)
-    trainer = CLIPTrainer(config, mesh, learning_rate=args.learning_rate)
+    trainer = CLIPTrainer(
+        config, mesh, learning_rate=args.learning_rate,
+        warmup_steps=args.warmup_steps, total_steps=args.steps,
+        grad_clip=args.grad_clip,
+    )
     params, opt_state = trainer.init(jax.random.PRNGKey(0))
     start_step = 0
     ckpt_dir = args.checkpoint_dir or str(

@@ -59,11 +59,26 @@ def clip_loss(img_feats, txt_feats, logit_scale):
 
 class CLIPTrainer:
     def __init__(self, config: CLIPConfig, mesh: Mesh,
-                 learning_rate: float = 1e-4, weight_decay: float = 0.01):
+                 learning_rate: float = 1e-4, weight_decay: float = 0.01,
+                 warmup_steps: int = 0, total_steps: int = 0,
+                 grad_clip: float = 0.0):
         self.config = config
         self.mesh = mesh
         self.model = CLIP(config)
-        self.optimizer = optax.adamw(learning_rate, weight_decay=weight_decay)
+        if warmup_steps or total_steps:
+            schedule = optax.warmup_cosine_decay_schedule(
+                init_value=0.0,
+                peak_value=learning_rate,
+                warmup_steps=max(warmup_steps, 1),
+                decay_steps=max(total_steps, warmup_steps + 1),
+                end_value=learning_rate * 0.01,
+            )
+        else:
+            schedule = learning_rate
+        tx = optax.adamw(schedule, weight_decay=weight_decay)
+        if grad_clip and grad_clip > 0:
+            tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+        self.optimizer = tx
 
         self.batch_sharding = NamedSharding(mesh, P("dp"))
         self.replicated = NamedSharding(mesh, P())
