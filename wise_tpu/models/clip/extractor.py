@@ -77,7 +77,19 @@ class OpenClipExtractor(FeatureExtractor):
         self.model = CLIP(self.config)
         ckpt_dir = _checkpoint_dir(self.model_name, self.pretrained)
         ckpt = _find_checkpoint(ckpt_dir)
-        if ckpt is not None:
+        orbax_steps = (
+            sorted(ckpt_dir.glob("step_*")) if ckpt_dir.exists() else []
+        )
+        if ckpt is None and orbax_steps:
+            # fine-tuned checkpoint written by cli/train.py (orbax): point
+            # WISE_CHECKPOINT_DIR at the project's checkpoints dir to serve it
+            import orbax.checkpoint as ocp
+
+            logger.info(f"loading fine-tuned checkpoint {orbax_steps[-1]}")
+            with ocp.StandardCheckpointer() as ckptr:
+                restored = ckptr.restore(orbax_steps[-1].absolute())
+            self.params = jax.device_put(restored["params"])
+        elif ckpt is not None:
             from .convert import load_checkpoint
 
             logger.info(f"loading CLIP checkpoint {ckpt}")
