@@ -47,6 +47,15 @@ class ClapExtractor(FeatureExtractor):
         self.id = id
         self.version, self.variant = tok[2], tok[3]
         self.config = get_clap_config(self.version)
+        # bf16 activations by default (same rationale as the CLIP extractor);
+        # override with WISE_CLAP_DTYPE=float32
+        import dataclasses as _dc
+
+        dtype_name = os.environ.get("WISE_CLAP_DTYPE", "bfloat16")
+        self.config = _dc.replace(
+            self.config,
+            dtype=jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32,
+        )
         self.output_dim = self.config.joint_dim
         c = self.config
         self.model = CLAP(c)
