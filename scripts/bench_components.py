@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Per-component benchmark suite (run on real TPU hardware; see CLAUDE.md
+for the tunnel timing methodology). Prints one JSON object per component.
+
+    python scripts/bench_components.py [--quick]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def roundtrip():
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda a: a + 1)
+    np.asarray(f(jnp.zeros((1,))))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(f(jnp.zeros((1,))))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def bench_decode(out):
+    import tempfile
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tests"))
+    from media_fixtures import make_video
+
+    from wise_tpu.io.decode import iter_video_frames
+
+    d = Path(tempfile.mkdtemp())
+    make_video(d / "v.mp4", seconds=30, fps=30, size=(640, 480))
+    t0 = time.time()
+    n = sum(len(f) for f, _ in iter_video_frames(d / "v.mp4", 2.0, 8))
+    dt = time.time() - t0
+    out["decode"] = {
+        "source": "30s 640x480@30fps mp4, sampled 2fps",
+        "sampled_frames": n,
+        "src_frames_per_s_per_core": round(900 / dt, 1),
+        "realtime_x": round(30 / dt, 1),
+    }
+
+
+def bench_encoder(out, rt, quick):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from wise_tpu.models.clip.model import CLIP, get_clip_config
+    from wise_tpu.models.clip.preprocess import preprocess_images
+
+    for name in ("ViT-B-32",) if quick else ("ViT-B-32", "ViT-L-14"):
+        config = dataclasses.replace(
+            get_clip_config(name), dtype=jnp.bfloat16
+        )
+        model = CLIP(config)
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, config.image_size, config.image_size, 3)),
+            jnp.zeros((1, config.context_length), jnp.int32),
+        )
+        B = 256 if name != "ViT-B-32" else 512
+
+        @jax.jit
+        def step(params, frames, carry):
+            x = preprocess_images(
+                frames + (carry * 0).astype(frames.dtype), config.image_size
+            )
+            return model.apply(params, x, method=CLIP.encode_image)[0, 0]
+
+        frames = jnp.asarray(
+            np.random.default_rng(0).integers(
+                0, 255, (B, 256, 320, 3), dtype=np.uint8
+            )
+        )
+        carry = step(params, frames, jnp.float32(0))
+        np.asarray(carry)
+        iters = 5 if quick else 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            carry = step(params, frames, carry)
+        np.asarray(carry)
+        dt = time.perf_counter() - t0 - rt
+        out[f"encoder_{name}"] = {
+            "batch": B,
+            "frames_per_s_per_chip_bf16": round(B * iters / dt, 1),
+        }
+
+
+def bench_search(out, rt, quick):
+    import jax
+    import jax.numpy as jnp
+
+    from wise_tpu.ops.topk import two_stage_topk
+
+    N, D, K = 1_048_576, 512, 100
+    db32 = jax.jit(
+        lambda k: jax.random.normal(k, (N, D), jnp.float32)
+    )(jax.random.PRNGKey(0))
+    variants = {"f32": db32, "bf16": db32.astype(jnp.bfloat16)}
+    qs = jax.random.normal(jax.random.PRNGKey(1), (20, D), jnp.float32)
+    for tag, db in variants.items():
+        @jax.jit
+        def loop(qs, db):
+            def body(i, c):
+                v, _ = two_stage_topk(
+                    (qs[i] + c * 0)[None], db, n_valid=N, k=K
+                )
+                return v[0, 0]
+
+            return jax.lax.fori_loop(0, 20, body, jnp.float32(0))
+
+        np.asarray(loop(qs, db))
+        t0 = time.perf_counter()
+        np.asarray(loop(qs, db))
+        dt = (time.perf_counter() - t0 - rt) / 20
+        out[f"exact_search_1M_{tag}"] = {
+            "k": K, "ms_per_query": round(dt * 1e3, 3)
+        }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true")
+    args = p.parse_args()
+    out = {}
+    rt = roundtrip()
+    out["tunnel_roundtrip_ms"] = round(rt * 1e3, 1)
+    bench_decode(out)
+    bench_search(out, rt, args.quick)
+    bench_encoder(out, rt, args.quick)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
