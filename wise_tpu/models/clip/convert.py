@@ -222,12 +222,53 @@ def convert_checkpoint_file(src, dst) -> int:
     return len(sd)
 
 
+_SAFETENSORS_DTYPES = {
+    "F64": np.float64, "F32": np.float32, "F16": np.float16,
+    "BF16": None,  # handled specially below
+    "I64": np.int64, "I32": np.int32, "I16": np.int16, "I8": np.int8,
+    "U8": np.uint8, "BOOL": np.bool_,
+}
+
+
+def load_safetensors(path) -> Dict[str, np.ndarray]:
+    """Minimal dependency-free safetensors reader: u64 header length +
+    JSON header {name: {dtype, shape, data_offsets}} + raw little-endian
+    tensor bytes."""
+    import json
+
+    with open(path, "rb") as f:
+        (header_len,) = np.frombuffer(f.read(8), dtype="<u8")
+        header = json.loads(f.read(int(header_len)).decode("utf-8"))
+        data = f.read()
+    out = {}
+    for name, spec in header.items():
+        if name == "__metadata__":
+            continue
+        start, end = spec["data_offsets"]
+        raw = data[start:end]
+        shape = tuple(spec["shape"])
+        if spec["dtype"] == "BF16":
+            u16 = np.frombuffer(raw, dtype="<u2").astype(np.uint32) << 16
+            arr = u16.view(np.float32).astype(np.float32)
+        else:
+            arr = np.frombuffer(
+                raw, dtype=np.dtype(_SAFETENSORS_DTYPES[spec["dtype"]]).newbyteorder("<")
+            )
+            if arr.dtype == np.float16:
+                arr = arr.astype(np.float32)
+        out[name] = arr.reshape(shape)
+    return out
+
+
 def load_checkpoint(path, config) -> Dict:
-    """Load a .pt/.bin (torch) or .npz checkpoint into flax params."""
+    """Load a .pt/.bin (torch), .safetensors, or .npz checkpoint into flax
+    params."""
     path = str(path)
     if path.endswith(".npz"):
         with np.load(path) as z:
             sd = {k: z[k] for k in z.files}
+    elif path.endswith(".safetensors"):
+        sd = load_safetensors(path)
     else:
         import torch
 
