@@ -231,3 +231,14 @@ def test_parse_multipart_unit():
     fields = parse_multipart(body, f'multipart/form-data; boundary="{boundary}"')
     assert fields["text_queries"] == [b"hello"]
     assert fields["image_file_queries"] == [b"BYTES"]
+
+
+def test_get_search_multi_query_fusion(served_project):
+    """Two q values fuse (weighted average) — result differs from either
+    single query."""
+    base, _ = served_project
+    _, single = _get(f"{base}/search?q=alpha&end=5")
+    _, fused = _get(f"{base}/search?q=alpha&q=beta&end=5")
+    d1 = [s["distance"] for s in single["video_results"]["unmerged_windows"]]
+    d2 = [s["distance"] for s in fused["video_results"]["unmerged_windows"]]
+    assert d1 != d2

@@ -136,3 +136,24 @@ def test_csv_lines_format():
     # exact contract: quoted title with CSV-doubled quotes, rank, filename,
     # start, end, score to 3 decimals (reference: search.py:511-539)
     assert lines[0] == '"""cooking"" in video",0,"a.mp4",0.0,8.5,0.102'
+
+
+def test_table_lines_human_readable():
+    from wise_tpu.search.results import result_to_table_lines, to_hhmmss
+
+    assert to_hhmmss(96.5) == "00:01:36.50"
+    assert to_hhmmss(3661.25) == "01:01:01.25"
+    results = [
+        {
+            "match_filename_list": ["a.mp4"],
+            "match_pts_list": [[96.5, 100.0]],
+            "match_score_list": [0.5],
+            "merged_rank_list": [[0]],
+            "query": ["x"],
+            "in": ["video"],
+            "not_in": [],
+            "search_time_sec": 0.01,
+        }
+    ]
+    lines = result_to_table_lines(results, human_readable=True)
+    assert any("00:01:36.50 - 00:01:40.00" in l for l in lines)
