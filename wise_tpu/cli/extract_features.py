@@ -35,7 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--image-feature-id", default=DEFAULT_IMAGE_FEATURE_ID)
     p.add_argument("--video-feature-id", default=DEFAULT_IMAGE_FEATURE_ID)
     p.add_argument("--audio-feature-id", default=DEFAULT_AUDIO_FEATURE_ID)
-    p.add_argument("--batch-size", type=int, default=128,
+    p.add_argument("--batch-size", type=int, default=256,
                    help="encoder batch size (frames)")
     p.add_argument("--project-dir", required=True, type=str)
     p.add_argument("--thumbnails", default=True,

@@ -232,7 +232,7 @@ def extract_features(
     num_workers: int = 0,
     thumbnails: bool = True,
     media_include_list: Sequence[str] = (),
-    batch_size: int = 128,
+    batch_size: int = 256,
     config: Optional[WiseConfig] = None,
 ) -> ExtractionStats:
     t0 = time.time()
