@@ -128,10 +128,3 @@ class InfoResponse(BaseModel):
     num_vectors: int
     total_duration: float
     media_types: List[str]
-
-
-class FeaturedResponse(BaseModel):
-    total: int
-    images: Dict[str, ImageInfo]
-    videos: Dict[str, VideoInfo]
-    unmerged_windows: List[VideoSegment]
