@@ -89,7 +89,21 @@ def convert_audio_tower(sd: Dict, config) -> Dict:
     (see module docstring)."""
     p = _detect_prefix(sd, "patch_embed.proj.weight")
     conv_w = np.asarray(sd[p + "patch_embed.proj.weight"], np.float32)
+    # fold bn0 (BatchNorm over mel bins, inference mode) into the per-bin
+    # affine: y = (x - mean) / sqrt(var + eps) * gamma + beta
+    if p + "bn0.running_mean" in sd:
+        mean = np.asarray(sd[p + "bn0.running_mean"], np.float32)
+        var = np.asarray(sd[p + "bn0.running_var"], np.float32)
+        gamma = np.asarray(sd[p + "bn0.weight"], np.float32)
+        beta = np.asarray(sd[p + "bn0.bias"], np.float32)
+        inv = gamma / np.sqrt(var + 1e-5)
+        bn0_scale, bn0_bias = inv, beta - mean * inv
+    else:
+        bn0_scale = np.full((config.n_mels,), 1.0 / 40.0, np.float32)
+        bn0_bias = np.ones((config.n_mels,), np.float32)
     params = {
+        "bn0_scale": bn0_scale,
+        "bn0_bias": bn0_bias,
         "patch_embed": {
             # torch conv (out, in, kh, kw) -> flax (kh, kw, in, out)
             "kernel": np.transpose(conv_w, (2, 3, 1, 0)),

@@ -244,13 +244,24 @@ class HTSATEncoder(nn.Module):
         else:
             mel = mel[:, : c.spec_frames]
         chunk = c.spec_frames // c.freq_ratio
+        # per-mel-bin affine normalisation — the inference-mode equivalent of
+        # HTSAT's bn0 BatchNorm over frequency. Initialised to (x+40)/40
+        # (a sane log-mel dynamic range); a converted checkpoint's bn0
+        # running stats fold into these two vectors.
+        bn_scale = self.param(
+            "bn0_scale",
+            lambda key, shape: jnp.full(shape, 1.0 / 40.0, jnp.float32),
+            (c.n_mels,),
+        )
+        bn_bias = self.param(
+            "bn0_bias", nn.initializers.ones, (c.n_mels,)
+        )
+        mel = mel * bn_scale[None, None, :] + bn_bias[None, None, :]
         x = mel.reshape(b, c.freq_ratio, chunk, c.n_mels)
         x = jnp.transpose(x, (0, 2, 1, 3)).reshape(
             b, chunk, c.freq_ratio * c.n_mels
         )  # (B, 256, 256) for default config
         x = x[..., None]  # (B, H, W, 1)
-        # normalise dynamic range (batch-norm-free: fixed affine)
-        x = (x + 40.0) / 40.0
 
         x = nn.Conv(
             c.embed_dim,
