@@ -56,6 +56,11 @@ def _fake_msclap_sd(c: CLAPConfig):
         w(lp + ".mlp.c_proj.bias", c.text_width)
     # audio tower: HTSAT-style Swin under audio_encoder.base.
     a = "audio_encoder.base."
+    # bn0 running stats (folded into the per-bin affine by the converter)
+    w(a + "bn0.weight", c.n_mels)
+    w(a + "bn0.bias", c.n_mels)
+    sd[a + "bn0.running_mean"] = rng.standard_normal(c.n_mels).astype(np.float32)
+    sd[a + "bn0.running_var"] = np.abs(rng.standard_normal(c.n_mels)).astype(np.float32) + 0.5
     w(a + "patch_embed.proj.weight", c.embed_dim, 1, c.patch_size, c.patch_size)
     w(a + "patch_embed.proj.bias", c.embed_dim)
     w(a + "patch_embed.norm.weight", c.embed_dim)
