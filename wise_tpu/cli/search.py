@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["audio", "video", "metadata", "image"])
     p.add_argument("--index-type", default="IndexFlatIP",
                    choices=["IndexFlatIP", "IndexIVFFlat", "IndexIVFPQ"])
+    p.add_argument("--storage-dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="HBM dtype for the resident index (bfloat16 halves scan bandwidth)")
     p.add_argument("--topk", action="append", type=int)
     p.add_argument("--max-filename-length", type=int, default=50)
     p.add_argument("--no-merge", action="store_true")
@@ -105,6 +108,8 @@ def main(argv=None) -> int:
         print(f"failed to load assets from {args.project_dir}")
         return 1
     config = project.load_config()
+    if args.storage_dtype:
+        config.index.storage_dtype = args.storage_dtype
     conn = wdb.connect(project.db_path, readonly=True)
 
     if args.media_type_list is None and args.media_type_not_list is not None:

@@ -17,6 +17,9 @@ def build_parser():
     p.add_argument("--port", type=int, default=9670)
     p.add_argument("--index-type", default="IndexFlatIP",
                    choices=["IndexFlatIP", "IndexIVFFlat", "IndexIVFPQ"])
+    p.add_argument("--storage-dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="HBM dtype for the resident index (bfloat16 halves scan bandwidth)")
     p.add_argument("--query-blocklist", type=str, default=None,
                    help="file with one blocked query per line")
     p.add_argument("--frontend-dir", type=str, default=None,
@@ -35,6 +38,8 @@ def main(argv=None) -> int:
 
     project = WiseProject(args.project_dir)
     config = project.load_config().apply_env_overrides()
+    if args.storage_dtype:
+        config.index.storage_dtype = args.storage_dtype
     if args.frontend_dir is None:
         bundled = Path(__file__).resolve().parents[2] / "frontend"
         if (bundled / "index.html").exists():
