@@ -26,6 +26,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--feature-id", default="wise/random_features/64/smoke",
                    help="use an mlfoundations/... id to exercise real towers")
+    p.add_argument("--audio-feature-id", default=None,
+                   help="defaults to --feature-id, or a random extractor when "
+                        "--feature-id is image-only (CLIP)")
     p.add_argument("--keep", default=None, help="keep the project under DIR")
     args = p.parse_args()
     t_start = time.time()
@@ -45,9 +48,12 @@ def main():
     from wise_tpu.pipeline import extract_features
 
     proj = root / "proj"
+    audio_id = args.audio_feature_id or args.feature_id
+    if audio_id.startswith("mlfoundations/"):
+        audio_id = "wise/random_features/1024/smoke"
     stats = extract_features(
         [media], proj, image_feature_id=args.feature_id,
-        video_feature_id=args.feature_id, audio_feature_id=args.feature_id,
+        video_feature_id=args.feature_id, audio_feature_id=audio_id,
         num_workers=2,
     )
     assert stats.num_video_vectors > 0 and stats.num_audio_vectors > 0

@@ -40,6 +40,8 @@ def _checkpoint_dir(version: str, variant: str) -> Path:
 
 
 class ClapExtractor(FeatureExtractor):
+    supports_image = False
+
     def __init__(self, id: str):
         tok = id.split("/")
         if len(tok) != 4 or not id.startswith("microsoft/clap/"):

@@ -54,6 +54,8 @@ def _find_checkpoint(d: Path) -> Optional[Path]:
 
 
 class OpenClipExtractor(FeatureExtractor):
+    supports_audio = False
+
     def __init__(self, id: str):
         tok = id.split("/")
         if len(tok) != 4 or not id.startswith("mlfoundations/open_clip/"):

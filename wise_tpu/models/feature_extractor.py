@@ -20,6 +20,10 @@ class FeatureExtractor:
     output_dim: int = -1
     #: (H, W) expected by preprocess_image, where applicable
     input_size = None
+    #: modality capabilities (pipelines validate these up front)
+    supports_image: bool = True
+    supports_text: bool = True
+    supports_audio: bool = True
 
     def __init__(self):
         raise NotImplementedError

@@ -318,11 +318,24 @@ def extract_features(
 
     extractors: Dict[str, object] = {}
 
-    def get_extractor(feature_id):
+    def get_extractor(feature_id, modality: str):
         if feature_id not in extractors:
             logger.info(f"loading feature extractor {feature_id}")
             extractors[feature_id] = FeatureExtractorFactory(feature_id)
-        return extractors[feature_id]
+        fe = extractors[feature_id]
+        if modality == "audio" and not getattr(fe, "supports_audio", True):
+            raise ValueError(
+                f"{feature_id} cannot embed audio; pass an audio-capable "
+                "--audio-feature-id (e.g. microsoft/clap/2023/four-datasets)"
+            )
+        if modality in ("image", "video") and not getattr(
+            fe, "supports_image", True
+        ):
+            raise ValueError(
+                f"{feature_id} cannot embed images/frames; pass an "
+                "image-capable --image/--video-feature-id"
+            )
+        return fe
 
     chunk_counter = 0
 
@@ -339,7 +352,7 @@ def extract_features(
     # -- 4. images ----------------------------------------------------------
     if MediaType.IMAGE in by_type:
         entries = by_type[MediaType.IMAGE]
-        extractor = get_extractor(image_feature_id)
+        extractor = get_extractor(image_feature_id, "image")
         store = make_store(image_feature_id, "image")
         embedder = _BatchedEmbedder(
             extractor, store, conn, ModalityType.IMAGE, batch_size, stats,
@@ -373,7 +386,7 @@ def extract_features(
     # -- 5. video / AV -------------------------------------------------------
     av_entries = by_type.get(MediaType.VIDEO, []) + by_type.get(MediaType.AV, [])
     if av_entries:
-        v_extractor = get_extractor(video_feature_id)
+        v_extractor = get_extractor(video_feature_id, "video")
         v_store = make_store(video_feature_id, "video")
         v_embedder = _BatchedEmbedder(
             v_extractor, v_store, conn, ModalityType.VIDEO, batch_size, stats,
@@ -387,7 +400,7 @@ def extract_features(
         a_embedder = None
         a_store = None
         if has_audio:
-            a_extractor = get_extractor(audio_feature_id)
+            a_extractor = get_extractor(audio_feature_id, "audio")
             a_store = make_store(audio_feature_id, "audio")
             a_embedder = _BatchedEmbedder(
                 a_extractor, a_store, conn, ModalityType.AUDIO,
@@ -446,7 +459,7 @@ def extract_features(
     # -- 6. audio-only files -------------------------------------------------
     if MediaType.AUDIO in by_type:
         entries = by_type[MediaType.AUDIO]
-        extractor = get_extractor(audio_feature_id)
+        extractor = get_extractor(audio_feature_id, "audio")
         store = make_store(audio_feature_id, "audio")
         embedder = _BatchedEmbedder(
             extractor, store, conn, ModalityType.AUDIO,
