@@ -28,3 +28,22 @@ def test_audio_run(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "audio samples" in out
+
+
+def test_doctor_cli(tmp_path, capsys):
+    from tests.media_fixtures import make_video
+    from wise_tpu.cli.doctor import main as doctor_main
+    from wise_tpu.pipeline import extract_features
+
+    media = tmp_path / "m"
+    media.mkdir()
+    make_video(media / "v.mp4", seconds=2, fps=10)
+    pdir = tmp_path / "p"
+    fid = "wise/random_features/16/doc"
+    extract_features([media], pdir, image_feature_id=fid,
+                     video_feature_id=fid, audio_feature_id=fid)
+    rc = doctor_main(["--project-dir", str(pdir)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "FAIL" not in out
+    assert "project assets" in out and "project db" in out
