@@ -66,3 +66,28 @@ def test_param_shardings_partition_mlp():
     assert block["mlp_fc"]["kernel"].spec == P(None, "mp")
     assert block["mlp_proj"]["kernel"].spec == P("mp", None)
     assert sh["params"]["logit_scale"].spec == P()
+
+
+def test_optimizer_state_shards_like_params():
+    from jax.sharding import PartitionSpec as P
+
+    import jax.numpy as jnp
+
+    from wise_tpu.models.clip.model import CLIPConfig
+    from wise_tpu.parallel.mesh import get_mesh
+    from wise_tpu.parallel.train import CLIPTrainer
+
+    mesh = get_mesh(dp=4, mp=2)
+    config = CLIPConfig(
+        embed_dim=16, image_size=32, patch_size=16, vision_width=32,
+        vision_layers=1, vision_heads=2, context_length=8, vocab_size=64,
+        text_width=32, text_heads=2, text_layers=1,
+    )
+    trainer = CLIPTrainer(config, mesh)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+    # adam mu for an mp-sharded kernel must carry the same sharding
+    mu_kernel = opt_state[0].mu["params"]["visual"]["transformer"][
+        "resblocks_0"]["attn"]["in_proj"]["kernel"]
+    assert mu_kernel.sharding.spec == P(None, "mp")
+    # scalar count replicates
+    assert opt_state[0].count.sharding.spec == P()

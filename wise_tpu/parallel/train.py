@@ -94,11 +94,26 @@ class CLIPTrainer:
         params = jax.tree_util.tree_map(
             lambda x, s: jax.device_put(x, s), params, shardings
         )
-        # optimizer state is replicated (adam moments re-shard to param
-        # shardings is a TODO for large-mp configs; at dp-only meshes
-        # replication is exactly right and keeps scalar leaves consistent)
+        # optimizer state: adam moments shard like their parameters (path
+        # suffix match), scalar leaves (count) replicate
+        opt_shapes = jax.eval_shape(self.optimizer.init, params)
+        param_paths = {
+            jax.tree_util.keystr(p): s
+            for p, s in jax.tree_util.tree_flatten_with_path(shardings)[0]
+        }
+
+        def shard_for(path, leaf):
+            key = jax.tree_util.keystr(path)
+            for pkey, s in param_paths.items():
+                if key.endswith(pkey):
+                    return s
+            return self.replicated
+
+        opt_shardings = jax.tree_util.tree_map_with_path(
+            shard_for, opt_shapes
+        )
         opt_state = jax.jit(
-            self.optimizer.init, out_shardings=self.replicated
+            self.optimizer.init, out_shardings=opt_shardings
         )(params)
         self.param_shardings = shardings
         return params, opt_state
