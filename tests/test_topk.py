@@ -107,3 +107,21 @@ def test_scores_are_f32_inner_products(rng):
     vals, idx = exact_topk(q, db, 1)
     expect = float(q[0] @ db[idx[0, 0]])
     assert abs(float(vals[0, 0]) - expect) < 1e-5
+
+
+def test_flat_topk_dispatcher_consistency(rng):
+    """Both dispatcher branches (two_stage for small Q, hier for large) give
+    identical exact results."""
+    from wise_tpu.ops.topk import flat_topk
+
+    n, d, k = 700, 32, 9
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    padded = pad_rows(db, 128)
+    q_small = rng.standard_normal((2, d)).astype(np.float32)
+    q_large = np.concatenate([q_small] * 4)  # 8 queries -> hier branch
+    ref_vals, ref_idx = numpy_reference_topk(q_small, db, k)
+    v1, i1 = flat_topk(q_small, padded, n_valid=n, k=k, group=128)
+    v2, i2 = flat_topk(q_large, padded, n_valid=n, k=k, group=128)
+    np.testing.assert_array_equal(np.asarray(i1), ref_idx)
+    np.testing.assert_array_equal(np.asarray(i2)[:2], ref_idx)
+    np.testing.assert_allclose(np.asarray(v1), ref_vals, rtol=1e-5, atol=1e-5)
