@@ -57,3 +57,72 @@ def test_ivfpq_index_recall(tmp_path, rng):
         _, gi = idx.search("video", vecs[i][None], topk=10, query_type="vector")
         hits += int(ids[i] in gi)
     assert hits >= 17  # >=85% top-10 self-recall under 8-byte codes
+
+
+def test_ivfpq_device_matches_host(tmp_path, rng):
+    """On-device jitted ADC (ops/ivfpq.py) == host numpy ADC, including
+    partial probes and empty cells."""
+    from tests.test_index import _build_project_store
+
+    asset, ids, vecs = _build_project_store(tmp_path, n=700, dim=32, seed=7)
+    cfg = IndexConfig(pq_m=8, pq_train_samples=700)
+    idx = FeatureSearchIndex(
+        "video", "wise/random_features/32/test", asset, config=cfg
+    )
+    idx.create_index("IndexIVFPQ", overwrite=True)
+    idx.load_index("IndexIVFPQ")
+
+    q = np.concatenate([vecs[3][None], vecs[99][None]])
+    for nprobe in (1, 4, 10_000):
+        host_s, host_r = idx._search_ivfpq_host(q, 10, nprobe)
+        dev_s, dev_r = idx._search_ivfpq_device(q, 10, nprobe)
+        np.testing.assert_allclose(dev_s, host_s, rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(dev_r, host_r)
+
+
+def test_ivfpq_device_full_probe_matches_flat_adc(tmp_path, rng):
+    """Full probe: device path scores every code exactly once; scores equal
+    cell-centroid IP + flat adc_scores."""
+    from tests.test_index import _build_project_store
+
+    asset, ids, vecs = _build_project_store(tmp_path, n=300, dim=16, seed=11)
+    cfg = IndexConfig(pq_m=4, pq_train_samples=300)
+    idx = FeatureSearchIndex(
+        "video", "wise/random_features/16/test", asset, config=cfg
+    )
+    idx.create_index("IndexIVFPQ", overwrite=True)
+    idx.load_index("IndexIVFPQ")
+
+    codes = np.asarray(idx._arrays["codes"])
+    centroids = np.asarray(idx._arrays["centroids"])
+    offsets = np.asarray(idx._arrays["cell_offsets"])
+    books = np.asarray(idx._arrays["pq_codebooks"])
+    cell_of_row = np.searchsorted(offsets, np.arange(len(codes)), side="right") - 1
+
+    q = vecs[10][None]
+    flat = adc_scores(codes, adc_tables(q[0], books))
+    flat = flat + (centroids @ q[0])[cell_of_row]
+    k = 15
+    order = np.argsort(-flat, kind="stable")[:k]
+    dev_s, dev_r = idx._search_ivfpq_device(q, k, 10_000)
+    np.testing.assert_array_equal(dev_r[0], order)
+    np.testing.assert_allclose(dev_s[0], flat[order], rtol=1e-4, atol=1e-4)
+
+
+def test_ivfpq_overlong_topk_reports_minus_one_ids(tmp_path, rng):
+    """topk >> corpus: empty slots carry id -1 / -inf score (faiss
+    convention) so hydration drops them instead of showing row-0 media."""
+    from tests.test_index import _build_project_store
+
+    asset, ids, vecs = _build_project_store(tmp_path, n=50, dim=16, seed=2)
+    cfg = IndexConfig(pq_m=4, pq_train_samples=50)
+    idx = FeatureSearchIndex(
+        "video", "wise/random_features/16/test", asset, config=cfg
+    )
+    idx.create_index("IndexIVFPQ", overwrite=True)
+    idx.load_index("IndexIVFPQ")
+    scores, got = idx.search_batch(vecs[:2], topk=200)
+    assert scores.shape == got.shape == (2, 200)
+    empty = np.isneginf(scores)
+    assert empty.any() and (got[empty] == -1).all()
+    assert (got[~empty] != -1).all()

@@ -171,6 +171,9 @@ class FeatureSearchIndex(SearchIndex):
         self._metadata, self._arrays = read_index_file(path)
         self._index_type = self._metadata["index_type"]
         self._device_db = None
+        for cached in ("_ivf_dev", "_pq_dev"):  # drop stale device copies
+            if hasattr(self, cached):
+                delattr(self, cached)
         return True
 
     GROUP = 4096  # top-k group size; DB rows pad to a multiple of this
@@ -218,8 +221,16 @@ class FeatureSearchIndex(SearchIndex):
             qvec = np.atleast_2d(np.asarray(query, dtype=np.float32))
 
         scores, rows = self._dispatch_search(qvec, topk)
-        ids = np.asarray(self._arrays["ids"])[rows]
+        ids = self._rows_to_ids(scores, rows)
         return scores[0], ids[0]
+
+    def _rows_to_ids(self, scores, rows):
+        """Map result rows to vector ids; empty (-inf) slots — IVF/PQ probes
+        can return fewer than k candidates — report id -1 so consumers drop
+        them (faiss convention)."""
+        ids = np.asarray(self._arrays["ids"])[rows]
+        ids[np.isneginf(scores)] = -1
+        return ids
 
     def _dispatch_search(self, qvec, topk):
         if self._index_type == "IndexFlatIP":
@@ -236,8 +247,7 @@ class FeatureSearchIndex(SearchIndex):
         """(Q, D) query vectors -> (scores (Q, k), ids (Q, k))."""
         qvec = np.atleast_2d(np.asarray(query_vectors, dtype=np.float32))
         scores, rows = self._dispatch_search(qvec, topk)
-        ids = np.asarray(self._arrays["ids"])[rows]
-        return scores, ids
+        return scores, self._rows_to_ids(scores, rows)
 
     def _search_flat(self, qvec, topk):
         from ..ops.topk import flat_topk
@@ -256,6 +266,52 @@ class FeatureSearchIndex(SearchIndex):
         return np.asarray(vals), np.asarray(idx)
 
     def _search_ivfpq(self, qvec, topk, nprobe):
+        """IVF+PQ dispatch: single-device -> fully on-device jitted ADC
+        (ops/ivfpq.py, uint8 codes HBM-resident); multi-device keeps the
+        host-orchestrated loop (codes memmap streams from disk)."""
+        import jax
+
+        if jax.device_count() == 1:
+            return self._search_ivfpq_device(qvec, topk, nprobe)
+        return self._search_ivfpq_host(qvec, topk, nprobe)
+
+    def _search_ivfpq_device(self, qvec, topk, nprobe):
+        import jax
+
+        from ..ops.ivfpq import ivfpq_search
+
+        if not hasattr(self, "_pq_dev"):
+            offsets = np.asarray(self._arrays["cell_offsets"], dtype=np.int32)
+            self._pq_lmax = int(max(np.max(np.diff(offsets)), 1))
+            self._pq_dev = (
+                jax.device_put(np.asarray(self._arrays["centroids"])),
+                jax.device_put(offsets),
+                jax.device_put(np.asarray(self._arrays["codes"])),
+                jax.device_put(np.asarray(self._arrays["pq_codebooks"])),
+            )
+        centroids, offsets, codes, codebooks = self._pq_dev
+        nlist = centroids.shape[0]
+        vals, rows = ivfpq_search(
+            qvec.astype(np.float32), centroids, offsets, codes, codebooks,
+            nprobe=min(int(nprobe), nlist),
+            lmax=self._pq_lmax,
+            k=int(topk),
+        )
+        return self._pad_device_topk(vals, rows, topk)
+
+    @staticmethod
+    def _pad_device_topk(vals, rows, topk):
+        """Match the host convention: empty (-inf) slots report row 0, and
+        results pad out to the requested k."""
+        vals, rows = np.asarray(vals), np.asarray(rows).astype(np.int64)
+        rows[np.isneginf(vals)] = 0
+        if vals.shape[1] < topk:
+            pad = topk - vals.shape[1]
+            vals = np.pad(vals, ((0, 0), (0, pad)), constant_values=-np.inf)
+            rows = np.pad(rows, ((0, 0), (0, pad)))
+        return vals, rows
+
+    def _search_ivfpq_host(self, qvec, topk, nprobe):
         """IVF+PQ asymmetric-distance search: score = q . cell_centroid +
         sum_m LUT[m, code_m] over probed cells (reference config
         docs/Search-Index-Evaluation.md)."""
@@ -325,12 +381,7 @@ class FeatureSearchIndex(SearchIndex):
             lmax=max(self._ivf_lmax, 1),
             k=int(topk),
         )
-        vals, rows = np.asarray(vals), np.asarray(rows).astype(np.int64)
-        if vals.shape[1] < topk:  # pad to requested k
-            pad = topk - vals.shape[1]
-            vals = np.pad(vals, ((0, 0), (0, pad)), constant_values=-np.inf)
-            rows = np.pad(rows, ((0, 0), (0, pad)))
-        return vals, rows
+        return self._pad_device_topk(vals, rows, topk)
 
     def _search_ivf_host(self, qvec, topk, nprobe):
         from ..ops.topk import scan_topk
