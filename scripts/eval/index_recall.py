@@ -46,7 +46,7 @@ def main():
         return 1
 
     # exhaustive ground truth straight from the store
-    ids, vecs = index._load_store_matrix()
+    ids, vecs = index._load_store_matrix(index._open_store())
     rng = np.random.default_rng(0)
     q_idx = rng.permutation(len(vecs))[: args.num_queries]
     queries = vecs[q_idx]

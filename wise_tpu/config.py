@@ -73,6 +73,11 @@ class IndexConfig:
     # device-side scan parameters
     scan_block_rows: int = 4096            # DB rows per Pallas scan block
     storage_dtype: str = "float32"         # "float32" | "bfloat16"
+    # streaming (> RAM) index build: used when the (N, D) f32 matrix would
+    # exceed this many bytes; 0 forces streaming (tests)
+    stream_build_threshold_bytes: int = 2 << 30
+    # cap on k-means training rows held in RAM during a streaming build
+    ivf_stream_train_max: int = 1_000_000
 
 
 @dataclasses.dataclass

@@ -61,11 +61,23 @@ class FeatureSearchIndex(SearchIndex):
         return self._extractor
 
     # ------------------------------------------------------------------
-    def _load_store_matrix(self) -> Tuple[np.ndarray, np.ndarray]:
+    def _open_store(self):
         store = FeatureStoreFactory.load_store(
             self.media_type, Path(self.asset["features_dir"])
         )
         store.enable_read()
+        return store
+
+    def _ivf_params(self, n: int) -> Tuple[int, int]:
+        cfg = self.config
+        if n < cfg.ivf_nlist_threshold:
+            nlist = int(cfg.ivf_nlist_small_factor * math.sqrt(n))
+        else:
+            nlist = int(cfg.ivf_nlist_large_factor * math.sqrt(n))
+        nlist = max(1, min(nlist, n))
+        return nlist, min(n, cfg.ivf_train_per_cell * nlist)
+
+    def _load_store_matrix(self, store) -> Tuple[np.ndarray, np.ndarray]:
         n, d = store.feature_count, store.feature_dim
         ids = np.empty(n, dtype=np.int64)
         vecs = np.empty((n, d), dtype=np.float32)
@@ -84,8 +96,11 @@ class FeatureSearchIndex(SearchIndex):
             logger.info(f"index {out} exists, skipping (overwrite=False)")
             return False
         self.index_dir.mkdir(parents=True, exist_ok=True)
-        ids, vecs = self._load_store_matrix()
-        n, d = vecs.shape
+        store = self._open_store()
+        n, d = store.feature_count, store.feature_dim
+        if n * d * 4 > self.config.stream_build_threshold_bytes:
+            return self._create_index_streaming(index_type, out, store, n, d)
+        ids, vecs = self._load_store_matrix(store)
 
         if index_type == "IndexFlatIP":
             write_index_file(
@@ -100,12 +115,7 @@ class FeatureSearchIndex(SearchIndex):
             )
         elif index_type in ("IndexIVFFlat", "IndexIVFPQ"):
             cfg = self.config
-            if n < cfg.ivf_nlist_threshold:
-                nlist = int(cfg.ivf_nlist_small_factor * math.sqrt(n))
-            else:
-                nlist = int(cfg.ivf_nlist_large_factor * math.sqrt(n))
-            nlist = max(1, min(nlist, n))
-            train_count = min(n, cfg.ivf_train_per_cell * nlist)
+            nlist, train_count = self._ivf_params(n)
             rng = np.random.default_rng(0)
             train_idx = rng.permutation(n)[:train_count]
             from ..ops.kmeans import _assign, kmeans
@@ -162,6 +172,161 @@ class FeatureSearchIndex(SearchIndex):
             raise ValueError(f"unsupported index_type {index_type}")
         logger.info(f"wrote {out}")
         return True
+
+    # ------------------------------------------------------------------
+    # streaming (> RAM) build: never materialises the (N, D) f32 matrix.
+    # Flat is a single sequential pass. IVF/PQ: pass 1 gathers bounded
+    # training samples, pass 2 assigns cells batch-by-batch (device matmul),
+    # pass 3 scatter-writes each row to its cell-sorted destination through
+    # IndexFileWriter (sequential read, seek-write; the OS page cache
+    # absorbs the small out-of-order writes). RAM stays O(N) ints +
+    # O(train) vectors. Produces files readers can't tell apart from the
+    # in-memory path's.
+    # ------------------------------------------------------------------
+    STREAM_BATCH = 4096
+
+    def _create_index_streaming(self, index_type, out, store, n, d) -> bool:
+        logger.info(
+            f"streaming index build: type={index_type} n={n} d={d}"
+        )
+        meta = {"metric": "inner_product", "dim": d, "count": n}
+        from .format import IndexFileWriter
+
+        if index_type == "IndexFlatIP":
+            specs = {"ids": (np.int64, (n,)), "vectors": (np.float32, (n, d))}
+            with IndexFileWriter(
+                out, specs, {"index_type": "IndexFlatIP", **meta}
+            ) as w:
+                row = 0
+                for batch_ids, batch in store.iter_batch(self.STREAM_BATCH):
+                    m = len(batch_ids)
+                    w.write_rows("ids", row, np.asarray(batch_ids, np.int64))
+                    w.write_rows("vectors", row, batch.reshape(m, d))
+                    row += m
+                assert row == n
+            logger.info(f"wrote {out} (streamed)")
+            return True
+        if index_type not in ("IndexIVFFlat", "IndexIVFPQ"):
+            raise ValueError(f"unsupported index_type {index_type}")
+
+        from ..ops.kmeans import _assign, kmeans
+
+        cfg = self.config
+        nlist, train_count = self._ivf_params(n)
+        train_count = min(train_count, cfg.ivf_stream_train_max)
+        rng = np.random.default_rng(0)
+        train_idx = rng.permutation(n)[:train_count]
+        samples = [train_idx]
+        if index_type == "IndexIVFPQ":
+            samples.append(rng.permutation(n)[: min(n, cfg.pq_train_samples)])
+        logger.info(f"IVF training: nlist={nlist} train_count={train_count}")
+        sampled = self._gather_rows(store, samples, d)
+
+        centroids, _ = kmeans(sampled[0], nlist, iters=20, seed=0)
+
+        # pass 2: cell assignment for every row (device matmul per batch)
+        assign = np.empty(n, dtype=np.int32)
+        ids = np.empty(n, dtype=np.int64)
+        row = 0
+        for batch_ids, batch in store.iter_batch(self.STREAM_BATCH):
+            m = len(batch_ids)
+            ids[row : row + m] = batch_ids
+            assign[row : row + m] = np.asarray(
+                _assign(batch.reshape(m, d), centroids)
+            )
+            row += m
+        assert row == n
+        counts = np.bincount(assign, minlength=nlist)
+        offsets = np.zeros(nlist + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        order = np.argsort(assign, kind="stable")
+        dest = np.empty(n, dtype=np.int64)
+        dest[order] = np.arange(n)
+        meta["nlist"] = int(nlist)
+
+        if index_type == "IndexIVFPQ":
+            from ..ops.pq import encode_pq, train_pq
+
+            pq_rows = sampled[1]
+            pq_assign = np.asarray(_assign(pq_rows, centroids))
+            logger.info(
+                f"PQ training: M={cfg.pq_m} ksub={cfg.pq_ksub} "
+                f"on {len(pq_rows)} residuals"
+            )
+            codebooks = train_pq(
+                pq_rows - centroids[pq_assign], cfg.pq_m, cfg.pq_ksub
+            )
+            specs = {
+                "ids": (np.int64, (n,)),
+                "codes": (np.uint8, (n, cfg.pq_m)),
+                "centroids": (np.float32, centroids.shape),
+                "pq_codebooks": (np.float32, codebooks.shape),
+                "cell_offsets": (np.int64, (nlist + 1,)),
+            }
+            header = {"index_type": "IndexIVFPQ", "pq_m": int(cfg.pq_m), **meta}
+        else:
+            specs = {
+                "ids": (np.int64, (n,)),
+                "vectors": (np.float32, (n, d)),
+                "centroids": (np.float32, centroids.shape),
+                "cell_offsets": (np.int64, (nlist + 1,)),
+            }
+            header = {"index_type": "IndexIVFFlat", **meta}
+
+        # pass 3: scatter rows (or codes) to their cell-sorted destinations
+        with IndexFileWriter(out, specs, header) as w:
+            w.write_rows("ids", 0, ids[order])
+            w.write_rows("centroids", 0, centroids)
+            w.write_rows("cell_offsets", 0, offsets)
+            if index_type == "IndexIVFPQ":
+                w.write_rows("pq_codebooks", 0, codebooks)
+            row = 0
+            name = "codes" if index_type == "IndexIVFPQ" else "vectors"
+            for _, batch in store.iter_batch(self.STREAM_BATCH):
+                batch = batch.reshape(-1, d)
+                m = batch.shape[0]
+                if index_type == "IndexIVFPQ":
+                    batch = encode_pq(
+                        batch - centroids[assign[row : row + m]], codebooks
+                    )
+                self._scatter_rows(w, name, dest[row : row + m], batch)
+                row += m
+        logger.info(f"wrote {out} (streamed)")
+        return True
+
+    @staticmethod
+    def _gather_rows(store, index_lists, d):
+        """One sequential pass collecting the given global-row samples, each
+        returned in its original (permutation) order."""
+        outs = [np.empty((len(s), d), np.float32) for s in index_lists]
+        orders = [np.argsort(s) for s in index_lists]
+        sorted_rows = [s[o] for s, o in zip(index_lists, orders)]
+        row = 0
+        for _, batch in store.iter_batch(FeatureSearchIndex.STREAM_BATCH):
+            batch = batch.reshape(-1, d)
+            m = batch.shape[0]
+            for out, srows, order in zip(outs, sorted_rows, orders):
+                lo = np.searchsorted(srows, row)
+                hi = np.searchsorted(srows, row + m)
+                if hi > lo:
+                    out[order[lo:hi]] = batch[srows[lo:hi] - row]
+            row += m
+        return outs
+
+    @staticmethod
+    def _scatter_rows(writer, name, dest, data):
+        """Write batch rows to non-contiguous destinations, coalescing
+        consecutive runs into single writes."""
+        order = np.argsort(dest, kind="stable")
+        dest_sorted = dest[order]
+        data_sorted = data[order]
+        cuts = np.nonzero(np.diff(dest_sorted) != 1)[0] + 1
+        start = 0
+        for stop in list(cuts) + [len(dest_sorted)]:
+            writer.write_rows(
+                name, int(dest_sorted[start]), data_sorted[start:stop]
+            )
+            start = stop
 
     # ------------------------------------------------------------------
     def load_index(self, index_type: str) -> bool:
