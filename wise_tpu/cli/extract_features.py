@@ -40,11 +40,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--project-dir", required=True, type=str)
     p.add_argument("--thumbnails", default=True,
                    action=argparse.BooleanOptionalAction)
+    p.add_argument("--ingest-worker", type=int, default=0,
+                   help="this host's rank in a multi-host ingest (see "
+                        "--ingest-workers)")
+    p.add_argument("--ingest-workers", type=int, default=1,
+                   help="total ingest hosts; each processes every N-th file "
+                        "of the sorted scan into its own --project-dir, "
+                        "combined afterwards with merge-projects.py")
     return p
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if not (0 <= args.ingest_worker < args.ingest_workers):
+        parser.error(
+            f"--ingest-worker {args.ingest_worker} must be in "
+            f"[0, --ingest-workers={args.ingest_workers})"
+        )
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s (%(threadName)s): %(name)s - %(levelname)s - %(message)s",
@@ -62,6 +75,8 @@ def main(argv=None) -> int:
         thumbnails=args.thumbnails,
         media_include_list=args.media_include_list,
         batch_size=args.batch_size,
+        ingest_worker=args.ingest_worker,
+        ingest_workers=args.ingest_workers,
     )
     print(
         f"extracted {stats.num_video_vectors} video, "

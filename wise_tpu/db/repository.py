@@ -202,13 +202,16 @@ class VectorRepo(_Repo):
             "end_timestamp": obj.end_timestamp,
         }
 
-    def create_batch(self, conn, objs: List[VectorMetadata]) -> List[VectorMetadata]:
+    def create_batch(self, conn, objs: List[VectorMetadata],
+                     id_base: int = 0) -> List[VectorMetadata]:
         """Single executemany; relies on sqlite rowid monotonicity within the
-        statement to assign contiguous ids."""
+        statement to assign contiguous ids. ``id_base`` floors the id range —
+        multi-host ingest gives each worker a disjoint 2^40 range so merged
+        projects never collide."""
         if not objs:
             return []
         cur = conn.execute("SELECT COALESCE(MAX(id), 0) FROM vectors")
-        base = cur.fetchone()[0]
+        base = max(cur.fetchone()[0], id_base)
         rows = [
             (
                 base + i + 1,

@@ -52,6 +52,10 @@ from ..utils import get_files_from_directory_with_extensions
 
 logger = logging.getLogger(__name__)
 
+# multi-host ingest: worker i allocates media/vector ids in
+# [i * STRIDE, (i+1) * STRIDE) so merged projects never collide
+INGEST_ID_STRIDE = 1 << 40
+
 IMAGE_EXTENSIONS = ["jpg", "jpeg", "png", "bmp", "webp", "gif"]
 VIDEO_EXTENSIONS = ["mp4", "m4v", "mov", "mkv", "webm", "avi"]
 AUDIO_EXTENSIONS = ["wav", "mp3", "flac", "ogg", "m4a", "aac"]
@@ -103,6 +107,8 @@ class _BatchedEmbedder:
         self._items: List[Tuple[int, float, Optional[float], np.ndarray]] = []
         self.vector_repo = VectorRepo()
         self._warmup_thread = None
+
+    id_base = 0  # floor of this worker's vector-id range (set like .timer)
 
     def start_warmup(self, sample_shape):
         """Pre-compile the encoder's main batch bucket on a background thread
@@ -174,7 +180,9 @@ class _BatchedEmbedder:
             )
             for (mid, t0, t1, _) in take
         ]
-        created = self.vector_repo.create_batch(self.conn, vectors)
+        created = self.vector_repo.create_batch(
+            self.conn, vectors, id_base=self.id_base
+        )
         for v, feat in zip(created, feats):
             self.store.add(v.id, feat[None, :].astype(np.float32))
         setattr(
@@ -234,8 +242,21 @@ def extract_features(
     media_include_list: Sequence[str] = (),
     batch_size: int = 256,
     config: Optional[WiseConfig] = None,
+    ingest_worker: int = 0,
+    ingest_workers: int = 1,
 ) -> ExtractionStats:
+    """With ingest_workers > 1, this process ingests only files whose rank in
+    the (deterministic, sorted) scan is ``rank % ingest_workers ==
+    ingest_worker``, and allocates media/vector ids from a disjoint 2^40
+    range per worker — so N hosts can ingest N-way in parallel into separate
+    project dirs and ``merge-projects.py`` concatenates them without id
+    remapping. (The reference is strictly single-process,
+    extract-features.py; this is TPU-pod-scale ingest.)"""
     t0 = time.time()
+    if not (0 <= ingest_worker < ingest_workers):
+        raise ValueError(
+            f"ingest_worker {ingest_worker} not in [0, {ingest_workers})"
+        )
     cfg = config or WiseConfig()
     cfg.store.shard_maxcount = shard_maxcount
     cfg.store.shard_maxsize = shard_maxsize
@@ -250,6 +271,7 @@ def extract_features(
 
     timer = StageTimer()
     _BatchedEmbedder.timer = timer
+    _BatchedEmbedder.id_base = ingest_worker * INGEST_ID_STRIDE
     media_repo = MediaRepo()
     sc_repo = SourceCollectionRepo()
     thumb_repo = ThumbnailRepo()
@@ -261,8 +283,15 @@ def extract_features(
     # (re)processed, with feature stores appending new shards.
     all_media: List[Tuple[Path, "MediaMetadata"]] = []
     skipped_existing = 0
+    id_base = ingest_worker * INGEST_ID_STRIDE
+    next_media_id = None
+    if ingest_workers > 1:
+        row = conn.execute("SELECT COALESCE(MAX(id), 0) FROM media").fetchone()
+        next_media_id = max(row[0], id_base) + 1
     for media_dir in media_dir_list:
         files = _scan_media_dirs([media_dir], media_include_list)
+        if ingest_workers > 1:  # deterministic stride over the sorted scan
+            files = files[ingest_worker::ingest_workers]
         valid, unknown = get_metadata_for_valid_files(files)
         stats.num_unknown_files += len(unknown)
         sc = sc_repo.get_row_by_column_match(conn, "location", str(media_dir))
@@ -292,6 +321,9 @@ def extract_features(
                 meta.id = existing["id"]
                 all_media.append((path, media_repo.update(conn, meta.id, meta)))
                 continue
+            if next_media_id is not None:
+                meta.id = next_media_id
+                next_media_id += 1
             created = media_repo.create(conn, meta)
             all_media.append((path, created))
     conn.commit()
