@@ -47,3 +47,32 @@ def test_index_html_served(frontend_server):
 def test_spa_fallback(frontend_server):
     with urllib.request.urlopen(frontend_server + "/some/route", timeout=10) as r:
         assert "WISE" in r.read().decode()
+
+
+def test_page_js_delimiters_balanced():
+    """No browser/JS engine exists in CI: catch the gross syntax-error class
+    (unbalanced delimiters kill ALL page script) with a string-stripped
+    balance check."""
+    import re
+
+    html = (FRONTEND / "index.html").read_text()
+    js = html.split("<script>")[1].split("</script>")[0]
+    clean = re.sub(
+        r"`[^`]*`|\"(?:[^\"\\\\]|\\\\.)*\"|'(?:[^'\\\\]|\\\\.)*'|//[^\n]*",
+        "", js,
+    )
+    stack = []
+    pairs = {")": "(", "]": "[", "}": "{"}
+    for ch in clean:
+        if ch in "([{":
+            stack.append(ch)
+        elif ch in ")]}":
+            assert stack and stack.pop() == pairs[ch], "unbalanced " + ch
+    assert not stack
+
+
+def test_page_wires_new_endpoints():
+    """Hover preview + upload chips reference the API they depend on."""
+    html = (FRONTEND / "index.html").read_text()
+    for needle in ("storyboard/", "_file_queries", "FormData", "mouseenter"):
+        assert needle in html, needle
