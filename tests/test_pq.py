@@ -126,3 +126,24 @@ def test_ivfpq_overlong_topk_reports_minus_one_ids(tmp_path, rng):
     empty = np.isneginf(scores)
     assert empty.any() and (got[empty] == -1).all()
     assert (got[~empty] != -1).all()
+
+
+def test_ivfpq_reconstruct_rows(tmp_path, rng):
+    """faiss reconstruct_batch parity: PQ indexes reconstruct approximate
+    vectors (centroid + codebook residual), close to the originals."""
+    from tests.test_index import _build_project_store
+
+    asset, ids, vecs = _build_project_store(tmp_path, n=400, dim=32, seed=13)
+    cfg = IndexConfig(pq_m=8, pq_train_samples=400)
+    idx = FeatureSearchIndex(
+        "video", "wise/random_features/32/test", asset, config=cfg
+    )
+    idx.create_index("IndexIVFPQ", overwrite=True)
+    idx.load_index("IndexIVFPQ")
+    stored_ids = np.asarray(idx._arrays["ids"])
+    rec = idx.reconstruct_rows(np.arange(len(stored_ids)))
+    orig = vecs[stored_ids - 1]  # ids are 1-based over vecs
+    cos = np.sum(rec * orig, axis=1) / (
+        np.linalg.norm(rec, axis=1) * np.linalg.norm(orig, axis=1)
+    )
+    assert cos.mean() > 0.75 and cos.min() > 0.3

@@ -405,15 +405,16 @@ class SearchEngine:
         memmapped, so this is an O(log n) searchsorted + row gather."""
         index = self.indices[media_type]
         ids = np.asarray(index._arrays["ids"])
-        vectors = index._arrays["vectors"]
-        out = []
         order = np.argsort(ids)
+        rows = []
         for vid in vector_ids:
-            pos = order[np.searchsorted(ids[order], vid)]
+            pos = order[
+                min(np.searchsorted(ids[order], vid), len(ids) - 1)
+            ]
             if ids[pos] != vid:
                 raise KeyError(f"vector id {vid} not in index")
-            out.append(np.asarray(vectors[pos], np.float32))
-        return out
+            rows.append(pos)
+        return list(index.reconstruct_rows(rows))
 
     def featured(self, start: int = 0, end: int = 44,
                  thumbnails_to_send: int = 10) -> M.SearchResponse:

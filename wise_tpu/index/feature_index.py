@@ -430,6 +430,24 @@ class FeatureSearchIndex(SearchIndex):
         vals, idx = flat_topk(qvec, db, n_valid=n_valid, k=k, group=self.GROUP)
         return np.asarray(vals), np.asarray(idx)
 
+    def reconstruct_rows(self, rows) -> np.ndarray:
+        """Stored vectors by row (faiss reconstruct_batch parity,
+        routes.py:1077-1146). Flat/IVF return exact rows; IVF-PQ decodes
+        cell_centroid + per-subspace codebook entries (lossy, like faiss)."""
+        rows = np.atleast_1d(np.asarray(rows, dtype=np.int64))
+        if "vectors" in self._arrays:
+            return np.asarray(self._arrays["vectors"][rows], np.float32)
+        codes = np.asarray(self._arrays["codes"][rows], np.int64)
+        centroids = np.asarray(self._arrays["centroids"])
+        books = np.asarray(self._arrays["pq_codebooks"])
+        offsets = np.asarray(self._arrays["cell_offsets"])
+        cells = np.searchsorted(offsets, rows, side="right") - 1
+        m = books.shape[0]
+        resid = np.concatenate(
+            [books[i][codes[:, i]] for i in range(m)], axis=1
+        )
+        return (centroids[cells] + resid).astype(np.float32)
+
     def _search_ivfpq(self, qvec, topk, nprobe):
         """IVF+PQ dispatch: single-device -> fully on-device jitted ADC
         (ops/ivfpq.py, uint8 codes HBM-resident); multi-device keeps the
