@@ -163,11 +163,18 @@ def bench_query_latency(roundtrip: float):
     queries = jax.random.normal(
         jax.random.PRNGKey(1), (n_iter, DIM), jnp.float32
     )
-    np.asarray(bench_loop(queries, db_dev))  # compile
-    t0 = time.perf_counter()
-    np.asarray(bench_loop(queries, db_dev))
-    dt = time.perf_counter() - t0 - roundtrip
-    per_query = dt / n_iter
+
+    def timed(db):
+        np.asarray(bench_loop(queries, db))  # compile
+        t0 = time.perf_counter()
+        np.asarray(bench_loop(queries, db))
+        return (time.perf_counter() - t0 - roundtrip) / n_iter
+
+    per_query = timed(db_dev)
+    # bf16 HBM-resident storage (the --storage-dtype bfloat16 serve path):
+    # half the scan bandwidth, scores still accumulate f32
+    db_bf16 = jax.jit(lambda a: a.astype(jnp.bfloat16))(db_dev)
+    per_query_bf16 = timed(db_bf16)
 
     # CPU numpy baseline (what the reference's faiss-CPU flat scan does)
     rng = np.random.default_rng(0)
@@ -178,14 +185,14 @@ def bench_query_latency(roundtrip: float):
     part = np.argpartition(-scores[0], TOPK)[:TOPK]
     _ = part[np.argsort(-scores[0][part])]
     cpu = time.perf_counter() - t0
-    return per_query, cpu
+    return per_query, per_query_bf16, cpu
 
 
 def main():
     roundtrip = _measure_roundtrip()
     fps = bench_tpu_vit(roundtrip, "bfloat16")
     torch_fps = bench_torch_cpu_vit()
-    p50, cpu_scan = bench_query_latency(roundtrip)
+    p50, p50_bf16, cpu_scan = bench_query_latency(roundtrip)
     vs = (fps / torch_fps) if torch_fps else None
     print(
         json.dumps(
@@ -198,6 +205,7 @@ def main():
                 if torch_fps
                 else None,
                 "query_p50_latency_s_at_1M": round(p50, 5),
+                "query_p50_latency_bf16_s_at_1M": round(p50_bf16, 5),
                 "cpu_numpy_scan_s_at_1M": round(cpu_scan, 4),
                 "tunnel_roundtrip_s": round(roundtrip, 4),
             }
