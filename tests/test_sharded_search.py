@@ -53,3 +53,72 @@ def test_sharded_small_mesh(rng):
     ref_vals, ref_idx = numpy_reference_topk(queries, db, 8)
     np.testing.assert_allclose(vals, ref_vals, rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(idx, ref_idx)
+
+
+# ---------------------------------------------------------------------------
+# sharded IVF / IVF-PQ (multi-chip cell search)
+# ---------------------------------------------------------------------------
+
+def _make_ivf_index(tmp_path, index_type, n=900, dim=32, **cfg_kw):
+    from tests.test_index import _build_project_store
+    from wise_tpu.config import IndexConfig
+    from wise_tpu.index import FeatureSearchIndex
+
+    asset, ids, vecs = _build_project_store(tmp_path, n=n, dim=dim, seed=21)
+    idx = FeatureSearchIndex(
+        "video", f"wise/random_features/{dim}/test", asset,
+        config=IndexConfig(**cfg_kw),
+    )
+    idx.create_index(index_type, overwrite=True)
+    idx.load_index(index_type)
+    return idx, ids, vecs
+
+
+def test_sharded_ivf_matches_host(tmp_path):
+    """8-device shard_map IVF == host-orchestrated path, across nprobe."""
+    idx, ids, vecs = _make_ivf_index(tmp_path, "IndexIVFFlat")
+    q = np.concatenate([vecs[5][None], vecs[700][None]])
+    for nprobe in (1, 4, 10_000):
+        host_s, host_r = idx._search_ivf_host(q, 10, nprobe)
+        dev_s, dev_r = idx._search_ivf_sharded(q, 10, nprobe)
+        np.testing.assert_allclose(dev_s, host_s, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(dev_r, host_r)
+
+
+def test_sharded_ivf_full_probe_is_exact(tmp_path):
+    from wise_tpu.ops.topk import numpy_reference_topk
+
+    idx, ids, vecs = _make_ivf_index(tmp_path, "IndexIVFFlat", n=500, dim=16)
+    sorted_vecs = np.asarray(idx._arrays["vectors"])
+    q = vecs[33][None]
+    vals, rows = idx._search_ivf_sharded(q, 7, 10_000)
+    ref_vals, ref_rows = numpy_reference_topk(q, sorted_vecs, 7)
+    np.testing.assert_allclose(vals, ref_vals, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(rows, ref_rows)
+
+
+def test_sharded_ivfpq_matches_host(tmp_path):
+    idx, ids, vecs = _make_ivf_index(
+        tmp_path, "IndexIVFPQ", pq_m=8, pq_train_samples=900
+    )
+    q = np.concatenate([vecs[5][None], vecs[700][None]])
+    for nprobe in (1, 4, 10_000):
+        host_s, host_r = idx._search_ivfpq_host(q, 10, nprobe)
+        dev_s, dev_r = idx._search_ivfpq_sharded(q, 10, nprobe)
+        np.testing.assert_allclose(dev_s, host_s, rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(dev_r, host_r)
+
+
+def test_sharded_dispatch_used_on_multidevice(tmp_path):
+    """The public search() routes to the sharded paths when >1 device."""
+    import jax
+
+    assert jax.device_count() > 1
+    idx, ids, vecs = _make_ivf_index(tmp_path, "IndexIVFFlat", n=400, dim=16)
+    idx.config.nprobe = 10_000
+    scores, got = idx.search("video", vecs[11][None], topk=5,
+                             query_type="vector")
+    from wise_tpu.ops.topk import numpy_reference_topk
+
+    ref_vals, ref_rows = numpy_reference_topk(vecs[11][None], vecs, 5)
+    np.testing.assert_array_equal(got, ids[ref_rows[0]])

@@ -336,7 +336,9 @@ class FeatureSearchIndex(SearchIndex):
         self._metadata, self._arrays = read_index_file(path)
         self._index_type = self._metadata["index_type"]
         self._device_db = None
-        for cached in ("_ivf_dev", "_pq_dev"):  # drop stale device copies
+        for cached in (  # drop stale device copies
+            "_ivf_dev", "_pq_dev", "_pq_sharded", "_ivf_lmax", "_pq_lmax"
+        ):
             if hasattr(self, cached):
                 delattr(self, cached)
         return True
@@ -450,13 +452,50 @@ class FeatureSearchIndex(SearchIndex):
 
     def _search_ivfpq(self, qvec, topk, nprobe):
         """IVF+PQ dispatch: single-device -> fully on-device jitted ADC
-        (ops/ivfpq.py, uint8 codes HBM-resident); multi-device keeps the
-        host-orchestrated loop (codes memmap streams from disk)."""
+        (ops/ivfpq.py, uint8 codes HBM-resident); multi-device -> shard_map
+        ADC over row-sharded codes with ICI top-k merge."""
         import jax
 
         if jax.device_count() == 1:
             return self._search_ivfpq_device(qvec, topk, nprobe)
-        return self._search_ivfpq_host(qvec, topk, nprobe)
+        return self._search_ivfpq_sharded(qvec, topk, nprobe)
+
+    def _search_ivfpq_sharded(self, qvec, topk, nprobe):
+        import jax
+
+        from ..parallel.sharded_search import sharded_ivfpq_topk
+
+        if not hasattr(self, "_pq_sharded"):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import get_mesh
+            from ..parallel.sharded_search import pad_and_shard_db
+
+            self._mesh = get_mesh(dp=jax.device_count())
+            rep = NamedSharding(self._mesh, P())
+            codes, _ = pad_and_shard_db(
+                self._mesh, np.asarray(self._arrays["codes"])
+            )
+            self._pq_sharded = (
+                jax.device_put(
+                    np.asarray(self._arrays["pq_codebooks"]), rep
+                ),
+                codes,
+            )
+        centroids, offsets = self._ensure_ivf_coarse()
+        codebooks, codes = self._pq_sharded
+        nlist = centroids.shape[0]
+        if not hasattr(self, "_pq_lmax"):
+            self._pq_lmax = int(max(np.max(
+                np.diff(np.asarray(self._arrays["cell_offsets"]))), 1))
+        vals, rows = sharded_ivfpq_topk(
+            self._mesh, qvec.astype(np.float32), centroids, offsets,
+            codebooks, codes,
+            nprobe=min(int(nprobe), nlist),
+            lmax=self._pq_lmax,
+            k=int(topk),
+        )
+        return self._pad_device_topk(vals, rows, topk)
 
     def _search_ivfpq_device(self, qvec, topk, nprobe):
         import jax
@@ -535,27 +574,56 @@ class FeatureSearchIndex(SearchIndex):
 
     def _search_ivf(self, qvec, topk, nprobe):
         """IVF dispatch: single-device -> fully on-device jitted search
-        (ops/ivf.py); multi-device setups keep the host-orchestrated scan
-        (a row gather across row-sharded HBM would all-gather the DB)."""
+        (ops/ivf.py); multi-device -> shard_map search over row-sharded HBM
+        (parallel/sharded_search.py, replicated coarse probe + per-chip
+        masked gather + ICI top-k merge)."""
         import jax
 
         if jax.device_count() == 1:
             return self._search_ivf_device(qvec, topk, nprobe)
-        return self._search_ivf_host(qvec, topk, nprobe)
+        return self._search_ivf_sharded(qvec, topk, nprobe)
+
+    def _ensure_ivf_coarse(self):
+        """Centroids + global cell offsets on device (replicated over the
+        mesh when one exists)."""
+        if not hasattr(self, "_ivf_dev"):
+            import jax
+
+            offsets = np.asarray(self._arrays["cell_offsets"], dtype=np.int32)
+            self._ivf_lmax = int(max(np.max(np.diff(offsets)), 1))
+            centroids = np.asarray(self._arrays["centroids"])
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rep = NamedSharding(self._mesh, P())
+                self._ivf_dev = (
+                    jax.device_put(centroids, rep),
+                    jax.device_put(offsets, rep),
+                )
+            else:
+                self._ivf_dev = (
+                    jax.device_put(centroids), jax.device_put(offsets)
+                )
+        return self._ivf_dev
+
+    def _search_ivf_sharded(self, qvec, topk, nprobe):
+        from ..parallel.sharded_search import sharded_ivf_topk
+
+        db = self._ensure_device_db()  # row-sharded over 'dp', sets _mesh
+        centroids, offsets = self._ensure_ivf_coarse()
+        nlist = centroids.shape[0]
+        vals, rows = sharded_ivf_topk(
+            self._mesh, qvec.astype(np.float32), centroids, offsets, db,
+            nprobe=min(int(nprobe), nlist),
+            lmax=self._ivf_lmax,
+            k=int(topk),
+        )
+        return self._pad_device_topk(vals, rows, topk)
 
     def _search_ivf_device(self, qvec, topk, nprobe):
-        import jax
-
         from ..ops.ivf import ivf_search
 
-        if not hasattr(self, "_ivf_dev"):
-            offsets = np.asarray(self._arrays["cell_offsets"], dtype=np.int32)
-            self._ivf_lmax = int(np.max(np.diff(offsets)))
-            self._ivf_dev = (
-                jax.device_put(np.asarray(self._arrays["centroids"])),
-                jax.device_put(offsets),
-            )
-        centroids_dev, offsets_dev = self._ivf_dev
+        centroids_dev, offsets_dev = self._ensure_ivf_coarse()
         db = self._ensure_device_db()
         nlist = centroids_dev.shape[0]
         vals, rows = ivf_search(

@@ -101,6 +101,158 @@ def sharded_scan_topk(
     return np.asarray(vals), np.asarray(idx)
 
 
+def _merge_gathered_topk(vals, idx, k: int, axis: str):
+    """all_gather per-chip (Q, k_local) candidates and take the global top-k.
+    Chip shards hold ascending global row ranges and each chip emits its
+    candidates in ascending-row order, so the flattened chip-major order is
+    ascending global row and lax.top_k's first-occurrence tie-break prefers
+    the lower row id (faiss semantics)."""
+    all_vals = jax.lax.all_gather(vals, axis)   # (ndev, Q, k_local)
+    all_idx = jax.lax.all_gather(idx, axis)
+    ndev, q_n, k_local = all_vals.shape
+    flat_vals = jnp.moveaxis(all_vals, 0, 1).reshape(q_n, ndev * k_local)
+    flat_idx = jnp.moveaxis(all_idx, 0, 1).reshape(q_n, ndev * k_local)
+    top_vals, pos = jax.lax.top_k(flat_vals, min(k, ndev * k_local))
+    return top_vals, jnp.take_along_axis(flat_idx, pos, axis=1)
+
+
+def _ivf_probe_rows(q, centroids, cell_offsets, nprobe: int, lmax: int):
+    """Replicated coarse probe: top-nprobe cells (re-sorted ascending) ->
+    (global candidate rows (Q, nprobe*lmax), lane-validity mask, per-row
+    coarse score (Q, nprobe*lmax))."""
+    cscores = jax.lax.dot_general(
+        q, centroids.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    probe_scores, cells = jax.lax.top_k(cscores, nprobe)
+    order = jnp.argsort(cells, axis=1)
+    cells = jnp.take_along_axis(cells, order, axis=1)
+    probe_scores = jnp.take_along_axis(probe_scores, order, axis=1)
+    starts = cell_offsets[cells]
+    lens = cell_offsets[cells + 1] - starts
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lmax), 2)
+    rows = starts[:, :, None] + lane                      # (Q, nprobe, lmax)
+    valid = lane < lens[:, :, None]
+    nq = q.shape[0]
+    return (
+        rows.reshape(nq, -1),
+        valid.reshape(nq, -1),
+        jnp.repeat(probe_scores, lmax, axis=1),
+    )
+
+
+def _ivf_shard_body(q, centroids, cell_offsets, db_shard, *, nprobe: int,
+                    lmax: int, k: int, axis: str):
+    """Per-chip IVF-Flat search under shard_map: probe is replicated work
+    (tiny); each chip gathers/scores only the intersection of the probed
+    ranges with its own contiguous global row range."""
+    q = q.astype(jnp.float32)
+    shard_rows = db_shard.shape[0]
+    my = jax.lax.axis_index(axis)
+    base = my * shard_rows
+    rows, valid, _ = _ivf_probe_rows(q, centroids, cell_offsets, nprobe, lmax)
+    mine = valid & (rows >= base) & (rows < base + shard_rows)
+    local = jnp.clip(rows - base, 0, shard_rows - 1)
+    cand = db_shard[local].astype(jnp.float32)            # (Q, P, D)
+    scores = jnp.einsum(
+        "qd,qpd->qp", q, cand, precision=jax.lax.Precision.HIGHEST
+    )
+    scores = jnp.where(mine, scores, -jnp.inf)
+    k_local = min(k, scores.shape[1])
+    vals, pos = jax.lax.top_k(scores, k_local)
+    gidx = jnp.take_along_axis(rows, pos, axis=1)
+    return _merge_gathered_topk(vals, gidx, k, axis)
+
+
+def _ivfpq_shard_body(q, centroids, cell_offsets, codebooks, codes_shard, *,
+                      nprobe: int, lmax: int, k: int, axis: str):
+    """Per-chip IVF-PQ ADC under shard_map (uint8 codes row-sharded)."""
+    q = q.astype(jnp.float32)
+    nq = q.shape[0]
+    m, ksub, dsub = codebooks.shape
+    shard_rows = codes_shard.shape[0]
+    my = jax.lax.axis_index(axis)
+    base = my * shard_rows
+    rows, valid, probe_scores = _ivf_probe_rows(
+        q, centroids, cell_offsets, nprobe, lmax
+    )
+    mine = valid & (rows >= base) & (rows < base + shard_rows)
+    local = jnp.clip(rows - base, 0, shard_rows - 1)
+    tables = jnp.einsum(
+        "qmd,mkd->qmk", q.reshape(nq, m, dsub),
+        codebooks.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(nq, m * ksub)
+    cand = codes_shard[local].astype(jnp.int32)           # (Q, P, M)
+    flat_idx = cand + jnp.arange(m, dtype=jnp.int32) * ksub
+    lut = jnp.take_along_axis(tables[:, None, :], flat_idx, axis=2)
+    scores = jnp.sum(lut, axis=2) + probe_scores
+    scores = jnp.where(mine, scores, -jnp.inf)
+    k_local = min(k, scores.shape[1])
+    vals, pos = jax.lax.top_k(scores, k_local)
+    gidx = jnp.take_along_axis(rows, pos, axis=1)
+    return _merge_gathered_topk(vals, gidx, k, axis)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "nprobe", "lmax", "k")
+)
+def _sharded_ivf(mesh, q, centroids, cell_offsets, db, nprobe, lmax, k):
+    from jax import shard_map
+
+    body = functools.partial(
+        _ivf_shard_body, nprobe=nprobe, lmax=lmax, k=k, axis="dp"
+    )
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P("dp", None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(q, centroids, cell_offsets, db)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "nprobe", "lmax", "k")
+)
+def _sharded_ivfpq(mesh, q, centroids, cell_offsets, codebooks, codes,
+                   nprobe, lmax, k):
+    from jax import shard_map
+
+    body = functools.partial(
+        _ivfpq_shard_body, nprobe=nprobe, lmax=lmax, k=k, axis="dp"
+    )
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("dp", None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(q, centroids, cell_offsets, codebooks, codes)
+
+
+def sharded_ivf_topk(mesh, queries, centroids, cell_offsets, db_sharded,
+                     nprobe: int, lmax: int, k: int):
+    """Multi-chip IVF-Flat: centroids/offsets replicated, cell-sorted rows
+    sharded over 'dp' (pad_and_shard_db). Returns host (scores, rows)."""
+    q = jnp.asarray(queries, dtype=jnp.float32)
+    vals, idx = _sharded_ivf(
+        mesh, q, centroids, cell_offsets, db_sharded,
+        int(nprobe), int(lmax), int(k),
+    )
+    return np.asarray(vals), np.asarray(idx)
+
+
+def sharded_ivfpq_topk(mesh, queries, centroids, cell_offsets, codebooks,
+                       codes_sharded, nprobe: int, lmax: int, k: int):
+    """Multi-chip IVF-PQ ADC over row-sharded uint8 codes."""
+    q = jnp.asarray(queries, dtype=jnp.float32)
+    vals, idx = _sharded_ivfpq(
+        mesh, q, centroids, cell_offsets, codebooks, codes_sharded,
+        int(nprobe), int(lmax), int(k),
+    )
+    return np.asarray(vals), np.asarray(idx)
+
+
 def pad_and_shard_db(mesh: Mesh, db: np.ndarray):
     """Pad rows to a multiple of the dp size and device_put with rows sharded
     over 'dp'. Returns (sharded_array, n_total)."""
