@@ -110,3 +110,33 @@ def test_merge_rejects_colliding_ids(tmp_path, media_dir):
             "--source-dir", str(tmp_path / "a"),
             "--source-dir", str(tmp_path / "b"),
         ])
+
+
+def test_incremental_merge_into_existing_target(tmp_path, media_dir):
+    """A later worker's project merges into an already-merged target (grow
+    the corpus without rebuilding): counts add up and ids stay disjoint."""
+    for w in range(3):
+        _ingest(tmp_path / f"w{w}", media_dir, ingest_worker=w,
+                ingest_workers=3)
+    assert merge_main([
+        "--target-dir", str(tmp_path / "m"),
+        "--source-dir", str(tmp_path / "w0"),
+        "--source-dir", str(tmp_path / "w1"),
+    ]) == 0
+    assert merge_main([
+        "--target-dir", str(tmp_path / "m"),
+        "--source-dir", str(tmp_path / "w2"),
+    ]) == 0
+    conn = wdb.connect(WiseProject(tmp_path / "m").db_path, readonly=True)
+    n_media = conn.execute("SELECT COUNT(*) FROM media").fetchone()[0]
+    n_sc = conn.execute(
+        "SELECT COUNT(*) FROM source_collections").fetchone()[0]
+    assert n_media == 5 and n_sc == 1  # same media dir deduped
+    ids = [r[0] for r in conn.execute("SELECT id FROM media")]
+    assert len(set(ids)) == 5
+    # re-merging the same worker collides and aborts
+    with pytest.raises(SystemExit, match="disjoint"):
+        merge_main([
+            "--target-dir", str(tmp_path / "m"),
+            "--source-dir", str(tmp_path / "w2"),
+        ])
