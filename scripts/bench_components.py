@@ -130,16 +130,63 @@ def bench_search(out, rt, quick):
         }
 
 
+def bench_ivfpq(out, rt):
+    """On-device IVF-PQ ADC (ops/ivfpq.py) at 1M x 512, nlist 1024, M 8.
+    Synthetic uniform cells (1024 rows each) — the kernel cost depends on
+    nprobe * lmax * M bytes gathered, not the cell contents."""
+    import jax
+    import jax.numpy as jnp
+
+    from wise_tpu.ops.ivfpq import ivfpq_search
+
+    N, D, K, NLIST, M = 1_048_576, 512, 100, 1024, 8
+    lmax = N // NLIST
+    codes = jax.jit(
+        lambda k: jax.random.randint(k, (N, M), 0, 256, jnp.uint8)
+    )(jax.random.PRNGKey(0))
+    centroids = jax.random.normal(jax.random.PRNGKey(1), (NLIST, D))
+    books = jax.random.normal(jax.random.PRNGKey(2), (M, 256, D // M))
+    offsets = jnp.arange(NLIST + 1, dtype=jnp.int32) * lmax
+    qs = jax.random.normal(jax.random.PRNGKey(3), (20, D), jnp.float32)
+    for nprobe in (8, 64):
+        @jax.jit
+        def loop(qs):
+            def body(i, c):
+                v, _ = ivfpq_search(
+                    (qs[i] + c * 0)[None], centroids, offsets, codes,
+                    books, nprobe=nprobe, lmax=lmax, k=K,
+                )
+                return v[0, 0]
+
+            return jax.lax.fori_loop(0, 20, body, jnp.float32(0))
+
+        np.asarray(loop(qs))
+        t0 = time.perf_counter()
+        np.asarray(loop(qs))
+        dt = (time.perf_counter() - t0 - rt) / 20
+        out[f"ivfpq_search_1M_nprobe{nprobe}"] = {
+            "k": K, "M": M, "nlist": NLIST,
+            "ms_per_query": round(dt * 1e3, 3),
+        }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
+    p.add_argument("--only", choices=["decode", "search", "encoder", "ivfpq"],
+                   default=None)
     args = p.parse_args()
     out = {}
     rt = roundtrip()
     out["tunnel_roundtrip_ms"] = round(rt * 1e3, 1)
-    bench_decode(out)
-    bench_search(out, rt, args.quick)
-    bench_encoder(out, rt, args.quick)
+    if args.only in (None, "decode"):
+        bench_decode(out)
+    if args.only in (None, "search"):
+        bench_search(out, rt, args.quick)
+    if args.only in (None, "ivfpq"):
+        bench_ivfpq(out, rt)
+    if args.only in (None, "encoder"):
+        bench_encoder(out, rt, args.quick)
     print(json.dumps(out, indent=2))
 
 
