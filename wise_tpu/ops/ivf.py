@@ -1,17 +1,22 @@
-"""On-device IVF search: coarse probe + padded cell gather + top-k, one jit.
+"""On-device IVF search: coarse probe + per-cell slices + top-k, one jit.
 
 The SURVEY target for the faiss-IVF replacement is "k-means (JAX) +
 cell-gathered scan honouring the same nlist/nprobe heuristics" — this is
 that scan. Cells are stored contiguously (vectors sorted by cell at build),
-so the probed candidate set is nprobe contiguous ranges; with ranges padded
-to the corpus' max cell size the whole search is static-shaped and runs as
-one compiled program: centroid matmul -> top-nprobe cells -> row gather ->
-candidate matmul -> top-k. HBM traffic ~ nprobe * Lmax * D, i.e. nprobe/nlist
-of the flat scan.
+so each probed cell is ONE contiguous range: the kernel scans the probed
+cells, DMA-ing one (lmax, D) slice per cell (contiguous slices stream at
+HBM bandwidth; a strided row gather lowers ~10x slower on TPU — same
+finding as ops/ivfpq.py), scores it with an MXU matvec, and merges into a
+running top-k carry. HBM traffic ~ nprobe * lmax * D, i.e. nprobe/nlist of
+the flat scan.
 
-Tie-break: probed cells are re-sorted ascending, and rows within cells are
-ascending by construction, so candidate order == global row order and equal
-scores prefer the lower row id (faiss semantics).
+Tie-break: probed cells are re-sorted ascending and rows within cells are
+ascending by construction, so the running-top-k concat keeps lower global
+rows first and equal scores prefer the lower row id (faiss semantics).
+
+The last cell of an unpadded array may start within lmax rows of the end;
+its slice start is clamped and the lane mask shifted so out-of-bounds rows
+are never scored.
 """
 
 from __future__ import annotations
@@ -40,6 +45,8 @@ def ivf_search(
     q = queries.astype(jnp.float32)
     nlist = centroids.shape[0]
     nprobe = min(nprobe, nlist)
+    lmax = min(lmax, db.shape[0])
+    d = db.shape[1]
 
     cscores = jax.lax.dot_general(
         q, centroids.astype(jnp.float32),
@@ -49,22 +56,35 @@ def ivf_search(
     _, cells = jax.lax.top_k(cscores, nprobe)           # (Q, nprobe)
     cells = jnp.sort(cells, axis=1)                     # ascending -> row order
 
-    starts = cell_offsets[cells]                        # (Q, nprobe)
-    lens = cell_offsets[cells + 1] - starts
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lmax), 2)
-    rows = starts[:, :, None] + lane                    # (Q, nprobe, lmax)
-    valid = lane < lens[:, :, None]
-    rows_safe = jnp.clip(rows, 0, db.shape[0] - 1)
+    lane = jnp.arange(lmax, dtype=jnp.int32)
+    n_rows = db.shape[0]
 
-    cand = db[rows_safe.reshape(q.shape[0], -1)]        # (Q, P, D)
-    cand = cand.astype(jnp.float32)
-    scores = jnp.einsum(
-        "qd,qpd->qp", q, cand, precision=jax.lax.Precision.HIGHEST
-    )
-    scores = jnp.where(valid.reshape(q.shape[0], -1), scores, -jnp.inf)
-    k_eff = min(k, scores.shape[1])
-    top_v, pos = jax.lax.top_k(scores, k_eff)
-    top_rows = jnp.take_along_axis(
-        rows_safe.reshape(q.shape[0], -1), pos, axis=1
-    )
-    return top_v, top_rows
+    def one_query(q_i, cells_q):
+        def step(carry, c):
+            best_v, best_r = carry
+            start = cell_offsets[c]
+            length = cell_offsets[c + 1] - start
+            start_c = jnp.minimum(start, n_rows - lmax)  # clamp near the end
+            sl = jax.lax.dynamic_slice(db, (start_c, 0), (lmax, d))
+            s = jax.lax.dot_general(
+                sl.astype(jnp.float32), q_i,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            rows = start_c + lane
+            s = jnp.where((rows >= start) & (rows < start + length), s,
+                          -jnp.inf)
+            cat_v = jnp.concatenate([best_v, s])
+            cat_r = jnp.concatenate([best_r, rows])
+            v, pos = jax.lax.top_k(cat_v, best_v.shape[0])
+            return (v, cat_r[pos]), None
+
+        k_eff = min(k, nprobe * lmax)
+        init = (
+            jnp.full((k_eff,), -jnp.inf, jnp.float32),
+            jnp.zeros((k_eff,), jnp.int32),
+        )
+        (v, r), _ = jax.lax.scan(step, init, cells_q)
+        return v, r
+
+    return jax.vmap(one_query)(q, cells)
