@@ -130,31 +130,111 @@ def bench_search(out, rt, quick):
         }
 
 
-def bench_ivfpq(out, rt):
-    """On-device IVF-PQ ADC (ops/ivfpq.py) at 1M x 512, nlist 1024, M 8.
-    Synthetic uniform cells (1024 rows each) — the kernel cost depends on
-    nprobe * lmax * M bytes gathered, not the cell contents."""
+def _uniform_paged_meta(n, nlist, lpad):
+    """Uniform cells of n/nlist rows (page-aligned): page table + row map for
+    a synthetic paged layout generated directly on device (uploading a 2 GB
+    host array through the dev tunnel takes minutes and benchmarks nothing).
+    The kernel cost depends only on page counts, not cell contents."""
     import jax
     import jax.numpy as jnp
 
-    from wise_tpu.ops.ivfpq import ivfpq_search
+    L = n // nlist
+    assert L % lpad == 0 and n % nlist == 0
+    p0 = L // lpad
+    total = nlist * p0
+    page_first = jnp.arange(nlist, dtype=jnp.int32) * p0
+    page_count = jnp.full((nlist,), p0, jnp.int32)
+    page_rows = jnp.concatenate([
+        jnp.arange(n, dtype=jnp.int32).reshape(total, lpad),
+        jnp.full((1, lpad), -1, jnp.int32),
+    ])
+    return p0, total, page_first, page_count, page_rows
 
-    N, D, K, NLIST, M = 1_048_576, 512, 100, 1024, 8
-    lmax = N // NLIST
+
+def bench_ivf(out, rt, quick):
+    """Paged IVF-Flat (ops/ivf_paged.py) at 1M x 512 across the nprobe sweep
+    up to the reference serve default 1024 (VERDICT round-1 weak item 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wise_tpu.ops.ivf_paged import default_chunk, ivf_search_paged
+
+    N, D, K, NLIST, LPAD = 1_048_576, 512, 100, 8192, 64
+    p0, total, page_first, page_count, page_rows = _uniform_paged_meta(
+        N, NLIST, LPAD
+    )
+    paged32 = jax.jit(
+        lambda k: jax.random.normal(k, (total + 1, LPAD, D), jnp.float32)
+    )(jax.random.PRNGKey(0))
+    centroids = jax.random.normal(jax.random.PRNGKey(1), (NLIST, D))
+    qs = jax.random.normal(jax.random.PRNGKey(3), (20, D), jnp.float32)
+    cases = [(np_, dt_) for np_ in (8, 64, 256, 1024) for dt_ in ("f32",)]
+    cases += [(1024, "bf16"), (256, "bf16")]
+    if quick:
+        cases = [(64, "f32"), (1024, "f32"), (1024, "bf16")]
+    paged16 = None
+    for nprobe, tag in cases:
+        if tag == "bf16":
+            if paged16 is None:
+                paged16 = jax.jit(lambda x: x.astype(jnp.bfloat16))(paged32)
+            db = paged16
+        else:
+            db = paged32
+        budget = nprobe * p0
+        chunk = default_chunk(LPAD, D, budget)
+
+        @jax.jit
+        def loop(qs, db):
+            def body(i, c):
+                v, _ = ivf_search_paged(
+                    (qs[i] + c * 0)[None], centroids, page_first,
+                    page_count, db, page_rows,
+                    nprobe=nprobe, budget=budget, chunk=chunk, k=K,
+                )
+                return v[0, 0]
+
+            return jax.lax.fori_loop(0, 20, body, jnp.float32(0))
+
+        np.asarray(loop(qs, db))
+        t0 = time.perf_counter()
+        np.asarray(loop(qs, db))
+        dt = (time.perf_counter() - t0 - rt) / 20
+        out[f"ivf_paged_1M_nprobe{nprobe}_{tag}"] = {
+            "k": K, "nlist": NLIST, "budget_pages": budget, "chunk": chunk,
+            "ms_per_query": round(dt * 1e3, 3),
+        }
+
+
+def bench_ivfpq(out, rt, quick=False):
+    """Paged IVF-PQ ADC (ops/ivf_paged.py) at 1M x 512, M 8, across the
+    nprobe sweep up to the reference serve default 1024."""
+    import jax
+    import jax.numpy as jnp
+
+    from wise_tpu.ops.ivf_paged import default_chunk, ivfpq_search_paged
+
+    N, D, K, NLIST, M, LPAD = 1_048_576, 512, 100, 8192, 8, 128
+    p0, total, page_first, page_count, page_rows = _uniform_paged_meta(
+        N, NLIST, LPAD
+    )
     codes = jax.jit(
-        lambda k: jax.random.randint(k, (N, M), 0, 256, jnp.uint8)
+        lambda k: jax.random.randint(k, (total + 1, LPAD, M), 0, 256,
+                                     jnp.uint8)
     )(jax.random.PRNGKey(0))
     centroids = jax.random.normal(jax.random.PRNGKey(1), (NLIST, D))
     books = jax.random.normal(jax.random.PRNGKey(2), (M, 256, D // M))
-    offsets = jnp.arange(NLIST + 1, dtype=jnp.int32) * lmax
     qs = jax.random.normal(jax.random.PRNGKey(3), (20, D), jnp.float32)
-    for nprobe in (8, 64):
+    for nprobe in (64, 1024) if quick else (8, 64, 256, 1024):
+        budget = nprobe * p0
+        chunk = default_chunk(LPAD, D, budget)
+
         @jax.jit
         def loop(qs):
             def body(i, c):
-                v, _ = ivfpq_search(
-                    (qs[i] + c * 0)[None], centroids, offsets, codes,
-                    books, nprobe=nprobe, lmax=lmax, k=K,
+                v, _ = ivfpq_search_paged(
+                    (qs[i] + c * 0)[None], centroids, page_first,
+                    page_count, codes, page_rows, books,
+                    nprobe=nprobe, budget=budget, chunk=chunk, k=K,
                 )
                 return v[0, 0]
 
@@ -164,16 +244,17 @@ def bench_ivfpq(out, rt):
         t0 = time.perf_counter()
         np.asarray(loop(qs))
         dt = (time.perf_counter() - t0 - rt) / 20
-        out[f"ivfpq_search_1M_nprobe{nprobe}"] = {
-            "k": K, "M": M, "nlist": NLIST,
-            "ms_per_query": round(dt * 1e3, 3),
+        out[f"ivfpq_paged_1M_nprobe{nprobe}"] = {
+            "k": K, "M": M, "nlist": NLIST, "budget_pages": budget,
+            "chunk": chunk, "ms_per_query": round(dt * 1e3, 3),
         }
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
-    p.add_argument("--only", choices=["decode", "search", "encoder", "ivfpq"],
+    p.add_argument("--only",
+                   choices=["decode", "search", "encoder", "ivf", "ivfpq"],
                    default=None)
     args = p.parse_args()
     out = {}
@@ -183,8 +264,10 @@ def main():
         bench_decode(out)
     if args.only in (None, "search"):
         bench_search(out, rt, args.quick)
+    if args.only in (None, "ivf"):
+        bench_ivf(out, rt, args.quick)
     if args.only in (None, "ivfpq"):
-        bench_ivfpq(out, rt)
+        bench_ivfpq(out, rt, args.quick)
     if args.only in (None, "encoder"):
         bench_encoder(out, rt, args.quick)
     print(json.dumps(out, indent=2))

@@ -73,6 +73,11 @@ class IndexConfig:
     # device-side scan parameters
     scan_block_rows: int = 4096            # DB rows per Pallas scan block
     storage_dtype: str = "float32"         # "float32" | "bfloat16"
+    # paged IVF layout (ops/ivf_paged.py): rows per page. Pages are the
+    # gather granularity — big enough to DMA at HBM bandwidth; cells pad to
+    # a page multiple, so smaller pages waste less on skewed cell sizes.
+    ivf_page_rows: int = 64
+    ivfpq_page_rows: int = 128
     # streaming (> RAM) index build: used when the (N, D) f32 matrix would
     # exceed this many bytes; 0 forces streaming (tests)
     stream_build_threshold_bytes: int = 2 << 30

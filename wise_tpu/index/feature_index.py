@@ -337,7 +337,8 @@ class FeatureSearchIndex(SearchIndex):
         self._index_type = self._metadata["index_type"]
         self._device_db = None
         for cached in (  # drop stale device copies
-            "_ivf_dev", "_pq_dev", "_pq_sharded", "_ivf_lmax", "_pq_lmax"
+            "_ivf_dev", "_pq_sharded", "_ivf_lmax", "_pq_lmax",
+            "_ivf_paged", "_pq_paged",
         ):
             if hasattr(self, cached):
                 delattr(self, cached)
@@ -497,27 +498,61 @@ class FeatureSearchIndex(SearchIndex):
         )
         return self._pad_device_topk(vals, rows, topk)
 
+    def _ensure_paged(self, attr, array_name, lpad, cast_bf16):
+        """Device-resident paged layout (ops/ivf_paged.py) over the
+        cell-sorted rows/codes, built once per load."""
+        if not hasattr(self, attr):
+            import jax
+            import jax.numpy as jnp
+
+            from ..ops.ivf_paged import build_paged_layout
+
+            lay = build_paged_layout(
+                np.asarray(self._arrays[array_name]),
+                np.asarray(self._arrays["cell_offsets"]),
+                lpad,
+            )
+            paged = jax.device_put(lay["paged"])
+            if cast_bf16 and self.config.storage_dtype == "bfloat16":
+                paged = jax.jit(lambda x: x.astype(jnp.bfloat16))(paged)
+            setattr(self, attr, {
+                "paged": paged,
+                "page_rows": jax.device_put(lay["page_rows"]),
+                "page_first": jax.device_put(lay["page_first"]),
+                "page_count": jax.device_put(lay["page_count"]),
+                "page_count_host": lay["page_count"],
+            })
+        return getattr(self, attr)
+
+    def _paged_plan(self, pg, nprobe):
+        from ..ops.ivf_paged import default_chunk, paged_budget
+
+        budget = paged_budget(pg["page_count_host"], nprobe)
+        lpad = pg["paged"].shape[1]
+        chunk = default_chunk(lpad, int(self._metadata["dim"]), budget)
+        return budget, chunk
+
     def _search_ivfpq_device(self, qvec, topk, nprobe):
         import jax
 
-        from ..ops.ivfpq import ivfpq_search
+        from ..ops.ivf_paged import ivfpq_search_paged
 
-        if not hasattr(self, "_pq_dev"):
-            offsets = np.asarray(self._arrays["cell_offsets"], dtype=np.int32)
-            self._pq_lmax = int(max(np.max(np.diff(offsets)), 1))
-            self._pq_dev = (
-                jax.device_put(np.asarray(self._arrays["centroids"])),
-                jax.device_put(offsets),
-                jax.device_put(np.asarray(self._arrays["codes"])),
-                jax.device_put(np.asarray(self._arrays["pq_codebooks"])),
+        centroids, _ = self._ensure_ivf_coarse()
+        pg = self._ensure_paged(
+            "_pq_paged", "codes", self.config.ivfpq_page_rows, cast_bf16=False
+        )
+        if "codebooks" not in pg:
+            pg["codebooks"] = jax.device_put(
+                np.asarray(self._arrays["pq_codebooks"])
             )
-        centroids, offsets, codes, codebooks = self._pq_dev
         nlist = centroids.shape[0]
-        vals, rows = ivfpq_search(
-            qvec.astype(np.float32), centroids, offsets, codes, codebooks,
-            nprobe=min(int(nprobe), nlist),
-            lmax=self._pq_lmax,
-            k=int(topk),
+        nprobe = min(int(nprobe), nlist)
+        budget, chunk = self._paged_plan(pg, nprobe)
+        vals, rows = ivfpq_search_paged(
+            qvec.astype(np.float32), centroids,
+            pg["page_first"], pg["page_count"], pg["paged"], pg["page_rows"],
+            pg["codebooks"],
+            nprobe=nprobe, budget=budget, chunk=chunk, k=int(topk),
         )
         return self._pad_device_topk(vals, rows, topk)
 
@@ -621,16 +656,19 @@ class FeatureSearchIndex(SearchIndex):
         return self._pad_device_topk(vals, rows, topk)
 
     def _search_ivf_device(self, qvec, topk, nprobe):
-        from ..ops.ivf import ivf_search
+        from ..ops.ivf_paged import ivf_search_paged
 
-        centroids_dev, offsets_dev = self._ensure_ivf_coarse()
-        db = self._ensure_device_db()
+        centroids_dev, _ = self._ensure_ivf_coarse()
+        pg = self._ensure_paged(
+            "_ivf_paged", "vectors", self.config.ivf_page_rows, cast_bf16=True
+        )
         nlist = centroids_dev.shape[0]
-        vals, rows = ivf_search(
-            qvec, centroids_dev, offsets_dev, db,
-            nprobe=min(int(nprobe), nlist),
-            lmax=max(self._ivf_lmax, 1),
-            k=int(topk),
+        nprobe = min(int(nprobe), nlist)
+        budget, chunk = self._paged_plan(pg, nprobe)
+        vals, rows = ivf_search_paged(
+            qvec.astype(np.float32), centroids_dev,
+            pg["page_first"], pg["page_count"], pg["paged"], pg["page_rows"],
+            nprobe=nprobe, budget=budget, chunk=chunk, k=int(topk),
         )
         return self._pad_device_topk(vals, rows, topk)
 

@@ -1,0 +1,268 @@
+"""Paged IVF search: coarse probe + page-gather + chunked matmul, one jit.
+
+This is the large-nprobe redesign of the faiss-IVF replacement (reference
+operating point: serve-time nprobe=1024, /root/reference/config.py:17 and
+api/routes.py:899-902). The round-1 kernels scanned probed cells with one
+``lax.scan`` step per cell — fine at nprobe=8, hopeless at nprobe=1024
+(~55 us of per-step overhead x 1024 steps loses to the exact scan it is
+meant to beat).
+
+Design (TPU-first):
+
+- **Paged layout** (built once at load): the cell-sorted rows are re-packed
+  so every cell starts on a page boundary and occupies an integral number of
+  fixed ``lpad``-row pages. A page is one contiguous HBM block of
+  ``lpad * D * itemsize`` bytes (tens of KB), i.e. a gather element large
+  enough to DMA at full HBM bandwidth — the strided *row* gather that is
+  ~10x slower on TPU never happens. One trailing all-padding page serves as
+  the dummy target for unused slots.
+- **Vectorized page-list construction** (no per-cell loop): probed cells are
+  re-sorted ascending; their page counts are cumsummed and each of
+  ``budget`` slots finds its cell with a ``searchsorted`` — O(budget log
+  nprobe) scalar work, all inside the jit.
+- **Chunked scan**: the page list is processed ``chunk`` pages at a time;
+  each step is one big gather (chunk, lpad, D) + one MXU matmul + a running
+  top-k merge. Steps ~ budget/chunk (e.g. 8-16 at nprobe=1024), not nprobe.
+
+``budget`` is the static worst-case page count for the given nprobe
+(``paged_budget``); queries that probe fewer pages pad with the dummy page.
+
+Tie-break matches faiss (equal scores -> lower row id): probed cells are
+ascending, pages within a cell ascending, lanes within a page ascending, and
+earlier chunks hold lower rows, so every ``lax.top_k`` first-occurrence
+preference resolves to the lowest cell-sorted row.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# layout (host side, numpy; cheap vectorized re-pack of the cell-sorted rows)
+# ---------------------------------------------------------------------------
+
+def build_paged_layout(
+    data: np.ndarray, cell_offsets: np.ndarray, lpad: int
+) -> dict:
+    """Re-pack cell-sorted rows (vectors or PQ codes) into cell-aligned pages.
+
+    Returns dict with:
+      paged      (T+1, lpad, W)  rows re-packed; final page is all padding
+      page_rows  (T+1, lpad)     cell-sorted row index per lane, -1 = padding
+      page_first (nlist,) int32  first page of each cell
+      page_count (nlist,) int32  pages per cell
+    """
+    data = np.ascontiguousarray(data)
+    n, w = data.shape
+    offsets = np.asarray(cell_offsets, dtype=np.int64)
+    nlist = len(offsets) - 1
+    lens = np.diff(offsets)
+    page_count = ((lens + lpad - 1) // lpad).astype(np.int32)
+    page_first = np.zeros(nlist, np.int32)
+    np.cumsum(page_count[:-1], out=page_first[1:])
+    total = int(page_count.sum())
+
+    paged = np.zeros((total + 1, lpad, w), dtype=data.dtype)
+    page_rows = np.full((total + 1) * lpad, -1, np.int32)
+    if n:
+        cell_of_row = np.repeat(np.arange(nlist), lens)
+        within = np.arange(n, dtype=np.int64) - offsets[cell_of_row]
+        dest = page_first[cell_of_row].astype(np.int64) * lpad + within
+        paged.reshape((total + 1) * lpad, w)[dest] = data
+        page_rows[dest] = np.arange(n, dtype=np.int32)
+    return {
+        "paged": paged,
+        "page_rows": page_rows.reshape(total + 1, lpad),
+        "page_first": page_first,
+        "page_count": page_count,
+    }
+
+
+def paged_budget(page_count: np.ndarray, nprobe: int) -> int:
+    """Static worst-case pages any query can probe = sum of the nprobe
+    largest per-cell page counts."""
+    c = np.sort(np.asarray(page_count))[::-1]
+    return max(1, int(c[: int(nprobe)].sum()))
+
+
+def default_chunk(lpad: int, width: int, budget: int,
+                  target_bytes: int = 32 << 20) -> int:
+    """Pages per scan step such that the per-step f32 score buffer stays
+    around ``target_bytes`` (the gather + matmul still saturate HBM)."""
+    per_page = lpad * max(width, 1) * 4
+    return max(1, min(budget, target_bytes // per_page))
+
+
+# ---------------------------------------------------------------------------
+# shared probe -> slot -> page plumbing (inside jit)
+# ---------------------------------------------------------------------------
+
+def _probe_pages(q, centroids, page_first, page_count, nprobe, budget, dummy):
+    """Top-nprobe cells (ascending) -> (pages (Q, budget), probed-cell coarse
+    score per slot (Q, budget)). Out-of-budget slots map to the dummy page."""
+    cscores = jax.lax.dot_general(
+        q, centroids.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                    # (Q, nlist)
+    pscores, cells = jax.lax.top_k(cscores, nprobe)
+    order = jnp.argsort(cells, axis=1)                   # ascending cell ids
+    cells = jnp.take_along_axis(cells, order, axis=1)
+    pscores = jnp.take_along_axis(pscores, order, axis=1)
+
+    counts = page_count[cells]                           # (Q, nprobe)
+    ends = jnp.cumsum(counts, axis=1)                    # inclusive
+    slot = jnp.arange(budget, dtype=jnp.int32)
+    ci = jax.vmap(
+        lambda e: jnp.searchsorted(e, slot, side="right")
+    )(ends).astype(jnp.int32)                            # (Q, budget)
+    ci = jnp.minimum(ci, nprobe - 1)
+    sel_count = jnp.take_along_axis(counts, ci, axis=1)
+    sel_end = jnp.take_along_axis(ends, ci, axis=1)
+    sel_cell = jnp.take_along_axis(cells, ci, axis=1)
+    page = page_first[sel_cell] + (slot[None, :] - (sel_end - sel_count))
+    in_budget = slot[None, :] < ends[:, -1:]
+    page = jnp.where(in_budget, page, dummy)
+    slot_ps = jnp.take_along_axis(pscores, ci, axis=1)
+    return page, slot_ps
+
+
+def _pad_cols(x, chunk, fill):
+    pad = (-x.shape[1]) % chunk
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=fill)
+    return x
+
+
+def _merge_topk_scan(nq, k, chunks_xs, score_chunk):
+    """lax.scan over page chunks with a running (Q, k) top-k carry.
+    ``score_chunk(xs_slice) -> (scores, rows)`` both (Q, chunk*lpad)."""
+
+    def step(carry, xs):
+        best_v, best_r = carry
+        s, rows = score_chunk(xs)
+        kk = min(k, s.shape[1])
+        v, pos = jax.lax.top_k(s, kk)
+        r = jnp.take_along_axis(rows, pos, axis=1)
+        cat_v = jnp.concatenate([best_v, v], axis=1)
+        cat_r = jnp.concatenate([best_r, r], axis=1)
+        v2, pos2 = jax.lax.top_k(cat_v, k)
+        return (v2, jnp.take_along_axis(cat_r, pos2, axis=1)), None
+
+    init = (
+        jnp.full((nq, k), -jnp.inf, jnp.float32),
+        jnp.zeros((nq, k), jnp.int32),
+    )
+    (v, r), _ = jax.lax.scan(step, init, chunks_xs)
+    return v, r
+
+
+# ---------------------------------------------------------------------------
+# IVF-Flat
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "budget", "chunk", "k"))
+def ivf_search_paged(
+    queries: jax.Array,       # (Q, D) f32
+    centroids: jax.Array,     # (nlist, D) f32
+    page_first: jax.Array,    # (nlist,) int32
+    page_count: jax.Array,    # (nlist,) int32
+    paged_db: jax.Array,      # (T+1, lpad, D) f32 or bf16, last page dummy
+    page_rows: jax.Array,     # (T+1, lpad) int32, -1 = padding
+    nprobe: int,
+    budget: int,
+    chunk: int,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (scores (Q, k), cell-sorted row indices (Q, k)); padding lanes
+    never appear (-inf score, row 0)."""
+    q = queries.astype(jnp.float32)
+    nq = q.shape[0]
+    dummy = paged_db.shape[0] - 1
+    lpad = paged_db.shape[1]
+    pages, _ = _probe_pages(
+        q, centroids, page_first, page_count, nprobe, budget, dummy
+    )
+    pages = _pad_cols(pages, chunk, dummy)
+    chunks = pages.reshape(nq, -1, chunk).transpose(1, 0, 2)  # (S, Q, chunk)
+    bf16 = paged_db.dtype == jnp.bfloat16
+    qd = q.astype(jnp.bfloat16) if bf16 else q
+
+    def score(pg):
+        blocks = paged_db[pg]                    # (Q, chunk, lpad, D)
+        rows = page_rows[pg]                     # (Q, chunk, lpad)
+        if bf16:
+            s = jnp.einsum(
+                "qd,qcld->qcl", qd, blocks,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            s = jnp.einsum(
+                "qd,qcld->qcl", qd, blocks,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        s = jnp.where(rows >= 0, s, -jnp.inf)
+        return s.reshape(nq, chunk * lpad), rows.reshape(nq, chunk * lpad)
+
+    return _merge_topk_scan(nq, k, chunks, score)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (ADC over residual codes; score = q.centroid + q.decoded_residual)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "budget", "chunk", "k"))
+def ivfpq_search_paged(
+    queries: jax.Array,       # (Q, D) f32
+    centroids: jax.Array,     # (nlist, D) f32
+    page_first: jax.Array,    # (nlist,) int32
+    page_count: jax.Array,    # (nlist,) int32
+    paged_codes: jax.Array,   # (T+1, lpad, M) uint8, last page dummy
+    page_rows: jax.Array,     # (T+1, lpad) int32, -1 = padding
+    codebooks: jax.Array,     # (M, ksub, D/M) f32
+    nprobe: int,
+    budget: int,
+    chunk: int,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Decode-then-dot ADC (algebraically the classic LUT sum — sum_m
+    LUT[m, code_m] == q . concat_m books[m][code_m] — expressed as wide
+    codebook gathers + an MXU matmul; scalar LUT lookups lower poorly on the
+    TPU vector unit, see the round-1 measurement in BENCHMARKS.md)."""
+    q = queries.astype(jnp.float32)
+    nq = q.shape[0]
+    dummy = paged_codes.shape[0] - 1
+    lpad = paged_codes.shape[1]
+    m, ksub, dsub = codebooks.shape
+    books = codebooks.astype(jnp.float32)
+    marange = jnp.arange(m)
+    pages, slot_ps = _probe_pages(
+        q, centroids, page_first, page_count, nprobe, budget, dummy
+    )
+    pages = _pad_cols(pages, chunk, dummy)
+    slot_ps = _pad_cols(slot_ps, chunk, 0.0)
+    chunks = pages.reshape(nq, -1, chunk).transpose(1, 0, 2)
+    ps_chunks = slot_ps.reshape(nq, -1, chunk).transpose(1, 0, 2)
+
+    def score(xs):
+        pg, ps = xs                              # (Q, chunk) each
+        codes = paged_codes[pg]                  # (Q, chunk, lpad, M)
+        rows = page_rows[pg]                     # (Q, chunk, lpad)
+        dec = books[marange[None, None, None, :], codes.astype(jnp.int32)]
+        dec = dec.reshape(nq, chunk, lpad, m * dsub)
+        s = jax.lax.dot_general(
+            dec, q,
+            dimension_numbers=(((3,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGH,    # bf16x3 pass, f32-accurate
+        )                                        # (Q, chunk, lpad)
+        s = s + ps[:, :, None]
+        s = jnp.where(rows >= 0, s, -jnp.inf)
+        return s.reshape(nq, chunk * lpad), rows.reshape(nq, chunk * lpad)
+
+    return _merge_topk_scan(nq, k, (chunks, ps_chunks), score)
