@@ -167,7 +167,7 @@ def bench_ivf(out, rt, quick):
         lambda k: jax.random.normal(k, (total + 1, LPAD, D), jnp.float32)
     )(jax.random.PRNGKey(0))
     centroids = jax.random.normal(jax.random.PRNGKey(1), (NLIST, D))
-    qs = jax.random.normal(jax.random.PRNGKey(3), (20, D), jnp.float32)
+    qs = jax.random.normal(jax.random.PRNGKey(3), (100, D), jnp.float32)
     cases = [(np_, dt_) for np_ in (8, 64, 256, 1024) for dt_ in ("f32",)]
     cases += [(1024, "bf16"), (256, "bf16")]
     if quick:
@@ -193,12 +193,12 @@ def bench_ivf(out, rt, quick):
                 )
                 return v[0, 0]
 
-            return jax.lax.fori_loop(0, 20, body, jnp.float32(0))
+            return jax.lax.fori_loop(0, 100, body, jnp.float32(0))
 
         np.asarray(loop(qs, db))
         t0 = time.perf_counter()
         np.asarray(loop(qs, db))
-        dt = (time.perf_counter() - t0 - rt) / 20
+        dt = (time.perf_counter() - t0 - rt) / 100
         out[f"ivf_paged_1M_nprobe{nprobe}_{tag}"] = {
             "k": K, "nlist": NLIST, "budget_pages": budget, "chunk": chunk,
             "ms_per_query": round(dt * 1e3, 3),
@@ -223,7 +223,7 @@ def bench_ivfpq(out, rt, quick=False):
     )(jax.random.PRNGKey(0))
     centroids = jax.random.normal(jax.random.PRNGKey(1), (NLIST, D))
     books = jax.random.normal(jax.random.PRNGKey(2), (M, 256, D // M))
-    qs = jax.random.normal(jax.random.PRNGKey(3), (20, D), jnp.float32)
+    qs = jax.random.normal(jax.random.PRNGKey(3), (100, D), jnp.float32)
     for nprobe in (64, 1024) if quick else (8, 64, 256, 1024):
         budget = nprobe * p0
         chunk = default_chunk(LPAD, D, budget)
@@ -238,12 +238,12 @@ def bench_ivfpq(out, rt, quick=False):
                 )
                 return v[0, 0]
 
-            return jax.lax.fori_loop(0, 20, body, jnp.float32(0))
+            return jax.lax.fori_loop(0, 100, body, jnp.float32(0))
 
         np.asarray(loop(qs))
         t0 = time.perf_counter()
         np.asarray(loop(qs))
-        dt = (time.perf_counter() - t0 - rt) / 20
+        dt = (time.perf_counter() - t0 - rt) / 100
         out[f"ivfpq_paged_1M_nprobe{nprobe}"] = {
             "k": K, "M": M, "nlist": NLIST, "budget_pages": budget,
             "chunk": chunk, "ms_per_query": round(dt * 1e3, 3),

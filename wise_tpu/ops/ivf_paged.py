@@ -231,17 +231,21 @@ def ivfpq_search_paged(
     chunk: int,
     k: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Decode-then-dot ADC (algebraically the classic LUT sum — sum_m
-    LUT[m, code_m] == q . concat_m books[m][code_m] — expressed as wide
-    codebook gathers + an MXU matmul; scalar LUT lookups lower poorly on the
-    TPU vector unit, see the round-1 measurement in BENCHMARKS.md)."""
+    """One-hot-matmul ADC: per query, tables[m] = q_m . books[m] (the classic
+    LUT), then score[row] = sum_m onehot(code[row, m]) . tables[m] as M MXU
+    matmuls. Algebraically the LUT sum, but expressed so the lookup runs on
+    the MXU instead of as a gather — TPU gathers are the bottleneck here
+    (micro-bisect at 1M x 512, nprobe=1024, 131k rows/query: page gather
+    0.005 ms, codebook-gather decode 6.8 ms, scalar-LUT gather 7.6 ms,
+    one-hot matmul 0.8 ms). precision=HIGH (bf16x3) costs the same as bf16
+    here (the one-hot materialisation dominates, not the MXU) and keeps f32
+    accuracy."""
     q = queries.astype(jnp.float32)
     nq = q.shape[0]
     dummy = paged_codes.shape[0] - 1
     lpad = paged_codes.shape[1]
     m, ksub, dsub = codebooks.shape
     books = codebooks.astype(jnp.float32)
-    marange = jnp.arange(m)
     pages, slot_ps = _probe_pages(
         q, centroids, page_first, page_count, nprobe, budget, dummy
     )
@@ -249,19 +253,27 @@ def ivfpq_search_paged(
     slot_ps = _pad_cols(slot_ps, chunk, 0.0)
     chunks = pages.reshape(nq, -1, chunk).transpose(1, 0, 2)
     ps_chunks = slot_ps.reshape(nq, -1, chunk).transpose(1, 0, 2)
+    # (Q, M, ksub): inner products of query subvectors with codebooks
+    tables = jnp.einsum(
+        "qmd,mkd->qmk", q.reshape(nq, m, dsub), books,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    karange = jnp.arange(ksub, dtype=jnp.int32)
 
     def score(xs):
         pg, ps = xs                              # (Q, chunk) each
         codes = paged_codes[pg]                  # (Q, chunk, lpad, M)
         rows = page_rows[pg]                     # (Q, chunk, lpad)
-        dec = books[marange[None, None, None, :], codes.astype(jnp.int32)]
-        dec = dec.reshape(nq, chunk, lpad, m * dsub)
-        s = jax.lax.dot_general(
-            dec, q,
-            dimension_numbers=(((3,), (1,)), ((0,), (0,))),
-            precision=jax.lax.Precision.HIGH,    # bf16x3 pass, f32-accurate
-        )                                        # (Q, chunk, lpad)
-        s = s + ps[:, :, None]
+        blk = codes.astype(jnp.int32).reshape(nq, chunk * lpad, m)
+        s = jnp.zeros((nq, chunk * lpad), jnp.float32)
+        for mi in range(m):
+            onehot = (blk[:, :, mi, None] == karange).astype(jnp.float32)
+            s = s + jax.lax.dot_general(
+                onehot, tables[:, mi],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGH,
+            )
+        s = s.reshape(nq, chunk, lpad) + ps[:, :, None]
         s = jnp.where(rows >= 0, s, -jnp.inf)
         return s.reshape(nq, chunk * lpad), rows.reshape(nq, chunk * lpad)
 
