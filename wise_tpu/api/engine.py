@@ -13,6 +13,7 @@ from __future__ import annotations
 import itertools
 import logging
 import random
+import threading
 import time
 from pathlib import Path
 from typing import Dict, List, Optional

@@ -184,7 +184,15 @@ class OpenClipExtractor(FeatureExtractor):
         if images.ndim == 3:
             images = images[None]
         s = self.config.image_size
-        if images.shape[1:3] != (s, s):
+        if images.dtype == np.uint8 and os.environ.get(
+            "WISE_PREPROCESS", ""
+        ) == "exact":
+            # bit-faithful reference preprocessing (PIL resize-first); slow,
+            # for parity audits — see preprocess.preprocess_images_exact
+            from .preprocess import preprocess_images_exact
+
+            images = preprocess_images_exact(images, s)
+        elif images.shape[1:3] != (s, s):
             images = self.preprocess_image(images)  # canonicalise host-side
         n = images.shape[0]
         m = self._image_buckets.pick(n)

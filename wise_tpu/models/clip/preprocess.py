@@ -57,3 +57,48 @@ def preprocess_images(
 def preprocess_numpy(frames: np.ndarray, target_size: int = 224) -> np.ndarray:
     """Host wrapper."""
     return np.asarray(preprocess_images(jnp.asarray(frames), target_size))
+
+
+def preprocess_images_exact(
+    frames: np.ndarray,
+    target_size: int = 224,
+    mean: Tuple[float, ...] = OPENAI_DATASET_MEAN,
+    std: Tuple[float, ...] = OPENAI_DATASET_STD,
+) -> np.ndarray:
+    """Bit-faithful replica of the reference preprocessing
+    (src/feature/mlfoundation_openclip.py:81-90 -> open_clip
+    ``image_transform``): PIL shortest-side bicubic resize (PIL's resample IS
+    the antialiased convolution torchvision delegates to on PIL inputs) ->
+    torchvision-style center crop -> ToTensor -> Normalize.
+
+    Host-side and per-frame — use for parity audits and query-image embedding
+    (WISE_PREPROCESS=exact), not for ingest throughput; the fused device path
+    (``preprocess_images``, crop-first) is the production route. The
+    rank-order delta between the two is measured by
+    scripts/eval/preprocess_delta.py."""
+    from PIL import Image
+
+    frames = np.asarray(frames)
+    if frames.ndim == 3:
+        frames = frames[None]
+    s = target_size
+    mean_a = np.asarray(mean, np.float32)
+    std_a = np.asarray(std, np.float32)
+    out = np.empty((len(frames), s, s, 3), np.float32)
+    for i, f in enumerate(frames):
+        im = Image.fromarray(np.ascontiguousarray(f))
+        w, h = im.size
+        if (w, h) != (s, s):
+            if w <= h:  # torchvision Resize(int): short side -> s
+                new_w, new_h = s, int(s * h / w)
+            else:
+                new_w, new_h = int(s * w / h), s
+            im = im.resize((new_w, new_h), Image.BICUBIC)
+            arr = np.asarray(im, dtype=np.float32)
+            top = int(round((new_h - s) / 2.0))
+            left = int(round((new_w - s) / 2.0))
+            arr = arr[top : top + s, left : left + s]
+        else:
+            arr = np.asarray(im, dtype=np.float32)
+        out[i] = (arr / 255.0 - mean_a) / std_a
+    return out

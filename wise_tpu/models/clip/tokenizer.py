@@ -16,11 +16,14 @@ from __future__ import annotations
 import gzip
 import hashlib
 import html
+import logging
 import re
 from pathlib import Path
 from typing import List, Optional
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 def bytes_to_unicode():
@@ -48,12 +51,22 @@ def whitespace_clean(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
-# CLIP's pattern uses \p{L}/\p{N} (regex module); stdlib `re` equivalents:
-# [^\W\d_]+ = unicode letters, [0-9] = single digit, [^\s\w]+ = punctuation.
-_WORD_PAT = re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|[0-9]|[^\s\w]+""",
-    re.IGNORECASE | re.UNICODE,
-)
+# CLIP's exact word-split pattern (open_clip SimpleTokenizer). The `regex`
+# module provides \p{L}/\p{N}; the stdlib fallback approximates them
+# ([^\W\d_]+ ~ letters, [0-9] ~ digits, [^\s\w]+ ~ punctuation — the
+# fallback treats '_' and non-ASCII digits slightly differently).
+try:
+    import regex as _regex
+
+    _WORD_PAT = _regex.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+        _regex.IGNORECASE,
+    )
+except ImportError:  # pragma: no cover - regex ships with transformers
+    _WORD_PAT = re.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|[0-9]|[^\s\w]+""",
+        re.IGNORECASE | re.UNICODE,
+    )
 
 
 class BPETokenizer:
@@ -167,11 +180,41 @@ class HashTokenizer:
         return out
 
 
+def find_bpe_vocab() -> Optional[Path]:
+    """Locate ``bpe_simple_vocab_16e6.txt.gz`` in the shared staging spots:
+    $WISE_CHECKPOINT_DIR root (scripts/fetch_checkpoints.py drops a copy per
+    model dir, but a root-level copy serves every model) or the packaged
+    data dir."""
+    import os
+
+    name = "bpe_simple_vocab_16e6.txt.gz"
+    candidates = []
+    ckpt = os.environ.get("WISE_CHECKPOINT_DIR")
+    if ckpt:
+        candidates.append(Path(ckpt) / name)
+    candidates.append(
+        Path.home() / ".cache" / "wise_tpu" / "checkpoints" / name
+    )
+    candidates.append(Path(__file__).parent / "data" / name)
+    for c in candidates:
+        if c.exists():
+            return c
+    return None
+
+
 def get_tokenizer(
     bpe_path: Optional[Path] = None,
     vocab_size: int = 49408,
     context_length: int = 77,
 ):
+    if bpe_path is None or not Path(bpe_path).exists():
+        bpe_path = find_bpe_vocab()
     if bpe_path is not None and Path(bpe_path).exists():
         return BPETokenizer(bpe_path, context_length)
+    logger.warning(
+        "CLIP BPE vocab (bpe_simple_vocab_16e6.txt.gz) not found — using "
+        "the deterministic HASH tokenizer fallback. Retrieval text queries "
+        "will NOT match real-checkpoint behaviour; stage the vocab with "
+        "scripts/fetch_checkpoints.py or set WISE_CHECKPOINT_DIR."
+    )
     return HashTokenizer(vocab_size, context_length)
