@@ -109,6 +109,46 @@ def test_sharded_ivfpq_matches_host(tmp_path):
         np.testing.assert_array_equal(dev_r, host_r)
 
 
+def test_sharded_ivf_at_1m_rows(rng):
+    """8-way sharded IVF at >= 1M rows (VERDICT round-1: the sharded tests
+    only ever saw ~1k rows). Cells are synthesised directly (uniform
+    assignment, cell-sorted rows) — kmeans quality is irrelevant to the
+    sharded == numpy contract being asserted here."""
+    from wise_tpu.parallel.sharded_search import sharded_ivf_topk
+
+    n, d, nlist, nprobe, k = 1_048_576, 64, 1024, 8, 20
+    mesh = get_mesh(dp=8)
+    # cell-sorted db: cell c owns rows [c*L, (c+1)*L)
+    L = n // nlist
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    centroids = rng.standard_normal((nlist, d)).astype(np.float32)
+    offsets = (np.arange(nlist + 1, dtype=np.int64) * L)
+
+    db_sharded, _ = pad_and_shard_db(mesh, db)
+    import jax.numpy as jnp
+
+    vals, rows = sharded_ivf_topk(
+        mesh, db[:2], jnp.asarray(centroids),
+        jnp.asarray(offsets.astype(np.int32)), db_sharded,
+        nprobe=nprobe, lmax=L, k=k,
+    )
+
+    # numpy reference over the same probed cells
+    cs = db[:2] @ centroids.T
+    for i in range(2):
+        cells = np.sort(np.argsort(-cs[i], kind="stable")[:nprobe])
+        cand_rows = np.concatenate(
+            [np.arange(offsets[c], offsets[c + 1]) for c in cells]
+        )
+        s = db[cand_rows] @ db[i]
+        order = np.argsort(-s, kind="stable")[:k]
+        np.testing.assert_allclose(
+            np.asarray(vals)[i], s[order], rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(rows)[i], cand_rows[order])
+
+
 def test_sharded_dispatch_used_on_multidevice(tmp_path):
     """The public search() routes to the sharded paths when >1 device."""
     import jax

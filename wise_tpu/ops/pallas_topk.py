@@ -132,3 +132,143 @@ def pallas_topk(
     top_v, pos = jax.lax.top_k(flat_v, k_eff)
     top_i = jnp.take_along_axis(flat_i, pos, axis=1)
     return top_v[:qn], top_i[:qn]
+
+
+# ---------------------------------------------------------------------------
+# threshold-skip variant (ROADMAP round-1 #3 / VERDICT round-1 item 6)
+# ---------------------------------------------------------------------------
+
+def _threshold_topk_kernel(n_valid_ref, q_ref, db_ref, vals_ref, idx_ref,
+                           run_v, run_i, *, group: int, k_pad: int):
+    """Persistent running top-k in VMEM scratch across grid steps.
+
+    Per block: MXU matmul + one VPU max are mandatory (the scan must read
+    every row); the k extraction passes — what made ``pallas_topk`` lose to
+    XLA — only run when the block's max beats the running k_pad-th best
+    score (theta). On unordered data almost every block after the first few
+    is skipped, so steady-state cost approaches pure matmul + max.
+    """
+    g = pl.program_id(0)
+    last = pl.num_programs(0) - 1
+
+    @pl.when(g == 0)
+    def _():
+        run_v[:] = jnp.full_like(run_v, -jnp.inf)
+        run_i[:] = jnp.zeros_like(run_i)
+
+    block = db_ref[:]                  # (group, D) f32 or bf16
+    q = q_ref[:].astype(block.dtype)   # (Q_pad, D)
+    scores = jax.lax.dot_general(
+        q, block,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                  # (Q_pad, group)
+    qn = scores.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (qn, group), 1)
+    n_valid = n_valid_ref[0]
+    scores = jnp.where(col + g * group < n_valid, scores, -jnp.inf)
+
+    theta = jnp.min(run_v[:], axis=1)                       # (Q,)
+    block_max = jnp.max(scores, axis=1)                     # (Q,)
+
+    @pl.when(jnp.any(block_max > theta))
+    def _():
+        lane = jax.lax.broadcasted_iota(jnp.int32, (qn, k_pad), 1)
+
+        def cond(carry):
+            s, vals, idxs = carry
+            return jnp.any(
+                jnp.max(s, axis=1) > jnp.min(vals, axis=1)
+            )
+
+        def body(carry):
+            s, vals, idxs = carry
+            m = jnp.max(s, axis=1, keepdims=True)           # (Q,1)
+            am = jnp.argmax(s, axis=1).astype(jnp.int32)[:, None]
+            th = jnp.min(vals, axis=1, keepdims=True)
+            worst = jnp.argmin(vals, axis=1).astype(jnp.int32)[:, None]
+            take = m > th                                    # (Q,1)
+            sel = (lane == worst) & take
+            vals = jnp.where(sel, m, vals)
+            idxs = jnp.where(sel, am + g * group, idxs)
+            s = jnp.where((col == am) & take, -jnp.inf, s)
+            return s, vals, idxs
+
+        _, vals, idxs = jax.lax.while_loop(
+            cond, body, (scores, run_v[:], run_i[:])
+        )
+        run_v[:] = vals
+        run_i[:] = idxs
+
+    @pl.when(g == last)
+    def _():
+        vals_ref[:] = run_v[:]
+        idx_ref[:] = run_i[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "group", "n_valid", "interpret")
+)
+def pallas_topk_threshold(
+    queries: jax.Array,
+    db_padded: jax.Array,
+    n_valid: int,
+    k: int,
+    group: int = 2048,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k via threshold-skip scan. queries (Q, D) f32; db_padded
+    (N_pad, D) f32 or bf16 with N_pad % group == 0. Returns
+    (scores (Q, k), rows (Q, k)).
+
+    Note: unlike the engine's XLA paths, ties resolve by insertion order of
+    the running buffer (a tied-with-k-th candidate arriving later is NOT
+    inserted), so equal-score orderings can differ from faiss; production
+    search stays on ops/topk.py — this kernel exists to answer ROADMAP #3's
+    performance question (numbers in BENCHMARKS.md)."""
+    qn, d = queries.shape
+    n_pad = db_padded.shape[0]
+    assert n_pad % group == 0
+    k_eff = min(k, n_valid)
+    k_pad = _round_up(max(k_eff, 1), 128)
+    q_pad = _round_up(qn, 8)
+    q = jnp.pad(queries.astype(jnp.float32), ((0, q_pad - qn), (0, 0)))
+    num_groups = n_pad // group
+
+    vals, idxs = pl.pallas_call(
+        functools.partial(
+            _threshold_topk_kernel, group=group, k_pad=k_pad
+        ),
+        grid=(num_groups,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((q_pad, d), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, d), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((q_pad, k_pad), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, k_pad), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q_pad, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, k_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((q_pad, k_pad), jnp.float32),
+            pltpu.VMEM((q_pad, k_pad), jnp.int32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_pad * d * n_pad,
+            bytes_accessed=n_pad * d * db_padded.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(jnp.asarray([n_valid], dtype=jnp.int32), q, db_padded)
+
+    top_v, pos = jax.lax.top_k(vals, k_eff)
+    top_i = jnp.take_along_axis(idxs, pos, axis=1)
+    return top_v[:qn], top_i[:qn]
