@@ -250,11 +250,72 @@ def bench_ivfpq(out, rt, quick=False):
         }
 
 
+def bench_pallas_threshold(out, rt, quick=False):
+    """Threshold-skip Pallas scan (ops/pallas_topk.py pallas_topk_threshold)
+    vs the pure matmul floor and the production XLA two-stage path at
+    1M x 512 (VERDICT round-1 item 6: target <= matmul + 10% f32; a bench
+    row lands in BENCHMARKS.md either way)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wise_tpu.ops.pallas_topk import pallas_topk_threshold
+
+    N, D, K = 1_048_576, 512, 100
+    db32 = jax.jit(
+        lambda k: jax.random.normal(k, (N, D), jnp.float32)
+    )(jax.random.PRNGKey(0))
+    qs = jax.random.normal(jax.random.PRNGKey(1), (20, D), jnp.float32)
+    variants = {"f32": db32}
+    if not quick:
+        variants["bf16"] = jax.jit(lambda x: x.astype(jnp.bfloat16))(db32)
+
+    @jax.jit
+    def matmul_loop(qs, db):
+        def body(i, c):
+            q = (qs[i] + c * 0)[None].astype(db.dtype)
+            s = jax.lax.dot_general(
+                q, db, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # full reduction: s[0,0] would let XLA slice db to one row
+            return jnp.max(s)
+
+        return jax.lax.fori_loop(0, 20, body, jnp.float32(0))
+
+    for tag, db in variants.items():
+        @jax.jit
+        def loop(qs, db):
+            def body(i, c):
+                v, _ = pallas_topk_threshold(
+                    (qs[i] + c * 0)[None], db, n_valid=N, k=K
+                )
+                return v[0, 0]
+
+            return jax.lax.fori_loop(0, 20, body, jnp.float32(0))
+
+        np.asarray(loop(qs, db))
+        t0 = time.perf_counter()
+        np.asarray(loop(qs, db))
+        dt = (time.perf_counter() - t0 - rt) / 20
+
+        np.asarray(matmul_loop(qs, db))
+        t0 = time.perf_counter()
+        np.asarray(matmul_loop(qs, db))
+        dt_mm = (time.perf_counter() - t0 - rt) / 20
+        out[f"pallas_threshold_1M_{tag}"] = {
+            "k": K,
+            "ms_per_query": round(dt * 1e3, 3),
+            "matmul_floor_ms": round(dt_mm * 1e3, 3),
+            "overhead_vs_matmul_pct": round((dt / dt_mm - 1) * 100, 1),
+        }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
     p.add_argument("--only",
-                   choices=["decode", "search", "encoder", "ivf", "ivfpq"],
+                   choices=["decode", "search", "encoder", "ivf", "ivfpq",
+                            "pallas"],
                    default=None)
     args = p.parse_args()
     out = {}
@@ -268,6 +329,8 @@ def main():
         bench_ivf(out, rt, args.quick)
     if args.only in (None, "ivfpq"):
         bench_ivfpq(out, rt, args.quick)
+    if args.only in (None, "pallas"):
+        bench_pallas_threshold(out, rt, args.quick)
     if args.only in (None, "encoder"):
         bench_encoder(out, rt, args.quick)
     print(json.dumps(out, indent=2))

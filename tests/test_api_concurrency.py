@@ -86,8 +86,12 @@ def test_per_thread_connections(tmp_path):
     eng = SearchEngine(pdir)
 
     seen = {}
+    # without the barrier, one pool thread can drain the whole queue on a
+    # loaded single-core host, leaving len(seen) == 1 (flaky)
+    barrier = threading.Barrier(4, timeout=30)
 
     def grab(i):
+        barrier.wait()
         seen[threading.get_ident()] = (id(eng.conn), id(eng.conn))
         return eng.info().num_vectors
 

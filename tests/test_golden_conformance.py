@@ -2,11 +2,16 @@
 
 The reference's de-facto conformance suite byte-compares CLI search output
 against embedded ground truth (tests/test-kinetics-6.sh:124-142). This is
-the hermetic equivalent: a fixed lossless corpus (PNG images + PCM wavs —
-no video codec, so pixels/samples are bit-identical on every platform) runs
-extract -> index -> search with the deterministic RandomFeatures extractor,
-and the CSV output must equal tests/golden/conformance.csv exactly
-(filenames, timestamps, and scores to 3 decimals).
+the hermetic equivalent: a fixed lossless corpus (PNG images + PCM wavs +
+a raw-BGR24 AVI with PCM audio — no lossy codec anywhere, so pixels and
+samples are bit-identical on every platform) runs extract -> index ->
+search with the deterministic RandomFeatures extractor, and the CSV output
+must equal tests/golden/conformance.csv exactly (filenames, timestamps,
+and scores to 3 decimals).
+
+The AV file puts the video decode path — 2 fps sampling, thumbnails, AV
+segment alignment — plus merge0 (adjacent-in-time), merge1 (cross-modal
+AND) and --not-in subtraction under the pin (VERDICT round-1 item 5).
 
 Regenerate (after an INTENTIONAL semantic change only):
     python tests/test_golden_conformance.py --regenerate
@@ -29,7 +34,10 @@ def build_corpus(d: Path):
 
     import cv2
 
+    from tests.media_fixtures import make_av_lossless
+
     d.mkdir(parents=True, exist_ok=True)
+    make_av_lossless(d / "blocks.avi")
     rng = np.random.default_rng(1234)
     for name, value in (("red.png", 200), ("green.png", 60), ("blue.png", 120)):
         img = np.zeros((40, 48, 3), np.uint8)
@@ -82,9 +90,40 @@ def run_pipeline(tmp: Path) -> str:
     ]
     assert search_main(args2) == 0
     lines += out.read_text().split("\n", 1)[1]  # drop duplicate header
+
+    def more(extra):
+        assert search_main([
+            "--project-dir", str(proj),
+            "--result-format", "csv",
+            "--save-to-file", str(out),
+        ] + extra) == 0
+        return out.read_text().split("\n", 1)[1]
+
+    # video-only: merge0 merges the identical 2 fps samples inside each
+    # 2 s block of blocks.avi into one time range
+    lines += more(["--query", "colorful noise", "--in", "video",
+                   "--topk", "6"])
+    # AV cross-modal AND: merge0 per modality + merge1 fused rows
+    lines += more(["--query", "colorful noise", "--in", "video",
+                   "--query", "a pure tone", "--in", "audio",
+                   "--topk", "6"])
+    # subtraction: drop video hits whose segments overlap audio hits
+    lines += more(["--query", "colorful noise", "--in", "video",
+                   "--query", "a pure tone", "--not-in", "audio",
+                   "--topk", "6"])
     return lines
 
 
+def _native_available():
+    from wise_tpu.io import native_decoder
+
+    return native_decoder.available()
+
+
+@pytest.mark.skipif(
+    not _native_available(),
+    reason="AV golden rows need the native decoder (make -C wise_tpu/native)",
+)
 def test_matches_committed_golden(tmp_path):
     assert GOLDEN.exists(), (
         "golden file missing — run: python tests/test_golden_conformance.py "
