@@ -158,10 +158,19 @@ def _threshold_topk_kernel(n_valid_ref, q_ref, db_ref, vals_ref, idx_ref,
 
     block = db_ref[:]                  # (group, D) f32 or bf16
     q = q_ref[:].astype(block.dtype)   # (Q_pad, D)
+    # f32 inputs score at HIGHEST like ops/topk.py (faiss score parity —
+    # the MXU's default f32 path rounds through bf16); the scan is
+    # HBM-bound, so the extra MXU passes are free. bf16 stays native.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if block.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     scores = jax.lax.dot_general(
         q, block,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )                                  # (Q_pad, group)
     qn = scores.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (qn, group), 1)
