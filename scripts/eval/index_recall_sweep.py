@@ -8,6 +8,17 @@ Data is a Gaussian mixture on the unit sphere — clustered like real
 embeddings, which is what makes IVF recall non-trivial (uniform data makes
 every cell equidistant and flatters recall).
 
+Residuals around each center use a power-law-decaying spectrum in a random
+rotated basis (--spectrum-decay alpha; per-dim scale (1+d)^-alpha, alpha=0
+= isotropic). Isotropic residuals are PQ's worst case — every subvector is
+a full-rank Gaussian that 256 codewords cannot cover, so IVF-PQ recall
+collapses regardless of nprobe — while real CLIP/CLAP residual spectra
+decay fast (a few dozen effective dims out of 512/768), which is what makes
+the reference's published 0.904 R0@20 on 55M real vectors reachable at
+M=8. alpha=0.5 gives ~23 effective dims at D=512, in the realistic range.
+The default --centers 16384 exceeds nlist so k-means cells cannot simply
+memorise mixture centers (IVF recall stays non-trivial).
+
 Everything (generation, k-means, cell-sort, paged layout, exact ground
 truth, searches) runs ON DEVICE: the dev tunnel uploads at ~9 MB/s, so
 shipping a host-built matrix would dominate the wall clock. Only the PQ
@@ -36,8 +47,11 @@ def main():
     p.add_argument("--n", type=int, default=500_000)
     p.add_argument("--d", type=int, default=256)
     p.add_argument("--queries", type=int, default=128)
-    p.add_argument("--centers", type=int, default=2048)
+    p.add_argument("--centers", type=int, default=16384)
     p.add_argument("--noise", type=float, default=0.35)
+    p.add_argument("--spectrum-decay", type=float, default=0.5,
+                   help="residual spectrum (1+d)^-alpha in a random rotated "
+                        "basis; 0 = isotropic (PQ worst case)")
     p.add_argument("--topk", type=int, default=100)
     p.add_argument("--nprobes", type=int, nargs="+",
                    default=[8, 64, 256, 1024])
@@ -66,24 +80,35 @@ def main():
           f"noise={args.noise}", file=sys.stderr)
 
     key = jax.random.PRNGKey(0)
-    kc, ka, kn, kq, kqn, ki = jax.random.split(key, 6)
+    kc, ka, kn, kq, kqn, ki, kr = jax.random.split(key, 7)
 
     # noise is the RMS NORM of the perturbation relative to the unit
     # center (per-dim sigma = noise/sqrt(D)); noise=0.35 puts cos(x, center)
     # ~ 0.94 — strongly clustered, like real CLIP embeddings. A per-dim
     # sigma of 0.35 would give a noise norm of 5.6 at D=256, i.e. nearly
     # uniform data, which is meaningless for an IVF recall study.
-    sigma = args.noise / math.sqrt(D)
+    # The residual spectrum decays as (1+d)^-alpha in a random rotated
+    # basis, scaled so the expected residual norm stays `noise` (see
+    # module docstring).
+    alpha = args.spectrum_decay
 
     @jax.jit
     def gen():
+        spec = (1.0 + jnp.arange(D, dtype=jnp.float32)) ** (-alpha)
+        spec = spec * jnp.sqrt(D / jnp.sum(spec**2))
+        rot, _ = jnp.linalg.qr(jax.random.normal(kr, (D, D)))
+        sigma = args.noise / math.sqrt(D)
+
+        def resid(k, n):
+            return (jax.random.normal(k, (n, D)) * spec) @ rot * sigma
+
         centers = jax.random.normal(kc, (args.centers, D))
         centers /= jnp.linalg.norm(centers, axis=1, keepdims=True)
         which = jax.random.randint(ka, (N,), 0, args.centers)
-        x = centers[which] + sigma * jax.random.normal(kn, (N, D))
+        x = centers[which] + resid(kn, N)
         x /= jnp.linalg.norm(x, axis=1, keepdims=True)
         qw = jax.random.randint(kq, (Q,), 0, args.centers)
-        q = centers[qw] + sigma * jax.random.normal(kqn, (Q, D))
+        q = centers[qw] + resid(kqn, Q)
         q /= jnp.linalg.norm(q, axis=1, keepdims=True)
         return x, q
 
@@ -182,7 +207,8 @@ def main():
         return (time.perf_counter() - t0 - 0.033) / 100
 
     report = {"n": N, "d": D, "nlist": nlist, "topk": K,
-              "centers": args.centers, "noise": args.noise, "rows": []}
+              "centers": args.centers, "noise": args.noise,
+              "spectrum_decay": alpha, "rows": []}
 
     # --- IVF-Flat sweep
     LPAD = 64
