@@ -57,6 +57,11 @@ class CLIPConfig:
     #: rematerialise transformer blocks (recompute activations in backward —
     #: trades FLOPs for memory when training large towers)
     remat: bool = False
+    #: attention softmax accumulation: True = always f32 (parity-exact with
+    #: torch autocast; the default), False = compute dtype (saves two cast
+    #: passes over the (B,H,S,S) logits per layer in bf16 mode; no-op for
+    #: f32 towers). Measured effect: BENCHMARKS.md roofline section.
+    attn_softmax_f32: bool = True
     dtype: Any = jnp.float32
 
 
@@ -150,6 +155,7 @@ class MultiHeadAttention(nn.Module):
     width: int
     heads: int
     dtype: Any = jnp.float32
+    softmax_f32: bool = True
 
     @nn.compact
     def __call__(self, x, mask: Optional[jax.Array] = None):
@@ -167,10 +173,16 @@ class MultiHeadAttention(nn.Module):
             "bqhd,bkhd->bhqk", q, k, precision=jax.lax.Precision.DEFAULT
         ) * scale
         if mask is not None:
-            logits = logits + mask
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
-            self.dtype
-        )
+            logits = logits + mask.astype(logits.dtype)
+        if self.softmax_f32:
+            probs = jax.nn.softmax(
+                logits.astype(jnp.float32), axis=-1
+            ).astype(self.dtype)
+        else:
+            # compute-dtype softmax (bf16 throughput mode): saves two cast
+            # passes over the (B, H, S, S) logits per layer; max-subtraction
+            # keeps it stable; no-op for f32 towers
+            probs = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = out.reshape(out.shape[0], out.shape[1], D)
         return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
@@ -181,12 +193,14 @@ class ResidualAttentionBlock(nn.Module):
     heads: int
     quick_gelu: bool
     dtype: Any = jnp.float32
+    softmax_f32: bool = True
 
     @nn.compact
     def __call__(self, x, mask=None):
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x)
         x = x + MultiHeadAttention(
-            self.width, self.heads, dtype=self.dtype, name="attn"
+            self.width, self.heads, dtype=self.dtype,
+            softmax_f32=self.softmax_f32, name="attn"
         )(y, mask)
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(x)
         h = nn.Dense(self.width * 4, dtype=self.dtype, name="mlp_fc")(y)
@@ -202,6 +216,7 @@ class Transformer(nn.Module):
     quick_gelu: bool
     dtype: Any = jnp.float32
     remat: bool = False
+    softmax_f32: bool = True
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -213,7 +228,7 @@ class Transformer(nn.Module):
         for i in range(self.layers):
             x = block_cls(
                 self.width, self.heads, self.quick_gelu, dtype=self.dtype,
-                name=f"resblocks_{i}",
+                softmax_f32=self.softmax_f32, name=f"resblocks_{i}",
             )(x, mask)
         return x
 
@@ -300,7 +315,8 @@ class VisionTransformer(nn.Module):
         x = Transformer(
             c.vision_width, c.vision_layers, c.vision_heads,
             c.act or c.quick_gelu,
-            dtype=c.dtype, remat=c.remat, name="transformer",
+            dtype=c.dtype, remat=c.remat,
+            softmax_f32=c.attn_softmax_f32, name="transformer",
         )(x)
         if use_cls:
             x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(
@@ -350,7 +366,8 @@ class TextTransformer(nn.Module):
         x = Transformer(
             c.text_width, c.text_layers, c.text_heads,
             c.act or c.quick_gelu,
-            dtype=c.dtype, remat=c.remat, name="transformer",
+            dtype=c.dtype, remat=c.remat,
+            softmax_f32=c.attn_softmax_f32, name="transformer",
         )(x, mask)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_final")(x)
         if c.text_pool == "last":
