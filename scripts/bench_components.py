@@ -102,7 +102,7 @@ def bench_search(out, rt, quick):
     import jax
     import jax.numpy as jnp
 
-    from wise_tpu.ops.topk import two_stage_topk
+    from wise_tpu.ops.topk import int8_candidates, two_stage_topk
 
     N, D, K = 1_048_576, 512, 100
     db32 = jax.jit(
@@ -110,6 +110,48 @@ def bench_search(out, rt, quick):
     )(jax.random.PRNGKey(0))
     variants = {"f32": db32, "bf16": db32.astype(jnp.bfloat16)}
     qs = jax.random.normal(jax.random.PRNGKey(1), (20, D), jnp.float32)
+
+    # int8 storage: device candidate scan (4x less HBM than f32) + host f32
+    # rerank of 4k candidates (the production int8 path in feature_index)
+    @jax.jit
+    def quant(db):
+        scales = jnp.max(jnp.abs(db), axis=1) / 127.0
+        codes = jnp.rint(db / scales[:, None]).astype(jnp.int8)
+        return codes, scales
+
+    codes, scales = quant(db32)
+
+    @jax.jit
+    def int8_loop(qs, codes, scales):
+        def body(i, c):
+            v, _ = int8_candidates(
+                (qs[i] + c * 0)[None], codes, scales,
+                n_valid=N, kc=4 * K,
+            )
+            return v[0, 0]
+
+        return jax.lax.fori_loop(0, 20, body, jnp.float32(0))
+
+    np.asarray(int8_loop(qs, codes, scales))
+    t0 = time.perf_counter()
+    np.asarray(int8_loop(qs, codes, scales))
+    dt_dev = (time.perf_counter() - t0 - rt) / 20
+    # host rerank cost on a memmap-sized candidate gather
+    host_vecs = np.random.default_rng(0).standard_normal(
+        (4 * K, D)
+    ).astype(np.float32)
+    q0 = np.asarray(qs[0])
+    t0 = time.perf_counter()
+    for _ in range(50):
+        s = host_vecs @ q0
+        np.lexsort((np.arange(4 * K), -s))
+    dt_rerank = (time.perf_counter() - t0) / 50
+    out["int8_search_1M"] = {
+        "k": K, "device_ms": round(dt_dev * 1e3, 3),
+        "host_rerank_ms": round(dt_rerank * 1e3, 3),
+        "ms_per_query": round((dt_dev + dt_rerank) * 1e3, 3),
+    }
+
     for tag, db in variants.items():
         @jax.jit
         def loop(qs, db):

@@ -34,8 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--index-type", default="IndexFlatIP",
                    choices=["IndexFlatIP", "IndexIVFFlat", "IndexIVFPQ"])
     p.add_argument("--storage-dtype", default=None,
-                   choices=["float32", "bfloat16"],
-                   help="HBM dtype for the resident index (bfloat16 halves scan bandwidth)")
+                   choices=["float32", "bfloat16", "int8"],
+                   help="HBM dtype for the resident index: bfloat16 halves "
+                        "scan bandwidth; int8 quarters it (device candidate "
+                        "scan + exact host f32 rerank)")
     p.add_argument("--topk", action="append", type=int)
     p.add_argument("--max-filename-length", type=int, default=50)
     p.add_argument("--no-merge", action="store_true")

@@ -72,7 +72,18 @@ class IndexConfig:
     pq_train_samples: int = 100_000
     # device-side scan parameters
     scan_block_rows: int = 4096            # DB rows per Pallas scan block
-    storage_dtype: str = "float32"         # "float32" | "bfloat16"
+    # HBM copy of the flat database: "float32" (bit-parity with faiss),
+    # "bfloat16" (2x less scan bandwidth), or "int8" (4x less: per-row
+    # symmetric quantized scan proposes rerank_mult*k candidates on device,
+    # then the true f32 rows from the memmapped index are re-scored on the
+    # host). int8 returned scores are exact f32; ranking equals the f32
+    # scan whenever the true top-k survives the candidate stage — always on
+    # well-separated data; on data with many rows within the int8 noise
+    # (~1e-3) of the k-th score, deep ranks can swap with just-missed rows
+    # (raise int8_rerank_mult for margin). Strictly more accurate than
+    # bfloat16 storage, and 2x less HBM traffic.
+    storage_dtype: str = "float32"         # "float32" | "bfloat16" | "int8"
+    int8_rerank_mult: int = 4              # candidates = mult * k
     # paged IVF layout (ops/ivf_paged.py): rows per page. Pages are the
     # gather granularity — big enough to DMA at HBM bandwidth; cells pad to
     # a page multiple, so smaller pages waste less on skewed cell sizes.

@@ -338,7 +338,7 @@ class FeatureSearchIndex(SearchIndex):
         self._device_db = None
         for cached in (  # drop stale device copies
             "_ivf_dev", "_pq_sharded", "_ivf_lmax", "_pq_lmax",
-            "_ivf_paged", "_pq_paged",
+            "_ivf_paged", "_pq_paged", "_int8_db",
         ):
             if hasattr(self, cached):
                 delattr(self, cached)
@@ -417,12 +417,40 @@ class FeatureSearchIndex(SearchIndex):
         scores, rows = self._dispatch_search(qvec, topk)
         return scores, self._rows_to_ids(scores, rows)
 
+    def _ensure_int8_db(self):
+        """int8 HBM copy: (codes (N_pad, D) int8, per-row scales (N_pad,))."""
+        if getattr(self, "_int8_db", None) is None:
+            import jax
+
+            from ..ops.topk import pad_rows, quantize_rows_int8
+
+            host = pad_rows(np.asarray(self._arrays["vectors"]), self.GROUP)
+            codes, scales = quantize_rows_int8(host)
+            self._int8_db = (jax.device_put(codes), jax.device_put(scales))
+        return self._int8_db
+
     def _search_flat(self, qvec, topk):
         from ..ops.topk import flat_topk
 
-        db = self._ensure_device_db()
         n_valid = int(self._metadata["count"])
         k = min(int(topk), n_valid)
+        if self.config.storage_dtype == "int8":
+            # single-device scan (codes land on device 0; sharded int8 is a
+            # roadmap item): device proposes rerank_mult*k candidates from
+            # the 1-byte/element quantized copy, host re-scores them in f32
+            from ..ops.topk import int8_candidates, rerank_exact_f32
+
+            codes, scales = self._ensure_int8_db()
+            kc = min(self.config.int8_rerank_mult * k, n_valid)
+            _, cand = int8_candidates(
+                qvec, codes, scales, n_valid=n_valid, kc=kc, k=k,
+                group=self.GROUP,
+            )
+            return rerank_exact_f32(
+                qvec, np.asarray(cand), self._arrays["vectors"], k,
+                n_valid=n_valid,
+            )
+        db = self._ensure_device_db()
         if self._mesh is not None:
             from ..parallel.sharded_search import sharded_scan_topk
 

@@ -229,6 +229,105 @@ def flat_topk(
     return hier_topk(queries, db_padded, n_valid, k, group)
 
 
+def quantize_rows_int8(db: np.ndarray):
+    """Symmetric per-row int8 quantization: returns (codes (N, D) int8,
+    scales (N,) f32) with row = codes * scale + err, |err| <= scale/2.
+    Zero rows get scale 0 (codes 0) so padding scores exactly 0 like the
+    f32 path before masking."""
+    db = np.asarray(db, dtype=np.float32)
+    absmax = np.abs(db).max(axis=1)
+    scales = absmax / 127.0
+    inv = np.where(scales > 0, 1.0 / np.where(scales == 0, 1, scales), 0.0)
+    codes = np.rint(db * inv[:, None]).astype(np.int8)
+    return codes, scales.astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("kc", "k", "group", "n_valid"))
+def int8_candidates(
+    queries: jax.Array,
+    db_i8: jax.Array,
+    row_scales: jax.Array,
+    n_valid: int,
+    kc: int,
+    k: int = None,
+    group: int = 4096,
+) -> Tuple[jax.Array, jax.Array]:
+    """Approximate top-kc candidate rows from an int8-quantized database.
+
+    The scan reads 1 byte/element — 4x less HBM than f32, 2x less than bf16
+    — and scores on the int8 MXU (i32 accumulate), then rescales per row.
+    Exactness is restored by the CALLER re-scoring the kc candidates in f32
+    (feature_index._search_flat int8 mode; kc = rerank_mult * k). Returns
+    (approx scores (Q, kc) f32, rows (Q, kc)).
+    """
+    n_pad = db_i8.shape[0]
+    assert n_pad % group == 0
+    kc = min(kc, n_valid)
+    q = queries.astype(jnp.float32)
+    q_scale = jnp.max(jnp.abs(q), axis=1, keepdims=True) / 127.0  # (Q, 1)
+    q_i8 = jnp.rint(q / jnp.where(q_scale == 0, 1, q_scale)).astype(jnp.int8)
+    raw = jax.lax.dot_general(
+        q_i8, db_i8,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (Q, n_pad) i32
+    scores = raw.astype(jnp.float32) * (q_scale * row_scales[None, :])
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+    scores = jnp.where(row < n_valid, scores, -jnp.inf)
+    qn = scores.shape[0]
+    num_blocks = n_pad // group
+    # two_stage-style selection: block-max prunes to kb candidate blocks
+    # (cheap VPU max, no big sort), then one top-kc over kb*group scores.
+    # kb must be >= the final k (the true top-k can occupy k distinct
+    # blocks — same argument as two_stage_topk's exactness proof, modulo
+    # the int8 approximation margin); kc > k then adds in-block margin.
+    k_floor = k if k is not None else kc
+    kb = min(
+        num_blocks,
+        max(k_floor, _round_up(kc, group) // group, 8),
+    )
+    blocks = scores.reshape(qn, num_blocks, group)
+    block_max = jnp.max(blocks, axis=2)
+    _, blk_idx = jax.lax.top_k(block_max, kb)
+    blk_idx = jnp.sort(blk_idx, axis=1)
+    cand = jnp.take_along_axis(blocks, blk_idx[:, :, None], axis=1)
+    cand = cand.reshape(qn, kb * group)
+    base = (blk_idx * group)[:, :, None] + jax.lax.broadcasted_iota(
+        jnp.int32, (qn, kb, group), 2
+    )
+    base = base.reshape(qn, kb * group)
+    kc = min(kc, kb * group)
+    top_v, pos = jax.lax.top_k(cand, kc)
+    return top_v, jnp.take_along_axis(base, pos, axis=1)
+
+
+def rerank_exact_f32(queries, candidate_rows, vectors, k: int,
+                     n_valid=None):
+    """Host-side exact re-scoring of device-proposed candidates: gathers the
+    candidate rows from the (memmapped) f32 store, scores in f32 with
+    numpy's accumulation, and applies the faiss tie-break (equal scores
+    prefer the lower row index). candidate_rows may contain duplicates or
+    -1/-inf padding lanes; both are handled. Returns (scores (Q, k),
+    rows (Q, k)) — identical to the full f32 scan whenever the true top-k
+    is inside the candidate set (validated in tests; rerank_mult controls
+    the margin)."""
+    queries = np.asarray(queries, dtype=np.float32)
+    out_v = np.full((queries.shape[0], k), -np.inf, np.float32)
+    out_r = np.zeros((queries.shape[0], k), np.int32)
+    for qi in range(queries.shape[0]):
+        rows = np.unique(candidate_rows[qi])
+        rows = rows[rows >= 0]
+        if n_valid is not None:
+            # -inf candidate lanes still carry indices of padding rows
+            rows = rows[rows < n_valid]
+        cand = np.asarray(vectors[rows], dtype=np.float32)
+        scores = cand @ queries[qi]
+        order = np.lexsort((rows, -scores))[:k]
+        out_v[qi, : len(order)] = scores[order]
+        out_r[qi, : len(order)] = rows[order]
+    return out_v, out_r
+
+
 def pad_rows(db: np.ndarray, group: int = 4096) -> np.ndarray:
     """Pad DB rows with zeros to a multiple of `group` (host-side)."""
     n = db.shape[0]
