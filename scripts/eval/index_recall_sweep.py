@@ -56,6 +56,7 @@ def main():
     p.add_argument("--nprobes", type=int, nargs="+",
                    default=[8, 64, 256, 1024])
     p.add_argument("--pq-m", type=int, default=8)
+    p.add_argument("--only", choices=["flat", "pq", "both"], default="both")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -214,7 +215,7 @@ def main():
     LPAD = 64
     paged, prow, pfirst, pcount = device_paged(xs, LPAD)
     pfirst_d, pcount_d = jnp.asarray(pfirst), jnp.asarray(pcount)
-    for nprobe in args.nprobes:
+    for nprobe in args.nprobes if args.only in ("flat", "both") else []:
         nprobe = min(nprobe, nlist)
         budget = paged_budget(pcount, nprobe)
         chunk = default_chunk(LPAD, D, budget)
@@ -263,7 +264,7 @@ def main():
     LPADQ = 128
     pagedq, prowq, pfirstq, pcountq = device_paged(codes, LPADQ)
     pfirstq_d, pcountq_d = jnp.asarray(pfirstq), jnp.asarray(pcountq)
-    for nprobe in args.nprobes:
+    for nprobe in args.nprobes if args.only in ("pq", "both") else []:
         nprobe = min(nprobe, nlist)
         budget = paged_budget(pcountq, nprobe)
         chunk = default_chunk(LPADQ, D, budget)
