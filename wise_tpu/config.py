@@ -84,6 +84,12 @@ class IndexConfig:
     # bfloat16 storage, and 2x less HBM traffic.
     storage_dtype: str = "float32"         # "float32" | "bfloat16" | "int8"
     int8_rerank_mult: int = 4              # candidates = mult * k
+    # IVF-PQ recall backstop: when the same asset also has an IndexFlatIP
+    # file, ADC proposes pq_rerank_mult*k candidates and the true f32 rows
+    # from the flat file are re-scored on the host — PQ error then only
+    # affects candidate selection, never returned scores or their order
+    pq_exact_rerank: bool = True
+    pq_rerank_mult: int = 4
     # paged IVF layout (ops/ivf_paged.py): rows per page. Pages are the
     # gather granularity — big enough to DMA at HBM bandwidth; cells pad to
     # a page multiple, so smaller pages waste less on skewed cell sizes.

@@ -338,7 +338,7 @@ class FeatureSearchIndex(SearchIndex):
         self._device_db = None
         for cached in (  # drop stale device copies
             "_ivf_dev", "_pq_sharded", "_ivf_lmax", "_pq_lmax",
-            "_ivf_paged", "_pq_paged", "_int8_db",
+            "_ivf_paged", "_pq_paged", "_int8_db", "_flat_sibling",
         ):
             if hasattr(self, cached):
                 delattr(self, cached)
@@ -481,13 +481,76 @@ class FeatureSearchIndex(SearchIndex):
 
     def _search_ivfpq(self, qvec, topk, nprobe):
         """IVF+PQ dispatch: single-device -> fully on-device jitted ADC
-        (ops/ivfpq.py, uint8 codes HBM-resident); multi-device -> shard_map
-        ADC over row-sharded codes with ICI top-k merge."""
+        (ops/ivf_paged.py, uint8 codes HBM-resident); multi-device ->
+        shard_map ADC over row-sharded codes with ICI top-k merge.
+
+        When a sibling IndexFlatIP file exists for the same asset and
+        config.pq_exact_rerank is on, the ADC proposes pq_rerank_mult*k
+        candidates and the true f32 rows from the flat file are re-scored
+        on the host — PQ quantization error then only affects which
+        candidates are considered, not their scores or order (the recall
+        backstop discussed in BENCHMARKS.md)."""
         import jax
 
+        k = int(topk)
+        flat = (
+            self._ensure_flat_sibling()
+            if self.config.pq_exact_rerank else None
+        )
+        k_ask = k
+        if flat is not None:
+            k_ask = min(
+                self.config.pq_rerank_mult * k, len(self._arrays["ids"])
+            )
         if jax.device_count() == 1:
-            return self._search_ivfpq_device(qvec, topk, nprobe)
-        return self._search_ivfpq_sharded(qvec, topk, nprobe)
+            vals, rows = self._search_ivfpq_device(qvec, k_ask, nprobe)
+        else:
+            vals, rows = self._search_ivfpq_sharded(qvec, k_ask, nprobe)
+        if flat is None:
+            return vals, rows
+        return self._rerank_pq_candidates(qvec, vals, rows, k)
+
+    def _ensure_flat_sibling(self):
+        """Memmapped (vectors, ids, argsort(ids)) of the same asset's
+        IndexFlatIP file, or None when it doesn't exist."""
+        if not hasattr(self, "_flat_sibling"):
+            path = self.index_path("IndexFlatIP")
+            if not path.exists():
+                self._flat_sibling = None
+            else:
+                _, arrays = read_index_file(path)
+                fids = np.asarray(arrays["ids"])
+                self._flat_sibling = (
+                    arrays["vectors"], fids, np.argsort(fids)
+                )
+        return self._flat_sibling
+
+    def _rerank_pq_candidates(self, qvec, vals, rows, k: int):
+        """Exact host rescoring of ADC candidates from the flat sibling:
+        PQ rows -> vector ids -> flat rows -> f32 dot; ties prefer the
+        lower vector id. Returns (scores, rows) in PQ row space."""
+        vecs, fids, order = self._flat_sibling
+        pq_ids = np.asarray(self._arrays["ids"])
+        sorted_ids = fids[order]
+        q32 = np.asarray(qvec, dtype=np.float32)
+        out_v = np.full((q32.shape[0], k), -np.inf, np.float32)
+        out_r = np.zeros((q32.shape[0], k), np.int64)
+        for qi in range(q32.shape[0]):
+            keep = ~np.isneginf(vals[qi])
+            prows = np.unique(np.asarray(rows[qi])[keep]).astype(np.int64)
+            if not len(prows):
+                continue
+            ids = pq_ids[prows]
+            pos = np.searchsorted(sorted_ids, ids)
+            pos = np.minimum(pos, len(sorted_ids) - 1)
+            ok = sorted_ids[pos] == ids
+            prows, ids, pos = prows[ok], ids[ok], pos[ok]
+            frows = order[pos]
+            scores = np.asarray(vecs[frows], np.float32) @ q32[qi]
+            sel = np.lexsort((ids, -scores))[:k]
+            out_v[qi, : len(sel)] = scores[sel]
+            out_r[qi, : len(sel)] = prows[sel]
+        return out_v, out_r
 
     def _search_ivfpq_sharded(self, qvec, topk, nprobe):
         import jax
