@@ -67,6 +67,9 @@ def bench_tpu_vit(roundtrip: float, dtype_name: str = "bfloat16"):
     config = dataclasses.replace(
         config,
         dtype=jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32,
+        # the production inference config (extractor.py): fused VMEM
+        # attention kernel for short-sequence bf16 towers
+        fused_attention=dtype_name == "bfloat16",
     )
     model = CLIP(config)
     params = model.init(

@@ -62,7 +62,7 @@ def bench_encoder(out, rt, quick):
 
     for name in ("ViT-B-32",) if quick else ("ViT-B-32", "ViT-L-14"):
         config = dataclasses.replace(
-            get_clip_config(name), dtype=jnp.bfloat16
+            get_clip_config(name), dtype=jnp.bfloat16, fused_attention=True
         )
         model = CLIP(config)
         params = model.init(

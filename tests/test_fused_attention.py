@@ -1,0 +1,75 @@
+"""Fused short-sequence attention (ops/attention.py): interpret-mode kernel
+vs the XLA path, key-pad masking, and the padded vision tower's fallback
+equivalence (on CPU supports_fused() is False, so the tower exercises the
+pad + key-mask + slice logic through the XLA path)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wise_tpu.ops.attention import (
+    fused_short_attention,
+    supports_fused,
+    xla_attention,
+)
+
+
+def test_kernel_matches_xla_interpret(rng):
+    b, sp, d, heads = 8, 16, 128, 2
+    n_valid = 13
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, sp, d)), jnp.bfloat16)
+        for _ in range(3)
+    )
+    out = np.asarray(
+        fused_short_attention(
+            q, k, v, heads=heads, n_valid=n_valid, interpret=True
+        ),
+        np.float32,
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, sp), 3)
+    mask = jnp.where(col < n_valid, 0.0, -jnp.inf)
+    ref = np.asarray(
+        xla_attention(q, k, v, heads=heads, mask=mask), np.float32
+    )
+    # valid query rows match to bf16 tolerance; padded rows are undefined
+    np.testing.assert_allclose(
+        out[:, :n_valid], ref[:, :n_valid], atol=2e-2
+    )
+
+
+def test_supports_fused_gate():
+    bf16 = jnp.bfloat16
+    assert not supports_fused(7, 56, 768, 12, bf16)      # batch % 8
+    assert not supports_fused(8, 50, 768, 12, bf16)      # seq % 8
+    assert not supports_fused(8, 128, 768, 12, bf16)     # seq > 64
+    assert not supports_fused(8, 56, 768, 12, jnp.float32)
+    assert not supports_fused(8, 56, 1280, 16, bf16)     # head_dim 80
+    # shape-valid case only passes on an actual TPU backend
+    assert supports_fused(8, 56, 768, 12, bf16) == (
+        jax.default_backend() == "tpu"
+    )
+
+
+def test_padded_tower_matches_unfused(rng):
+    from wise_tpu.models.clip.model import CLIP, CLIPConfig
+
+    base = CLIPConfig(
+        embed_dim=32, image_size=32, patch_size=16, vision_width=128,
+        vision_layers=2, vision_heads=2, context_length=16, vocab_size=64,
+        text_width=32, text_heads=2, text_layers=1, dtype=jnp.bfloat16,
+    )  # 5 tokens -> pads to 8 under fused_attention
+    fused_cfg = dataclasses.replace(base, fused_attention=True)
+    m0, m1 = CLIP(base), CLIP(fused_cfg)
+    params = m0.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 32, 32, 3), jnp.float32),
+        jnp.zeros((1, 16), jnp.int32),
+    )
+    imgs = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
+    e0 = np.asarray(m0.apply(params, imgs, method=CLIP.encode_image))
+    e1 = np.asarray(m1.apply(params, imgs, method=CLIP.encode_image))
+    # padding + key-mask must not change the embeddings
+    np.testing.assert_allclose(e0, e1, atol=1e-5)

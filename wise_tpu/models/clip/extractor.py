@@ -72,6 +72,12 @@ class OpenClipExtractor(FeatureExtractor):
         self.config = _dc.replace(
             self.config,
             dtype=jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32,
+            # inference path: fused VMEM attention where shapes allow
+            # (ops/attention.py; WISE_FUSED_ATTN=0 to disable)
+            fused_attention=(
+                dtype_name == "bfloat16"
+                and os.environ.get("WISE_FUSED_ATTN", "1") != "0"
+            ),
         )
         self.output_dim = self.config.embed_dim
         self.input_size = (self.config.image_size, self.config.image_size)

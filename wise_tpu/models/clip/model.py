@@ -62,6 +62,12 @@ class CLIPConfig:
     #: passes over the (B,H,S,S) logits per layer in bf16 mode; no-op for
     #: f32 towers). Measured effect: BENCHMARKS.md roofline section.
     attn_softmax_f32: bool = True
+    #: use the fused VMEM attention kernel (ops/attention.py) in the vision
+    #: tower when shapes allow (bf16, head_dim 64, <= 64 tokens, batch % 8
+    #: == 0) — inference only (no backward pass); the token axis pads to a
+    #: sublane multiple with key-masking. ~4x faster attention middle at
+    #: ViT-B/32 shapes; see BENCHMARKS.md.
+    fused_attention: bool = False
     dtype: Any = jnp.float32
 
 
@@ -150,41 +156,51 @@ def _gelu(x, act):
 
 class MultiHeadAttention(nn.Module):
     """Self-attention with a fused in-projection, matching torch's
-    nn.MultiheadAttention parameterisation (in_proj kernel (D, 3D))."""
+    nn.MultiheadAttention parameterisation (in_proj kernel (D, 3D)).
+
+    ``n_valid`` (set by a padded vision tower) marks tokens >= n_valid as
+    key-padding. When ``fused`` is on and ops/attention.py's kernel covers
+    the shapes (bf16, head_dim 64, short sequence, batch % 8 == 0), the
+    attention middle runs as one VMEM-resident Pallas kernel — logits
+    never touch HBM (~4x faster than the XLA middle at ViT-B/32 shapes);
+    otherwise the standard XLA path runs with an equivalent mask."""
 
     width: int
     heads: int
     dtype: Any = jnp.float32
     softmax_f32: bool = True
+    fused: bool = False
+    n_valid: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, mask: Optional[jax.Array] = None):
+        from ...ops.attention import (
+            fused_short_attention,
+            supports_fused,
+            xla_attention,
+        )
+
         D, H = self.width, self.heads
-        head_dim = D // H
         in_proj = nn.Dense(3 * D, dtype=self.dtype, name="in_proj")(x)
         q, k, v = jnp.split(in_proj, 3, axis=-1)
-
-        def heads_split(t):
-            return t.reshape(t.shape[0], t.shape[1], H, head_dim)
-
-        q, k, v = map(heads_split, (q, k, v))
-        scale = 1.0 / np.sqrt(head_dim)
-        logits = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, precision=jax.lax.Precision.DEFAULT
-        ) * scale
-        if mask is not None:
-            logits = logits + mask.astype(logits.dtype)
-        if self.softmax_f32:
-            probs = jax.nn.softmax(
-                logits.astype(jnp.float32), axis=-1
-            ).astype(self.dtype)
+        b, s = x.shape[0], x.shape[1]
+        if (
+            self.fused
+            and mask is None
+            and supports_fused(b, s, D, H, jnp.dtype(self.dtype))
+        ):
+            out = fused_short_attention(
+                q, k, v, heads=H, n_valid=self.n_valid or s
+            )
         else:
-            # compute-dtype softmax (bf16 throughput mode): saves two cast
-            # passes over the (B, H, S, S) logits per layer; max-subtraction
-            # keeps it stable; no-op for f32 towers
-            probs = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-        out = out.reshape(out.shape[0], out.shape[1], D)
+            if self.n_valid is not None and self.n_valid < s:
+                col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, s), 3)
+                pad_mask = jnp.where(col < self.n_valid, 0.0, -jnp.inf)
+                mask = pad_mask if mask is None else mask + pad_mask
+            out = xla_attention(
+                q, k, v, heads=H, mask=mask,
+                softmax_f32=self.softmax_f32, out_dtype=self.dtype,
+            )
         return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
 
 
@@ -194,13 +210,16 @@ class ResidualAttentionBlock(nn.Module):
     quick_gelu: bool
     dtype: Any = jnp.float32
     softmax_f32: bool = True
+    fused: bool = False
+    n_valid: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, mask=None):
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x)
         x = x + MultiHeadAttention(
             self.width, self.heads, dtype=self.dtype,
-            softmax_f32=self.softmax_f32, name="attn"
+            softmax_f32=self.softmax_f32, fused=self.fused,
+            n_valid=self.n_valid, name="attn"
         )(y, mask)
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(x)
         h = nn.Dense(self.width * 4, dtype=self.dtype, name="mlp_fc")(y)
@@ -217,6 +236,8 @@ class Transformer(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     softmax_f32: bool = True
+    fused: bool = False
+    n_valid: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -228,7 +249,8 @@ class Transformer(nn.Module):
         for i in range(self.layers):
             x = block_cls(
                 self.width, self.heads, self.quick_gelu, dtype=self.dtype,
-                softmax_f32=self.softmax_f32, name=f"resblocks_{i}",
+                softmax_f32=self.softmax_f32, fused=self.fused,
+                n_valid=self.n_valid, name=f"resblocks_{i}",
             )(x, mask)
         return x
 
@@ -312,12 +334,33 @@ class VisionTransformer(nn.Module):
         if use_cls:
             # CLIP applies a pre-LN; SigLIP (MAP-pooled) has none
             x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(x)
+        # fused-attention candidacy: pad the token axis to a sublane
+        # multiple and key-mask the pad (padded query rows are garbage that
+        # pooling never reads). The per-call shape gate lives in
+        # MultiHeadAttention (e.g. batch-1 query embeds fall back to the
+        # masked XLA path with identical results).
+        fused = bool(
+            c.fused_attention
+            and use_cls
+            and jnp.dtype(c.dtype) == jnp.bfloat16
+            and c.vision_width // c.vision_heads == 64
+            and n_tokens <= 64
+        )
+        n_valid = None
+        if fused:
+            sp = ((n_tokens + 7) // 8) * 8
+            if sp != n_tokens:
+                x = jnp.pad(x, ((0, 0), (0, sp - n_tokens), (0, 0)))
+            n_valid = n_tokens
         x = Transformer(
             c.vision_width, c.vision_layers, c.vision_heads,
             c.act or c.quick_gelu,
             dtype=c.dtype, remat=c.remat,
-            softmax_f32=c.attn_softmax_f32, name="transformer",
+            softmax_f32=c.attn_softmax_f32, fused=fused,
+            n_valid=n_valid, name="transformer",
         )(x)
+        if n_valid is not None:
+            x = x[:, :n_tokens]
         if use_cls:
             x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(
                 x[:, 0, :]
