@@ -41,16 +41,24 @@ def test_kernel_matches_xla_interpret(rng):
 
 
 def test_supports_fused_gate():
+    from wise_tpu.ops.attention import _pick_group
+
     bf16 = jnp.bfloat16
-    assert not supports_fused(7, 56, 768, 12, bf16)      # batch % 8
     assert not supports_fused(8, 50, 768, 12, bf16)      # seq % 8
-    assert not supports_fused(8, 128, 768, 12, bf16)     # seq > 64
     assert not supports_fused(8, 56, 768, 12, jnp.float32)
     assert not supports_fused(8, 56, 1280, 16, bf16)     # head_dim 80
-    # shape-valid case only passes on an actual TPU backend
-    assert supports_fused(8, 56, 768, 12, bf16) == (
-        jax.default_backend() == "tpu"
-    )
+    # VMEM-driven group selection: short seq -> 8, ViT-L shapes -> 2,
+    # huge working set -> infeasible
+    assert _pick_group(512, 56, 768) == 8
+    assert _pick_group(256, 264, 1024) == 2
+    assert _pick_group(3, 264, 1024) == 1   # odd batches run group 1
+    assert _pick_group(1, 2048, 1024) is None
+    assert not supports_fused(1, 2048, 1024, 16, bf16)
+    # shape-valid cases only pass on an actual TPU backend
+    on_tpu = jax.default_backend() == "tpu"
+    assert supports_fused(8, 56, 768, 12, bf16) == on_tpu
+    assert supports_fused(256, 264, 1024, 16, bf16) == on_tpu
+    assert supports_fused(1, 56, 768, 12, bf16) == on_tpu  # single query
 
 
 def test_padded_tower_matches_unfused(rng):

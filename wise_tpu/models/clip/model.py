@@ -344,7 +344,6 @@ class VisionTransformer(nn.Module):
             and use_cls
             and jnp.dtype(c.dtype) == jnp.bfloat16
             and c.vision_width // c.vision_heads == 64
-            and n_tokens <= 64
         )
         n_valid = None
         if fused:

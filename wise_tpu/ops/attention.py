@@ -10,10 +10,15 @@ slices heads inside VMEM, runs per-head batched MXU dots, and never writes
 logits to HBM. Measured 0.43 ms vs 1.77 ms for the XLA middle at the same
 shapes on a v5e chip (4.1x), bf16-exact vs the XLA path.
 
-Scope: inference path of short-sequence towers — requires head_dim 64,
-token count <= MAX_TOKENS (VMEM budget), batch % GROUP == 0, bf16 compute.
-Everything else (f32 parity mode, large towers, training backward) uses
-the standard XLA path (``xla_attention``). The vision tower pads its token
+The same design also wins at medium sequences: at ViT-L/14 shapes
+(batch 256, 264 tokens, 16 heads of 64) the XLA middle materialises
+~571 MB of logits per layer and costs 6.44 ms; the kernel (group 2) runs
+it in 2.09 ms (3.1x).
+
+Scope: inference path — requires head_dim 64, a VMEM-feasible
+(group, seq, width) tiling (``_pick_group``), bf16 compute. Everything
+else (f32 parity mode, other head dims, training backward) uses the
+standard XLA path (``xla_attention``). The vision tower pads its token
 axis to a sublane multiple and passes the true count as ``n_valid``; the
 kernel masks padded KEY columns with -inf (padded QUERY rows produce
 garbage that pooling never reads).
@@ -29,8 +34,22 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-GROUP = 8          # batches per grid step
-MAX_TOKENS = 64    # VMEM budget gate (covers the 224px /32 family: 50)
+# VMEM budget for one grid step's working set (of ~16 MB/core): q/k/v/o
+# blocks (double-buffered) + f32 logits + bf16 probs for one head
+_VMEM_BUDGET = 10_000_000
+
+
+def _pick_group(batch: int, seq_pad: int, width: int):
+    """Largest batches-per-step whose working set fits the VMEM budget."""
+    for g in (8, 4, 2, 1):
+        if batch % g:
+            continue
+        est = (4 * g * seq_pad * width * 2 * 2      # qkvo bf16, 2 buffers
+               + g * seq_pad * seq_pad * 4          # logits f32
+               + g * seq_pad * seq_pad * 2)         # probs bf16
+        if est <= _VMEM_BUDGET:
+            return g
+    return None
 
 
 def supports_fused(batch: int, seq_pad: int, width: int, heads: int,
@@ -41,9 +60,8 @@ def supports_fused(batch: int, seq_pad: int, width: int, heads: int,
         and width % heads == 0
         and width // heads == 64
         and seq_pad % 8 == 0
-        and seq_pad <= MAX_TOKENS
-        and batch % GROUP == 0
         and batch > 0
+        and _pick_group(batch, seq_pad, width) is not None
         and jax.default_backend() == "tpu"
     )
 
@@ -86,14 +104,16 @@ def fused_short_attention(
     must not read. Gate with supports_fused() first."""
     b, sp, d = q.shape
     hd = d // heads
-    spec = pl.BlockSpec((GROUP, sp, d), lambda i: (i, 0, 0),
+    group = _pick_group(b, sp, d)
+    assert group is not None, "gate with supports_fused() first"
+    spec = pl.BlockSpec((group, sp, d), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(
             _kernel, heads=heads, n_valid=n_valid,
             scale=1.0 / np.sqrt(hd),
         ),
-        grid=(b // GROUP,),
+        grid=(b // group,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b, sp, d), q.dtype),
