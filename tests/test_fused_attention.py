@@ -40,13 +40,29 @@ def test_kernel_matches_xla_interpret(rng):
     )
 
 
+def test_kernel_head_dim_80_interpret(rng):
+    b, sp, d, heads = 8, 16, 160, 2   # head_dim 80 (the ViT-H class)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, sp, d)), jnp.bfloat16)
+        for _ in range(3)
+    )
+    out = np.asarray(
+        fused_short_attention(
+            q, k, v, heads=heads, n_valid=sp, interpret=True
+        ),
+        np.float32,
+    )
+    ref = np.asarray(xla_attention(q, k, v, heads=heads), np.float32)
+    np.testing.assert_allclose(out, ref, atol=2e-2)
+
+
 def test_supports_fused_gate():
     from wise_tpu.ops.attention import _pick_group
 
     bf16 = jnp.bfloat16
     assert not supports_fused(8, 50, 768, 12, bf16)      # seq % 8
     assert not supports_fused(8, 56, 768, 12, jnp.float32)
-    assert not supports_fused(8, 56, 1280, 16, bf16)     # head_dim 80
+    assert not supports_fused(8, 56, 1408, 16, bf16)     # head_dim 88
     # VMEM-driven group selection: short seq -> 8, ViT-L shapes -> 2,
     # huge working set -> infeasible
     assert _pick_group(512, 56, 768) == 8
@@ -58,6 +74,7 @@ def test_supports_fused_gate():
     on_tpu = jax.default_backend() == "tpu"
     assert supports_fused(8, 56, 768, 12, bf16) == on_tpu
     assert supports_fused(256, 264, 1024, 16, bf16) == on_tpu
+    assert supports_fused(128, 264, 1280, 16, bf16) == on_tpu  # hd 80
     assert supports_fused(1, 56, 768, 12, bf16) == on_tpu  # single query
 
 

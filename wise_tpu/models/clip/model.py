@@ -343,7 +343,7 @@ class VisionTransformer(nn.Module):
             c.fused_attention
             and use_cls
             and jnp.dtype(c.dtype) == jnp.bfloat16
-            and c.vision_width // c.vision_heads == 64
+            and c.vision_width // c.vision_heads in (64, 80)
         )
         n_valid = None
         if fused:
