@@ -292,6 +292,36 @@ def bench_ivfpq(out, rt, quick=False):
         }
 
 
+def bench_clap(out, rt, quick=False):
+    """CLAP audio encode throughput: 4 s 48 kHz segments -> log-mel (GEMM
+    DFT) -> HTSAT-style Swin forward, the ingest audio hot path."""
+    import os
+
+    os.environ.setdefault("WISE_CHECKPOINT_DIR", "/tmp/nockpt")
+    import jax.numpy as jnp
+
+    from wise_tpu.models.clap.extractor import ClapExtractor
+
+    fe = ClapExtractor("microsoft/clap/2023/benchmark")
+    B = 16 if quick else 32
+    seg = np.random.default_rng(0).standard_normal(
+        (B, 4 * 48_000)
+    ).astype(np.float32)
+    pre = fe.preprocess_audio(seg)
+    fe.extract_audio_features(pre)  # compile
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        feats = fe.extract_audio_features(pre)
+    dt = (time.perf_counter() - t0) / iters
+    out["clap_audio_encode"] = {
+        "batch": B,
+        "segments_per_s_per_chip": round(B / dt, 1),
+        "audio_seconds_per_s": round(4 * B / dt, 1),
+        "note": "host round trip per call included (extractor API)",
+    }
+
+
 def bench_pallas_threshold(out, rt, quick=False):
     """Threshold-skip Pallas scan (ops/pallas_topk.py pallas_topk_threshold)
     vs the pure matmul floor and the production XLA two-stage path at
@@ -357,7 +387,7 @@ def main():
     p.add_argument("--quick", action="store_true")
     p.add_argument("--only",
                    choices=["decode", "search", "encoder", "ivf", "ivfpq",
-                            "pallas"],
+                            "pallas", "clap"],
                    default=None)
     args = p.parse_args()
     out = {}
@@ -373,6 +403,8 @@ def main():
         bench_ivfpq(out, rt, args.quick)
     if args.only in (None, "pallas"):
         bench_pallas_threshold(out, rt, args.quick)
+    if args.only in (None, "clap"):
+        bench_clap(out, rt, args.quick)
     if args.only in (None, "encoder"):
         bench_encoder(out, rt, args.quick)
     print(json.dumps(out, indent=2))
