@@ -98,6 +98,43 @@ def test_int8_tie_break(rng):
     np.testing.assert_array_equal(rows, ref_rows)
 
 
+def test_sharded_int8_candidates_match_numpy(rng):
+    """8-device CPU mesh: sharded int8 candidate scan == single-device op ==
+    covers the exact top-k (same contract as the scan shard tests)."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.device_count() < 2:
+        import pytest
+
+        pytest.skip("needs the multi-device CPU mesh")
+    from wise_tpu.parallel.mesh import get_mesh
+    from wise_tpu.parallel.sharded_search import (
+        pad_and_shard_db,
+        sharded_int8_candidates,
+    )
+
+    n, d, k = 3000, 64, 20
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = rng.standard_normal((2, d)).astype(np.float32)
+    mesh = get_mesh(dp=jax.device_count())
+    codes_h, scales_h = quantize_rows_int8(db)
+    codes, _ = pad_and_shard_db(mesh, codes_h)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    scales = jax.device_put(
+        np.pad(scales_h, (0, codes.shape[0] - n)),
+        NamedSharding(mesh, P("dp")),
+    )
+    kc = 4 * k
+    _, cand = sharded_int8_candidates(mesh, q, codes, scales, n, kc)
+    vals, rows = rerank_exact_f32(q, cand, db, k, n_valid=n)
+    ref_vals, ref_rows = numpy_reference_topk(q, db, k)
+    np.testing.assert_array_equal(rows, ref_rows)
+    np.testing.assert_allclose(vals, ref_vals, rtol=3e-5)
+
+
 def test_index_config_int8(tmp_path, rng):
     from tests.test_index import _build_project_store
     from wise_tpu.config import IndexConfig

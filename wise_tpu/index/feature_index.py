@@ -338,7 +338,8 @@ class FeatureSearchIndex(SearchIndex):
         self._device_db = None
         for cached in (  # drop stale device copies
             "_ivf_dev", "_pq_sharded", "_ivf_lmax", "_pq_lmax",
-            "_ivf_paged", "_pq_paged", "_int8_db", "_flat_sibling",
+            "_ivf_paged", "_pq_paged", "_int8_db", "_int8_sharded",
+            "_flat_sibling",
         ):
             if hasattr(self, cached):
                 delattr(self, cached)
@@ -429,23 +430,57 @@ class FeatureSearchIndex(SearchIndex):
             self._int8_db = (jax.device_put(codes), jax.device_put(scales))
         return self._int8_db
 
+    def _ensure_int8_db_sharded(self):
+        """Row-sharded int8 copy over a 'dp' mesh (quantized on host, padded
+        rows quantize to scale 0 so they score exactly 0 before masking)."""
+        if getattr(self, "_int8_sharded", None) is None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..ops.topk import quantize_rows_int8
+            from ..parallel.mesh import get_mesh
+            from ..parallel.sharded_search import pad_and_shard_db
+
+            mesh = get_mesh(dp=jax.device_count())
+            codes_h, scales_h = quantize_rows_int8(
+                np.asarray(self._arrays["vectors"])
+            )
+            codes, _ = pad_and_shard_db(mesh, codes_h)
+            n_pad = codes.shape[0]
+            scales_h = np.pad(scales_h, (0, n_pad - len(scales_h)))
+            scales = jax.device_put(
+                scales_h, NamedSharding(mesh, P("dp"))
+            )
+            self._int8_sharded = (codes, scales, mesh)
+        return self._int8_sharded
+
     def _search_flat(self, qvec, topk):
         from ..ops.topk import flat_topk
 
         n_valid = int(self._metadata["count"])
         k = min(int(topk), n_valid)
         if self.config.storage_dtype == "int8":
-            # single-device scan (codes land on device 0; sharded int8 is a
-            # roadmap item): device proposes rerank_mult*k candidates from
-            # the 1-byte/element quantized copy, host re-scores them in f32
+            # device(s) propose rerank_mult*k candidates from the
+            # 1-byte/element quantized copy (row-sharded over 'dp' when more
+            # than one device is visible); host re-scores them in f32
+            import jax
+
             from ..ops.topk import int8_candidates, rerank_exact_f32
 
-            codes, scales = self._ensure_int8_db()
             kc = min(self.config.int8_rerank_mult * k, n_valid)
-            _, cand = int8_candidates(
-                qvec, codes, scales, n_valid=n_valid, kc=kc, k=k,
-                group=self.GROUP,
-            )
+            if jax.device_count() > 1:
+                from ..parallel.sharded_search import sharded_int8_candidates
+
+                codes, scales, mesh = self._ensure_int8_db_sharded()
+                _, cand = sharded_int8_candidates(
+                    mesh, qvec, codes, scales, n_valid, kc
+                )
+            else:
+                codes, scales = self._ensure_int8_db()
+                _, cand = int8_candidates(
+                    qvec, codes, scales, n_valid=n_valid, kc=kc, k=k,
+                    group=self.GROUP,
+                )
             return rerank_exact_f32(
                 qvec, np.asarray(cand), self._arrays["vectors"], k,
                 n_valid=n_valid,

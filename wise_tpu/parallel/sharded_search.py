@@ -101,6 +101,60 @@ def sharded_scan_topk(
     return np.asarray(vals), np.asarray(idx)
 
 
+def _int8_shard_body(q, codes_shard, scales_shard, n_total, kc: int,
+                     axis: str):
+    """Per-chip int8 candidate scan (ops/topk.py int8_candidates semantics,
+    row-sharded): symmetric-quantized dot on the chip's code rows, per-row
+    rescale, local top-kc, ICI merge. The caller re-scores the merged
+    candidates in f32 on the host (exact-rerank contract)."""
+    shard_rows = codes_shard.shape[0]
+    my = jax.lax.axis_index(axis)
+    local_valid = n_total - my * shard_rows
+    q = q.astype(jnp.float32)
+    q_scale = jnp.max(jnp.abs(q), axis=1, keepdims=True) / 127.0
+    q_i8 = jnp.rint(q / jnp.where(q_scale == 0, 1, q_scale)).astype(jnp.int8)
+    raw = jax.lax.dot_general(
+        q_i8, codes_shard,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scores = raw.astype(jnp.float32) * (q_scale * scales_shard[None, :])
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, shard_rows), 1)
+    scores = jnp.where(col < local_valid, scores, -jnp.inf)
+    kc_local = min(kc, shard_rows)
+    vals, idx = jax.lax.top_k(scores, kc_local)
+    idx = idx + my * shard_rows
+    return _merge_gathered_topk(vals, idx, kc, axis)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "kc", "n_total"))
+def _sharded_int8(mesh, q, codes, scales, n_total, kc):
+    from jax import shard_map
+
+    body = functools.partial(
+        _int8_shard_body, n_total=n_total, kc=kc, axis="dp"
+    )
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P("dp", None), P("dp")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(q, codes, scales)
+
+
+def sharded_int8_candidates(mesh, queries, codes_sharded, scales_sharded,
+                            n_total: int, kc: int):
+    """queries (Q, D) replicated; codes (N_pad, D) int8 + scales (N_pad,)
+    row-sharded over 'dp'. Returns host (approx scores, global rows) of the
+    top-kc candidates for exact f32 rerank."""
+    q = jnp.asarray(queries, dtype=jnp.float32)
+    kc = min(kc, n_total)
+    vals, idx = _sharded_int8(
+        mesh, q, codes_sharded, scales_sharded, int(n_total), int(kc)
+    )
+    return np.asarray(vals), np.asarray(idx)
+
+
 def _merge_gathered_topk(vals, idx, k: int, axis: str):
     """all_gather per-chip (Q, k_local) candidates and take the global top-k.
     Chip shards hold ascending global row ranges and each chip emits its
