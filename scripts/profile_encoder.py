@@ -39,6 +39,8 @@ def main():
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--model", default="ViT-B-32")
+    p.add_argument("--fused", action="store_true",
+                   help="profile the fused-attention production config")
     args = p.parse_args()
 
     import jax
@@ -52,7 +54,10 @@ def main():
     from wise_tpu.models.clip.preprocess import preprocess_images
 
     B = args.batch
-    base = dataclasses.replace(get_clip_config(args.model), dtype=jnp.bfloat16)
+    base = dataclasses.replace(
+        get_clip_config(args.model), dtype=jnp.bfloat16,
+        fused_attention=args.fused,
+    )
     rng = jax.random.PRNGKey(0)
     frames = jnp.asarray(
         np.random.default_rng(0).integers(0, 255, (B, 256, 320, 3), np.uint8)

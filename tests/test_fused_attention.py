@@ -56,6 +56,52 @@ def test_kernel_head_dim_80_interpret(rng):
     np.testing.assert_allclose(out, ref, atol=2e-2)
 
 
+def test_kernel_causal_interpret(rng):
+    b, sp, d, heads = 8, 16, 128, 2
+    n_valid = 13
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, sp, d)), jnp.bfloat16)
+        for _ in range(3)
+    )
+    out = np.asarray(
+        fused_short_attention(
+            q, k, v, heads=heads, n_valid=n_valid, causal=True,
+            interpret=True,
+        ),
+        np.float32,
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sp, sp), 3)
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sp, sp), 2)
+    mask = jnp.where((col < n_valid) & (col <= row), 0.0, -jnp.inf)
+    ref = np.asarray(
+        xla_attention(q, k, v, heads=heads, mask=mask), np.float32
+    )
+    np.testing.assert_allclose(
+        out[:, :n_valid], ref[:, :n_valid], atol=2e-2
+    )
+
+
+def test_padded_text_tower_matches_unfused(rng):
+    from wise_tpu.models.clip.model import CLIP, CLIPConfig
+
+    base = CLIPConfig(
+        embed_dim=32, image_size=32, patch_size=16, vision_width=128,
+        vision_layers=1, vision_heads=2, context_length=13, vocab_size=64,
+        text_width=128, text_heads=2, text_layers=2, dtype=jnp.bfloat16,
+    )  # 13 tokens -> pads to 16 under fused_attention
+    fused_cfg = dataclasses.replace(base, fused_attention=True)
+    m0, m1 = CLIP(base), CLIP(fused_cfg)
+    params = m0.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 32, 32, 3), jnp.float32),
+        jnp.zeros((1, 13), jnp.int32),
+    )
+    toks = jnp.asarray(rng.integers(1, 64, (4, 13)), jnp.int32)
+    e0 = np.asarray(m0.apply(params, toks, method=CLIP.encode_text))
+    e1 = np.asarray(m1.apply(params, toks, method=CLIP.encode_text))
+    np.testing.assert_allclose(e0, e1, atol=1e-5)
+
+
 def test_supports_fused_gate():
     from wise_tpu.ops.attention import _pick_group
 

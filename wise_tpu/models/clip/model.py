@@ -171,6 +171,9 @@ class MultiHeadAttention(nn.Module):
     softmax_f32: bool = True
     fused: bool = False
     n_valid: Optional[int] = None
+    #: the incoming mask is exactly the causal triangle — the fused kernel
+    #: applies it natively instead of reading the mask array
+    causal_fused: bool = False
 
     @nn.compact
     def __call__(self, x, mask: Optional[jax.Array] = None):
@@ -186,11 +189,12 @@ class MultiHeadAttention(nn.Module):
         b, s = x.shape[0], x.shape[1]
         if (
             self.fused
-            and mask is None
+            and (mask is None or self.causal_fused)
             and supports_fused(b, s, D, H, jnp.dtype(self.dtype))
         ):
             out = fused_short_attention(
-                q, k, v, heads=H, n_valid=self.n_valid or s
+                q, k, v, heads=H, n_valid=self.n_valid or s,
+                causal=self.causal_fused,
             )
         else:
             if self.n_valid is not None and self.n_valid < s:
@@ -212,6 +216,7 @@ class ResidualAttentionBlock(nn.Module):
     softmax_f32: bool = True
     fused: bool = False
     n_valid: Optional[int] = None
+    causal_fused: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -219,7 +224,8 @@ class ResidualAttentionBlock(nn.Module):
         x = x + MultiHeadAttention(
             self.width, self.heads, dtype=self.dtype,
             softmax_f32=self.softmax_f32, fused=self.fused,
-            n_valid=self.n_valid, name="attn"
+            n_valid=self.n_valid, causal_fused=self.causal_fused,
+            name="attn"
         )(y, mask)
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(x)
         h = nn.Dense(self.width * 4, dtype=self.dtype, name="mlp_fc")(y)
@@ -238,6 +244,7 @@ class Transformer(nn.Module):
     softmax_f32: bool = True
     fused: bool = False
     n_valid: Optional[int] = None
+    causal_fused: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -250,7 +257,8 @@ class Transformer(nn.Module):
             x = block_cls(
                 self.width, self.heads, self.quick_gelu, dtype=self.dtype,
                 softmax_f32=self.softmax_f32, fused=self.fused,
-                n_valid=self.n_valid, name=f"resblocks_{i}",
+                n_valid=self.n_valid, causal_fused=self.causal_fused,
+                name=f"resblocks_{i}",
             )(x, mask)
         return x
 
@@ -397,11 +405,24 @@ class TextTransformer(nn.Module):
             (c.context_length, c.text_width),
         )
         x = x + pos.astype(c.dtype)
+        # fused-attention candidacy (mirrors the vision tower): causal
+        # argmax-pooled CLIP text towers only — "last"-pooled (SigLIP)
+        # towers read position -1, which padding would corrupt
+        fused = bool(
+            c.fused_attention
+            and c.text_causal
+            and c.text_pool == "argmax"
+            and jnp.dtype(c.dtype) == jnp.bfloat16
+            and c.text_width // c.text_heads in (64, 80)
+        )
+        n_tok = c.context_length
+        sp = ((n_tok + 7) // 8) * 8 if fused else n_tok
+        if sp != n_tok:
+            x = jnp.pad(x, ((0, 0), (0, sp - n_tok), (0, 0)))
         if c.text_causal:
-            mask = jnp.full(
-                (c.context_length, c.context_length), -jnp.inf,
-                dtype=jnp.float32,
-            )
+            # sized to the (possibly padded) sequence so the XLA fallback
+            # inside MultiHeadAttention stays shape-correct
+            mask = jnp.full((sp, sp), -jnp.inf, dtype=jnp.float32)
             mask = jnp.triu(mask, k=1)[None, None]
         else:
             mask = None  # SigLIP text attends bidirectionally
@@ -409,8 +430,12 @@ class TextTransformer(nn.Module):
             c.text_width, c.text_layers, c.text_heads,
             c.act or c.quick_gelu,
             dtype=c.dtype, remat=c.remat,
-            softmax_f32=c.attn_softmax_f32, name="transformer",
+            softmax_f32=c.attn_softmax_f32, fused=fused,
+            n_valid=n_tok if fused else None, causal_fused=fused,
+            name="transformer",
         )(x, mask)
+        if sp != n_tok:
+            x = x[:, :n_tok]
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_final")(x)
         if c.text_pool == "last":
             pooled = x[:, -1, :]

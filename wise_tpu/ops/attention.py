@@ -69,13 +69,17 @@ def supports_fused(batch: int, seq_pad: int, width: int, heads: int,
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, n_valid: int,
-            scale: float):
+            scale: float, causal: bool):
     q = q_ref[:]                       # (GROUP, SP, D) bf16
     k = k_ref[:]
     v = v_ref[:]
     g, sp, d = q.shape
     hd = d // heads
     col = jax.lax.broadcasted_iota(jnp.int32, (g, sp, sp), 2)
+    keep = col < n_valid
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (g, sp, sp), 1)
+        keep = keep & (col <= row)
     for h in range(heads):
         sl = slice(h * hd, (h + 1) * hd)
         logits = jax.lax.dot_general(
@@ -83,7 +87,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, n_valid: int,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )                              # (GROUP, SP, SP) f32
-        logits = jnp.where(col < n_valid, logits * scale, -jnp.inf)
+        logits = jnp.where(keep, logits * scale, -jnp.inf)
         m = jnp.max(logits, axis=2, keepdims=True)
         p = jnp.exp(logits - m)
         p = p / jnp.sum(p, axis=2, keepdims=True)
@@ -95,15 +99,17 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, n_valid: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("heads", "n_valid", "interpret")
+    jax.jit, static_argnames=("heads", "n_valid", "causal", "interpret")
 )
 def fused_short_attention(
     q: jax.Array, k: jax.Array, v: jax.Array,
-    heads: int, n_valid: int, interpret: bool = False,
+    heads: int, n_valid: int, causal: bool = False,
+    interpret: bool = False,
 ) -> jax.Array:
     """q/k/v (B, SP, D) bf16 natural layout -> (B, SP, D). Key columns
-    >= n_valid are masked; query rows >= n_valid return garbage the caller
-    must not read. Gate with supports_fused() first."""
+    >= n_valid are masked (and, with ``causal``, columns > row — the text
+    tower's autoregressive mask); query rows >= n_valid return garbage the
+    caller must not read. Gate with supports_fused() first."""
     b, sp, d = q.shape
     hd = d // heads
     group = _pick_group(b, sp, d)
@@ -113,7 +119,7 @@ def fused_short_attention(
     return pl.pallas_call(
         functools.partial(
             _kernel, heads=heads, n_valid=n_valid,
-            scale=1.0 / np.sqrt(hd),
+            scale=1.0 / np.sqrt(hd), causal=causal,
         ),
         grid=(b // group,),
         in_specs=[spec, spec, spec],
