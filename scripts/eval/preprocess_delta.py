@@ -70,14 +70,18 @@ def main():
     frames = np.stack(frames)
 
     @jax.jit
-    def embed(x):
+    def embed(params, x):
+        # params as arguments, not closure constants — the dev tunnel's
+        # remote compiler rejects oversized program bodies (HTTP 413)
         return model.apply(params, x, method=CLIP.encode_image)
 
     fast = np.asarray(
-        embed(preprocess_images(jnp.asarray(frames), config.image_size))
+        embed(params,
+              preprocess_images(jnp.asarray(frames), config.image_size))
     )
     exact = np.asarray(
-        embed(jnp.asarray(preprocess_images_exact(frames, config.image_size)))
+        embed(params,
+              jnp.asarray(preprocess_images_exact(frames, config.image_size)))
     )
     cos = np.sum(fast * exact, axis=1)
 
