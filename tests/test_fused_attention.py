@@ -81,6 +81,36 @@ def test_kernel_causal_interpret(rng):
     )
 
 
+def test_padded_map_pool_tower_matches_unfused(rng):
+    """SigLIP-style MAP-pooled vision: padded rows are sliced off before
+    the attention-pool head, so fused_attention must not change outputs."""
+    from wise_tpu.models.clip.model import CLIP, CLIPConfig
+
+    base = CLIPConfig(
+        embed_dim=32, image_size=48, patch_size=16, vision_width=128,
+        vision_layers=2, vision_heads=2, context_length=16, vocab_size=64,
+        text_width=32, text_heads=2, text_layers=1, dtype=jnp.bfloat16,
+        vision_pool="map", text_causal=False, text_pool="last",
+        act="gelu_tanh", text_proj_bias=True,
+    )  # 9 tokens (no cls) -> pads to 16
+    fused_cfg = dataclasses.replace(base, fused_attention=True)
+    m0, m1 = CLIP(base), CLIP(fused_cfg)
+    params = m0.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 48, 48, 3), jnp.float32),
+        jnp.zeros((1, 16), jnp.int32),
+    )
+    imgs = jnp.asarray(rng.standard_normal((4, 48, 48, 3)), jnp.float32)
+    e0 = np.asarray(m0.apply(params, imgs, method=CLIP.encode_image))
+    e1 = np.asarray(m1.apply(params, imgs, method=CLIP.encode_image))
+    # bf16 tower: the 9 -> 16 shape change reorders bf16 reductions, so
+    # bit-equality is not expected; pad-token LEAKAGE into the MAP head
+    # would move outputs by ~1e-1 with 7 garbage rows of 16 and fail this
+    cos = np.sum(e0 * e1, axis=1)
+    assert (cos > 0.999).all(), cos
+    np.testing.assert_allclose(e0, e1, atol=2e-2)
+
+
 def test_padded_text_tower_matches_unfused(rng):
     from wise_tpu.models.clip.model import CLIP, CLIPConfig
 

@@ -343,13 +343,13 @@ class VisionTransformer(nn.Module):
             # CLIP applies a pre-LN; SigLIP (MAP-pooled) has none
             x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(x)
         # fused-attention candidacy: pad the token axis to a sublane
-        # multiple and key-mask the pad (padded query rows are garbage that
-        # pooling never reads). The per-call shape gate lives in
+        # multiple and key-mask the pad. Padded rows are sliced off right
+        # after the transformer, so both cls pooling and the SigLIP MAP
+        # head see only real tokens. The per-call shape gate lives in
         # MultiHeadAttention (e.g. batch-1 query embeds fall back to the
         # masked XLA path with identical results).
         fused = bool(
             c.fused_attention
-            and use_cls
             and jnp.dtype(c.dtype) == jnp.bfloat16
             and c.vision_width // c.vision_heads in (64, 80)
         )

@@ -35,8 +35,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # VMEM budget for one grid step's working set (of ~16 MB/core): q/k/v/o
-# blocks (double-buffered) + f32 logits + bf16 probs for one head
-_VMEM_BUDGET = 10_000_000
+# blocks (double-buffered) + f32 logits + bf16 probs for one head. 12 MB
+# is validated on hardware up to (1, 584, 1024) — the SigLIP-384 tower
+# (estimate 11.6 MB compiles and runs 3.3x faster than the XLA middle).
+_VMEM_BUDGET = 12_000_000
 
 
 def _pick_group(batch: int, seq_pad: int, width: int):
