@@ -139,6 +139,8 @@ def test_supports_fused_gate():
     assert not supports_fused(8, 50, 768, 12, bf16)      # seq % 8
     assert not supports_fused(8, 56, 768, 12, jnp.float32)
     assert not supports_fused(8, 56, 1408, 16, bf16)     # head_dim 88
+    # head_dim 80 regressed end-to-end (BENCHMARKS.md) — gated off
+    assert not supports_fused(128, 264, 1280, 16, bf16)
     # VMEM-driven group selection: short seq -> 8, ViT-L shapes -> 2,
     # huge working set -> infeasible
     assert _pick_group(512, 56, 768) == 8
@@ -150,7 +152,6 @@ def test_supports_fused_gate():
     on_tpu = jax.default_backend() == "tpu"
     assert supports_fused(8, 56, 768, 12, bf16) == on_tpu
     assert supports_fused(256, 264, 1024, 16, bf16) == on_tpu
-    assert supports_fused(128, 264, 1280, 16, bf16) == on_tpu  # hd 80
     assert supports_fused(1, 56, 768, 12, bf16) == on_tpu  # single query
 
 

@@ -351,7 +351,7 @@ class VisionTransformer(nn.Module):
         fused = bool(
             c.fused_attention
             and jnp.dtype(c.dtype) == jnp.bfloat16
-            and c.vision_width // c.vision_heads in (64, 80)
+            and c.vision_width // c.vision_heads == 64
         )
         n_valid = None
         if fused:
@@ -413,7 +413,7 @@ class TextTransformer(nn.Module):
             and c.text_causal
             and c.text_pool == "argmax"
             and jnp.dtype(c.dtype) == jnp.bfloat16
-            and c.text_width // c.text_heads in (64, 80)
+            and c.text_width // c.text_heads == 64
         )
         n_tok = c.context_length
         sp = ((n_tok + 7) // 8) * 8 if fused else n_tok

@@ -42,14 +42,19 @@ _VMEM_BUDGET = 12_000_000
 
 
 def _pick_group(batch: int, seq_pad: int, width: int):
-    """Largest batches-per-step whose working set fits the VMEM budget."""
+    """Largest batches-per-step whose working set fits the VMEM budget.
+
+    Working sets near the ceiling only pay off at group 1: ViT-H/14 at
+    group 2 (est 11.7 MB) measured 38% SLOWER than XLA end-to-end while
+    group 1 (5.8 MB) was 2.1x faster standalone — so groups > 1 must stay
+    under 10 MB and only group 1 may use the full validated 12 MB."""
     for g in (8, 4, 2, 1):
         if batch % g:
             continue
         est = (4 * g * seq_pad * width * 2 * 2      # qkvo bf16, 2 buffers
                + g * seq_pad * seq_pad * 4          # logits f32
                + g * seq_pad * seq_pad * 2)         # probs bf16
-        if est <= _VMEM_BUDGET:
+        if est <= (_VMEM_BUDGET if g == 1 else 10_000_000):
             return g
     return None
 
@@ -60,9 +65,12 @@ def supports_fused(batch: int, seq_pad: int, width: int, heads: int,
     return (
         jnp.dtype(dtype) == jnp.bfloat16
         and width % heads == 0
-        # head dims validated on hardware: 64 (ViT-B/L: 4.1x / 3.1x over
-        # the XLA middle) and 80 (ViT-H: 2.1x)
-        and width // heads in (64, 80)
+        # head dim 64 only: ViT-B/L/SigLIP all win (4.1x/3.1x/3.3x over
+        # the XLA middle). head_dim 80 (ViT-H) won standalone (2.1x) but
+        # measured 38% SLOWER in the full model at every group size —
+        # the 80-wide lane slices force relayouts around the custom call
+        # that the isolated probe never paid; gated off until understood
+        and width // heads == 64
         and seq_pad % 8 == 0
         and batch > 0
         and _pick_group(batch, seq_pad, width) is not None
