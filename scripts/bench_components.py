@@ -126,7 +126,7 @@ def bench_search(out, rt, quick):
         def body(i, c):
             v, _ = int8_candidates(
                 (qs[i] + c * 0)[None], codes, scales,
-                n_valid=N, kc=4 * K,
+                n_valid=N, kc=4 * K, k=K,
             )
             return v[0, 0]
 
