@@ -199,13 +199,27 @@ def main():
             return v[0, 0]
         return jax.lax.fori_loop(0, 100, body, jnp.float32(0))
 
+    def roundtrip():
+        f = jax.jit(lambda a: a + 1)
+        np.asarray(f(jnp.zeros((1,))))
+        ts = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            np.asarray(f(jnp.zeros((1,))))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    rt = roundtrip()
+
     def timed(kernel, arrays, static):
-        """p50 via 20 chained on-device iterations."""
+        """p50 via 100 chained on-device iterations, measured roundtrip
+        subtracted (a hardcoded 33 ms would skew results on any host whose
+        readback latency differs from the dev tunnel's)."""
         st = tuple(sorted(static.items()))
         np.asarray(_timing_loop(q, arrays, kernel, st))
         t0 = time.perf_counter()
         np.asarray(_timing_loop(q, arrays, kernel, st))
-        return (time.perf_counter() - t0 - 0.033) / 100
+        return (time.perf_counter() - t0 - rt) / 100
 
     report = {"n": N, "d": D, "nlist": nlist, "topk": K,
               "centers": args.centers, "noise": args.noise,

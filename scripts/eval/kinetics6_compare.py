@@ -118,7 +118,10 @@ def main():
         "--project-dir", proj,
     ]
     if args.with_audio:
-        search[3:3] = ["--query", "music", "--in", "audio"]
+        # append AFTER the complete "--query cooking --in video" pair so
+        # argparse pairs queries with media types in order ([3:3] would
+        # split "--query" from its value)
+        search[6:6] = ["--query", "music", "--in", "audio"]
     sh(*search)
 
     golden = parse_rows(GOLDEN_TEST1)

@@ -78,16 +78,20 @@ def main():
            "tunnel_roundtrip_ms": round(roundtrip * 1e3, 1)}
 
     def timed(step, *arrays):
-        """step(carry, *arrays) -> scalar carry; returns s/iter."""
-        @jax.jit
-        def loop(carry, *arrays):
-            for _ in range(args.iters):
-                carry = step(carry, *arrays)
-            return carry
+        """step(carry, *arrays) -> scalar carry; returns s/iter.
 
-        np.asarray(loop(jnp.float32(0), *arrays))
+        Chains iterations in a HOST loop over one jitted step (data
+        dependence through the carry), per the CLAUDE.md timing rule —
+        unrolling the model inside one jit compiles an N-times-larger
+        graph, which the dev tunnel's remote compiler can take 10+
+        minutes on."""
+        jstep = jax.jit(step)
+        np.asarray(jstep(jnp.float32(0), *arrays))
+        c = jnp.float32(0)
         t0 = time.perf_counter()
-        np.asarray(loop(jnp.float32(0), *arrays))
+        for _ in range(args.iters):
+            c = jstep(c, *arrays)
+        np.asarray(c)
         return (time.perf_counter() - t0 - roundtrip) / args.iters
 
     def make_model(cfg):

@@ -141,6 +141,27 @@ def test_get_tokenizer_prefers_staged_vocab(tmp_path, monkeypatch):
     assert find_bpe_vocab() == tmp_path / "bpe_simple_vocab_16e6.txt.gz"
 
 
+def test_get_tokenizer_ignores_staged_vocab_for_other_vocab_sizes(
+    tmp_path, monkeypatch
+):
+    """A root-staged CLIP BPE table (49408 tokens) must NOT serve towers
+    with a different vocabulary (SigLIP 32000, tiny test configs): ids up
+    to 49407 would silently clamp in a smaller embedding table."""
+    monkeypatch.setenv("WISE_CHECKPOINT_DIR", str(tmp_path))
+    import shutil
+
+    shutil.copy(MINI_VOCAB, tmp_path / "bpe_simple_vocab_16e6.txt.gz")
+    tok = get_tokenizer(vocab_size=32000)
+    assert isinstance(tok, HashTokenizer)
+    assert tok.vocab_size == 32000
+    # explicit path still honoured regardless of vocab_size
+    tok2 = get_tokenizer(
+        bpe_path=tmp_path / "bpe_simple_vocab_16e6.txt.gz",
+        vocab_size=32000,
+    )
+    assert isinstance(tok2, BPETokenizer)
+
+
 def test_get_tokenizer_hash_fallback_warns(tmp_path, monkeypatch, caplog):
     monkeypatch.setenv("WISE_CHECKPOINT_DIR", str(tmp_path / "nope"))
     monkeypatch.setattr(Path, "home", staticmethod(lambda: tmp_path))

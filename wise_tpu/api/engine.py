@@ -73,6 +73,12 @@ class SearchEngine:
 
     @property
     def conn(self):
+        # thread-local readonly connections: ThreadingHTTPServer spawns a
+        # fresh thread per request, so each request pays one sqlite
+        # readonly open (~0.1 ms against a ~90 ms request) and GC closes
+        # it with the thread — deliberate simplicity over a pool. Within a
+        # request (and in __init__, which validates the DB eagerly on the
+        # main thread) the connection is reused.
         if not hasattr(self._tls, "conn"):
             self._tls.conn = wdb.connect(self.project.db_path, readonly=True)
         return self._tls.conn

@@ -402,6 +402,17 @@ class FeatureSearchIndex(SearchIndex):
         return ids
 
     def _dispatch_search(self, qvec, topk):
+        if (
+            self.config.storage_dtype == "int8"
+            and self._index_type != "IndexFlatIP"
+            and not getattr(self, "_warned_int8_ivf", False)
+        ):
+            self._warned_int8_ivf = True
+            logger.warning(
+                "storage_dtype=int8 only applies to IndexFlatIP; the %s "
+                "paged device copy keeps its own dtype (f32, or bf16 via "
+                "storage_dtype=bfloat16)", self._index_type,
+            )
         if self._index_type == "IndexFlatIP":
             return self._search_flat(qvec, topk)
         if self._index_type == "IndexIVFFlat":

@@ -202,19 +202,39 @@ def find_bpe_vocab() -> Optional[Path]:
     return None
 
 
+#: token count the classic CLIP BPE merge table produces; the auto-found
+#: staged vocab must only serve towers with exactly this vocabulary —
+#: feeding 49408-token ids into a smaller embedding table (SigLIP's 32000
+#: sentencepiece vocab, tiny test configs) would silently clamp indices
+CLIP_BPE_VOCAB_SIZE = 49408
+
+
 def get_tokenizer(
     bpe_path: Optional[Path] = None,
-    vocab_size: int = 49408,
+    vocab_size: int = CLIP_BPE_VOCAB_SIZE,
     context_length: int = 77,
 ):
-    if bpe_path is None or not Path(bpe_path).exists():
-        bpe_path = find_bpe_vocab()
+    explicit = bpe_path is not None and Path(bpe_path).exists()
+    if not explicit:
+        bpe_path = (
+            find_bpe_vocab() if vocab_size == CLIP_BPE_VOCAB_SIZE else None
+        )
     if bpe_path is not None and Path(bpe_path).exists():
         return BPETokenizer(bpe_path, context_length)
-    logger.warning(
-        "CLIP BPE vocab (bpe_simple_vocab_16e6.txt.gz) not found — using "
-        "the deterministic HASH tokenizer fallback. Retrieval text queries "
-        "will NOT match real-checkpoint behaviour; stage the vocab with "
-        "scripts/fetch_checkpoints.py or set WISE_CHECKPOINT_DIR."
-    )
+    if vocab_size == CLIP_BPE_VOCAB_SIZE:
+        logger.warning(
+            "CLIP BPE vocab (bpe_simple_vocab_16e6.txt.gz) not found — "
+            "using the deterministic HASH tokenizer fallback. Retrieval "
+            "text queries will NOT match real-checkpoint behaviour; stage "
+            "the vocab with scripts/fetch_checkpoints.py or set "
+            "WISE_CHECKPOINT_DIR."
+        )
+    else:
+        logger.warning(
+            "no tokenizer for a %d-token vocabulary (the staged CLIP BPE "
+            "table only serves %d-token towers) — using the deterministic "
+            "HASH tokenizer fallback; stage the model's own tokenizer "
+            "assets for real-checkpoint behaviour.",
+            vocab_size, CLIP_BPE_VOCAB_SIZE,
+        )
     return HashTokenizer(vocab_size, context_length)
