@@ -1,9 +1,12 @@
 #!/usr/bin/env python
 """Attribute the ViT-B/32 encoder's roofline gap (VERDICT round-1 weak #8).
 
-The headline number is ~8k frames/s/chip at batch 512 bf16 — ~67% of the
-measured 108 TFLOP/s bf16 matmul peak. This script decomposes the step into
-stages on the real chip and prints where the missing time goes:
+The chip's true bf16 matmul peak is ~200 TFLOP/s (199.9 measured on the
+ViT-layer GEMMs in isolation; the round-1 "108" figure was an
+f32-accumulation artifact) — the pure-XLA headline of ~8k frames/s is
+~34% MFU and the fused-attention path ~42% (BENCHMARKS.md roofline
+section). This script decomposes the step into stages on the real chip
+and prints where the missing time goes:
 
   full        uint8 preprocess + vision tower (the production step)
   forward     vision tower only, input already preprocessed

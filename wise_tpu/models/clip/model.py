@@ -63,9 +63,14 @@ class CLIPConfig:
     #: f32 towers). Measured effect: BENCHMARKS.md roofline section.
     attn_softmax_f32: bool = True
     #: use the fused VMEM attention kernel (ops/attention.py) in the vision
-    #: tower when shapes allow (bf16, head_dim 64, <= 64 tokens, batch % 8
-    #: == 0) — inference only (no backward pass); the token axis pads to a
-    #: sublane multiple with key-masking. ~4x faster attention middle at
+    #: tower when shapes allow: bf16, head_dim 64, and a VMEM-feasible
+    #: (group, seq_pad, width) tiling per ops.attention._pick_group — this
+    #: admits short (ViT-B 50-token) through medium (ViT-L/14 264, SigLIP-384
+    #: ~580) sequences, with the per-step group size shrinking as the
+    #: working set grows. The token axis pads to a sublane multiple with
+    #: key-masking. Note the kernel always runs an f32 softmax, so with
+    #: attn_softmax_f32=False fused layers still softmax in f32 (measured
+    #: ~1% difference, BENCHMARKS.md). ~4x faster attention middle at
     #: ViT-B/32 shapes; see BENCHMARKS.md.
     fused_attention: bool = False
     dtype: Any = jnp.float32
