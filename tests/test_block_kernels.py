@@ -1,0 +1,124 @@
+"""Fused transformer-block kernels (ops/block.py) vs the XLA block path.
+
+The reference semantics are exactly ResidualAttentionBlock's
+(models/clip/model.py): f32 LayerNorm (flax stats), bf16 GEMMs with f32
+accumulation, f32 softmax, residual adds in bf16. Interpret mode runs the
+kernels on CPU; tolerances reflect bf16 rounding-point differences between
+the fused and XLA orderings (cos >= 0.999 per token, matching the
+round-2 fused-attention acceptance bar)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def _mk(shape, key, scale=0.02):
+    return scale * jax.random.normal(jax.random.PRNGKey(key), shape,
+                                     dtype=jnp.float32)
+
+
+def xla_attn_block(x, ln_s, ln_b, wqkv, bqkv, wo, bo, heads, n_valid,
+                   causal):
+    from wise_tpu.ops.attention import xla_attention
+
+    b, sp, d = x.shape
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = jnp.maximum((xf * xf).mean(-1, keepdims=True) - mean * mean, 0.0)
+    y = ((xf - mean) * jax.lax.rsqrt(var + 1e-5) * ln_s + ln_b).astype(
+        x.dtype
+    )
+    qkv = y @ wqkv.astype(x.dtype) + bqkv.astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, sp), 3)
+    mask = jnp.where(col < n_valid, 0.0, -jnp.inf)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sp, sp), 2)
+        colq = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sp, sp), 3)
+        mask = mask + jnp.where(colq <= row, 0.0, -jnp.inf)
+    att = xla_attention(q, k, v, heads=heads, mask=mask, softmax_f32=True,
+                        out_dtype=x.dtype)
+    return x + (att @ wo.astype(x.dtype) + bo.astype(x.dtype))
+
+
+def xla_mlp_block(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act):
+    from wise_tpu.ops.block import _gelu_f32
+
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = jnp.maximum((xf * xf).mean(-1, keepdims=True) - mean * mean, 0.0)
+    y = ((xf - mean) * jax.lax.rsqrt(var + 1e-5) * ln_s + ln_b).astype(
+        x.dtype
+    )
+    h = y @ wfc.astype(x.dtype) + bfc.astype(x.dtype)
+    h = _gelu_f32(h.astype(jnp.float32), act).astype(x.dtype)
+    return x + (h @ wproj.astype(x.dtype) + bproj.astype(x.dtype))
+
+
+def _cos_rows(a, b):
+    a = np.asarray(a, np.float32).reshape(-1, a.shape[-1])
+    b = np.asarray(b, np.float32).reshape(-1, b.shape[-1])
+    num = (a * b).sum(-1)
+    den = np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-30
+    return num / den
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_attn_block_matches_xla(causal):
+    from wise_tpu.ops.block import fused_attn_block
+
+    b, sp, d, heads, n_valid = 8, 56, 256, 4, 50
+    x = _mk((b, sp, d), 0, 1.0).astype(jnp.bfloat16)
+    ln_s = 1.0 + _mk((d,), 1)
+    ln_b = _mk((d,), 2)
+    wqkv, bqkv = _mk((d, 3 * d), 3), _mk((3 * d,), 4)
+    wo, bo = _mk((d, d), 5), _mk((d,), 6)
+    got = fused_attn_block(
+        x, ln_s, ln_b, wqkv.astype(jnp.bfloat16), bqkv.astype(jnp.bfloat16),
+        wo.astype(jnp.bfloat16), bo.astype(jnp.bfloat16),
+        heads=heads, n_valid=n_valid, causal=causal, interpret=True,
+    )
+    want = xla_attn_block(x, ln_s, ln_b, wqkv, bqkv, wo, bo, heads,
+                          n_valid, causal)
+    assert got.shape == want.shape and got.dtype == want.dtype
+    cos = _cos_rows(got[:, :n_valid], want[:, :n_valid])
+    assert cos.min() > 0.999, cos.min()
+
+
+@pytest.mark.parametrize("act", ["gelu", "quick_gelu", "gelu_tanh"])
+def test_mlp_block_matches_xla(act):
+    from wise_tpu.ops.block import fused_mlp_block
+
+    b, sp, d = 8, 56, 256
+    x = _mk((b, sp, d), 10, 1.0).astype(jnp.bfloat16)
+    ln_s = 1.0 + _mk((d,), 11)
+    ln_b = _mk((d,), 12)
+    wfc, bfc = _mk((d, 4 * d), 13), _mk((4 * d,), 14)
+    wproj, bproj = _mk((4 * d, d), 15), _mk((d,), 16)
+    got = fused_mlp_block(
+        x, ln_s, ln_b, wfc.astype(jnp.bfloat16), bfc.astype(jnp.bfloat16),
+        wproj.astype(jnp.bfloat16), bproj.astype(jnp.bfloat16),
+        act=act, interpret=True,
+    )
+    want = xla_mlp_block(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act)
+    assert got.shape == want.shape and got.dtype == want.dtype
+    cos = _cos_rows(got, want)
+    assert cos.min() > 0.999, cos.min()
+
+
+def test_group_pickers():
+    from wise_tpu.ops.block import _attn_group, _mlp_group
+
+    # ViT-B/32 step shapes must admit a group of at least 2
+    assert (_attn_group(512, 56, 768) or 0) >= 2
+    assert (_mlp_group(512, 56, 768) or 0) >= 1
+    # CLIP text tower
+    assert (_attn_group(256, 80, 512) or 0) >= 2
+    assert (_mlp_group(256, 80, 512) or 0) >= 2

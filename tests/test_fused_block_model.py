@@ -1,0 +1,114 @@
+"""Model-level fused-block path (CLIPConfig.fused_block) on CPU.
+
+supports_fused_block gates on a real TPU backend, so these tests force the
+gate open and run the kernels in interpret mode, checking (a) the fused
+branch declares EXACTLY the same parameter tree as the XLA branch (one
+checkpoint layout for both), and (b) the tower embeddings agree."""
+
+import functools
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+TINY = dict(
+    embed_dim=64, image_size=64, patch_size=16, vision_width=256,
+    vision_layers=2, vision_heads=4, context_length=16, vocab_size=128,
+    text_width=128, text_heads=2, text_layers=2,
+)
+
+
+def _tiny_cfg(**kw):
+    from wise_tpu.models.clip.model import CLIPConfig
+
+    return CLIPConfig(**{**TINY, **kw})
+
+
+@pytest.fixture
+def force_fused_block(monkeypatch):
+    """Open the TPU gate and run the kernels in interpret mode."""
+    from wise_tpu.ops import block
+
+    monkeypatch.setattr(
+        block, "supports_fused_block",
+        lambda b, sp, w, h, dt: jnp.dtype(dt) == jnp.bfloat16
+        and w // h == 64 and sp % 8 == 0,
+    )
+    monkeypatch.setattr(
+        block, "fused_attn_block",
+        functools.partial(block.fused_attn_block, interpret=True),
+    )
+    monkeypatch.setattr(
+        block, "fused_mlp_block",
+        functools.partial(block.fused_mlp_block, interpret=True),
+    )
+
+
+def _paths(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_paths(v, prefix + (k,)))
+        else:
+            out["/".join(prefix + (k,))] = (v.shape, v.dtype)
+    return out
+
+
+def test_param_tree_identical(force_fused_block):
+    """init under the fused branch == init under the XLA branch."""
+    from wise_tpu.models.clip.model import CLIP
+
+    imgs = jnp.zeros((8, 64, 64, 3))
+    toks = jnp.zeros((8, 16), jnp.int32)
+    p_fused = CLIP(_tiny_cfg(dtype=jnp.bfloat16, fused_block=True)).init(
+        jax.random.PRNGKey(0), imgs, toks
+    )
+    p_xla = CLIP(_tiny_cfg(dtype=jnp.bfloat16)).init(
+        jax.random.PRNGKey(0), imgs, toks
+    )
+    a, b = _paths(p_fused["params"]), _paths(p_xla["params"])
+    assert a == b
+    # identical RNG draws for identical paths
+    flat_a = jax.tree_util.tree_leaves(p_fused["params"])
+    flat_b = jax.tree_util.tree_leaves(p_xla["params"])
+    for la, lb in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+@pytest.mark.parametrize("quick_gelu", [False, True])
+def test_image_embeddings_match(force_fused_block, quick_gelu):
+    from wise_tpu.models.clip.model import CLIP
+
+    cfg_x = _tiny_cfg(dtype=jnp.bfloat16, quick_gelu=quick_gelu)
+    cfg_f = _tiny_cfg(dtype=jnp.bfloat16, quick_gelu=quick_gelu,
+                      fused_block=True)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (8, 64, 64, 3))
+    toks = jnp.zeros((1, 16), jnp.int32)
+    params = CLIP(cfg_x).init(jax.random.PRNGKey(0), imgs[:1], toks)
+    want = CLIP(cfg_x).apply(params, imgs, method="encode_image")
+    got = CLIP(cfg_f).apply(params, imgs, method="encode_image")
+    cos = (np.asarray(got) * np.asarray(want)).sum(-1)
+    assert cos.min() > 0.999, cos.min()
+
+
+def test_text_embeddings_match_causal(force_fused_block):
+    from wise_tpu.models.clip.model import CLIP
+
+    cfg_x = _tiny_cfg(dtype=jnp.bfloat16)
+    cfg_f = _tiny_cfg(dtype=jnp.bfloat16, fused_block=True)
+    imgs = jnp.zeros((1, 64, 64, 3))
+    toks = jax.random.randint(jax.random.PRNGKey(2), (8, 16), 1, 127)
+    # EOT = highest id at a fixed position
+    toks = toks.at[:, -2].set(127)
+    params = CLIP(cfg_x).init(jax.random.PRNGKey(0), imgs, toks[:1])
+    want = CLIP(cfg_x).apply(params, toks, method="encode_text")
+    got = CLIP(cfg_f).apply(params, toks, method="encode_text")
+    cos = (np.asarray(got) * np.asarray(want)).sum(-1)
+    assert cos.min() > 0.999, cos.min()

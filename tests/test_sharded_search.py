@@ -114,7 +114,11 @@ def test_sharded_ivf_at_1m_rows(rng):
     only ever saw ~1k rows). Cells are synthesised directly (uniform
     assignment, cell-sorted rows) — kmeans quality is irrelevant to the
     sharded == numpy contract being asserted here."""
-    from wise_tpu.parallel.sharded_search import sharded_ivf_topk
+    from wise_tpu.parallel.sharded_search import (
+        build_sharded_paged,
+        sharded_ivf_paged_topk,
+        sharded_paged_plan,
+    )
 
     n, d, nlist, nprobe, k = 1_048_576, 64, 1024, 8, 20
     mesh = get_mesh(dp=8)
@@ -125,13 +129,13 @@ def test_sharded_ivf_at_1m_rows(rng):
     centroids = rng.standard_normal((nlist, d)).astype(np.float32)
     offsets = (np.arange(nlist + 1, dtype=np.int64) * L)
 
-    db_sharded, _ = pad_and_shard_db(mesh, db)
     import jax.numpy as jnp
 
-    vals, rows = sharded_ivf_topk(
-        mesh, db[:2], jnp.asarray(centroids),
-        jnp.asarray(offsets.astype(np.int32)), db_sharded,
-        nprobe=nprobe, lmax=L, k=k,
+    pg = build_sharded_paged(mesh, db, offsets, lpad=256)
+    budget, chunk = sharded_paged_plan(pg, nprobe, d)
+    vals, rows = sharded_ivf_paged_topk(
+        mesh, db[:2], jnp.asarray(centroids), pg,
+        nprobe=nprobe, k=k, chunk=chunk, budget=budget,
     )
 
     # numpy reference over the same probed cells

@@ -338,8 +338,8 @@ class FeatureSearchIndex(SearchIndex):
         self._device_db = None
         for cached in (  # drop stale device copies
             "_ivf_dev", "_pq_sharded", "_ivf_lmax", "_pq_lmax",
-            "_ivf_paged", "_pq_paged", "_int8_db", "_int8_sharded",
-            "_flat_sibling",
+            "_ivf_paged", "_pq_paged", "_ivf_sharded_pg",
+            "_int8_db", "_int8_sharded", "_flat_sibling",
         ):
             if hasattr(self, cached):
                 delattr(self, cached)
@@ -430,14 +430,25 @@ class FeatureSearchIndex(SearchIndex):
         return scores, self._rows_to_ids(scores, rows)
 
     def _ensure_int8_db(self):
-        """int8 HBM copy: (codes (N_pad, D) int8, per-row scales (N_pad,))."""
+        """int8 HBM copy: (codes (N_pad, D) int8, per-row scales (N_pad,)).
+
+        Quantizes row-chunks straight off the memmap into a preallocated
+        int8 buffer — the transient is one 64k-row f32 chunk (~128 MB at
+        D=512), not a full padded f32 copy of the database."""
         if getattr(self, "_int8_db", None) is None:
             import jax
 
-            from ..ops.topk import pad_rows, quantize_rows_int8
+            from ..ops.topk import _round_up, quantize_rows_int8
 
-            host = pad_rows(np.asarray(self._arrays["vectors"]), self.GROUP)
-            codes, scales = quantize_rows_int8(host)
+            vecs = self._arrays["vectors"]
+            n, d = vecs.shape
+            n_pad = _round_up(max(n, self.GROUP), self.GROUP)
+            codes = np.zeros((n_pad, d), np.int8)
+            scales = np.zeros((n_pad,), np.float32)
+            chunk = 65536
+            for s in range(0, n, chunk):
+                e = min(n, s + chunk)
+                codes[s:e], scales[s:e] = quantize_rows_int8(vecs[s:e])
             self._int8_db = (jax.device_put(codes), jax.device_put(scales))
         return self._int8_db
 
@@ -601,39 +612,50 @@ class FeatureSearchIndex(SearchIndex):
     def _search_ivfpq_sharded(self, qvec, topk, nprobe):
         import jax
 
-        from ..parallel.sharded_search import sharded_ivfpq_topk
+        from ..parallel.sharded_search import sharded_ivfpq_paged_topk
 
         if not hasattr(self, "_pq_sharded"):
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from ..parallel.mesh import get_mesh
-            from ..parallel.sharded_search import pad_and_shard_db
 
             self._mesh = get_mesh(dp=jax.device_count())
             rep = NamedSharding(self._mesh, P())
-            codes, _ = pad_and_shard_db(
-                self._mesh, np.asarray(self._arrays["codes"])
+            pg = self._shard_paged(
+                "codes", self.config.ivfpq_page_rows, cast_bf16=False
             )
-            self._pq_sharded = (
-                jax.device_put(
-                    np.asarray(self._arrays["pq_codebooks"]), rep
-                ),
-                codes,
+            pg["codebooks"] = jax.device_put(
+                np.asarray(self._arrays["pq_codebooks"]), rep
             )
-        centroids, offsets = self._ensure_ivf_coarse()
-        codebooks, codes = self._pq_sharded
+            self._pq_sharded = pg
+        centroids, _ = self._ensure_ivf_coarse()
+        pg = self._pq_sharded
         nlist = centroids.shape[0]
-        if not hasattr(self, "_pq_lmax"):
-            self._pq_lmax = int(max(np.max(
-                np.diff(np.asarray(self._arrays["cell_offsets"]))), 1))
-        vals, rows = sharded_ivfpq_topk(
-            self._mesh, qvec.astype(np.float32), centroids, offsets,
-            codebooks, codes,
-            nprobe=min(int(nprobe), nlist),
-            lmax=self._pq_lmax,
-            k=int(topk),
+        nprobe = min(int(nprobe), nlist)
+        budget, chunk = self._sharded_paged_plan(pg, nprobe)
+        vals, rows = sharded_ivfpq_paged_topk(
+            self._mesh, qvec.astype(np.float32), centroids, pg,
+            pg["codebooks"],
+            nprobe=nprobe, k=int(topk), chunk=chunk, budget=budget,
         )
         return self._pad_device_topk(vals, rows, topk)
+
+    def _shard_paged(self, array_name, lpad, cast_bf16):
+        """Build the cell-partitioned paged layout and device_put it
+        sharded over the 'dp' mesh (each chip runs the single-chip paged
+        kernel on its own cell range)."""
+        from ..parallel.sharded_search import build_sharded_paged
+
+        return build_sharded_paged(
+            self._mesh, self._arrays[array_name],
+            self._arrays["cell_offsets"], lpad,
+            cast_bf16=cast_bf16 and self.config.storage_dtype == "bfloat16",
+        )
+
+    def _sharded_paged_plan(self, pg, nprobe):
+        from ..parallel.sharded_search import sharded_paged_plan
+
+        return sharded_paged_plan(pg, nprobe, int(self._metadata["dim"]))
 
     def _ensure_paged(self, attr, array_name, lpad, cast_bf16):
         """Device-resident paged layout (ops/ivf_paged.py) over the
@@ -746,7 +768,7 @@ class FeatureSearchIndex(SearchIndex):
 
     def _search_ivf(self, qvec, topk, nprobe):
         """IVF dispatch: single-device -> fully on-device jitted search
-        (ops/ivf.py); multi-device -> shard_map search over row-sharded HBM
+        (ops/ivf_paged.py); multi-device -> shard_map search over row-sharded HBM
         (parallel/sharded_search.py, replicated coarse probe + per-chip
         masked gather + ICI top-k merge)."""
         import jax
@@ -779,16 +801,25 @@ class FeatureSearchIndex(SearchIndex):
         return self._ivf_dev
 
     def _search_ivf_sharded(self, qvec, topk, nprobe):
-        from ..parallel.sharded_search import sharded_ivf_topk
+        import jax
 
-        db = self._ensure_device_db()  # row-sharded over 'dp', sets _mesh
-        centroids, offsets = self._ensure_ivf_coarse()
+        from ..parallel.sharded_search import sharded_ivf_paged_topk
+
+        if not hasattr(self, "_ivf_sharded_pg"):
+            from ..parallel.mesh import get_mesh
+
+            self._mesh = get_mesh(dp=jax.device_count())
+            self._ivf_sharded_pg = self._shard_paged(
+                "vectors", self.config.ivf_page_rows, cast_bf16=True
+            )
+        centroids, _ = self._ensure_ivf_coarse()
+        pg = self._ivf_sharded_pg
         nlist = centroids.shape[0]
-        vals, rows = sharded_ivf_topk(
-            self._mesh, qvec.astype(np.float32), centroids, offsets, db,
-            nprobe=min(int(nprobe), nlist),
-            lmax=self._ivf_lmax,
-            k=int(topk),
+        nprobe = min(int(nprobe), nlist)
+        budget, chunk = self._sharded_paged_plan(pg, nprobe)
+        vals, rows = sharded_ivf_paged_topk(
+            self._mesh, qvec.astype(np.float32), centroids, pg,
+            nprobe=nprobe, k=int(topk), chunk=chunk, budget=budget,
         )
         return self._pad_device_topk(vals, rows, topk)
 

@@ -73,6 +73,14 @@ class CLIPConfig:
     #: ~1% difference, BENCHMARKS.md). ~4x faster attention middle at
     #: ViT-B/32 shapes; see BENCHMARKS.md.
     fused_attention: bool = False
+    #: run whole residual blocks as two Pallas kernels (ops/block.py:
+    #: LN1+QKV+attention+out-proj+residual, then LN2+MLP+residual) with the
+    #: layer weights resident in VMEM — LayerNorms, gelu, and residual adds
+    #: never round-trip HBM. Supersedes fused_attention per layer where
+    #: ops.block.supports_fused_block admits the shapes (bf16, head_dim 64,
+    #: VMEM-feasible tiling); other shapes fall back to the fused_attention
+    #: / XLA paths. Inference only (no backward).
+    fused_block: bool = False
     dtype: Any = jnp.float32
 
 
@@ -213,6 +221,52 @@ class MultiHeadAttention(nn.Module):
         return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
 
 
+class _DenseParams(nn.Module):
+    """Declares exactly nn.Dense's variables (kernel/bias, same names,
+    shapes, and initializers) without computing — the fused-block path
+    reads them directly so both paths share one checkpoint layout."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param(
+                "kernel", nn.initializers.lecun_normal(),
+                (self.in_features, self.features),
+            ),
+            self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,)),
+        )
+
+
+class _MHAParams(nn.Module):
+    """MultiHeadAttention's parameter tree (attn/in_proj, attn/out_proj)."""
+
+    width: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            _DenseParams(self.width, 3 * self.width, name="in_proj")(),
+            _DenseParams(self.width, self.width, name="out_proj")(),
+        )
+
+
+class _LNParams(nn.Module):
+    """nn.LayerNorm's variables (scale/bias)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones_init(), (self.dim,)),
+            self.param("bias", nn.initializers.zeros_init(), (self.dim,)),
+        )
+
+
 class ResidualAttentionBlock(nn.Module):
     width: int
     heads: int
@@ -220,11 +274,48 @@ class ResidualAttentionBlock(nn.Module):
     dtype: Any = jnp.float32
     softmax_f32: bool = True
     fused: bool = False
+    fused_block: bool = False
     n_valid: Optional[int] = None
     causal_fused: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
+        from ...ops.block import (
+            fused_attn_block,
+            fused_mlp_block,
+            supports_fused_block,
+        )
+
+        b, s = x.shape[0], x.shape[1]
+        if (
+            self.fused_block
+            and (mask is None or self.causal_fused)
+            and supports_fused_block(b, s, self.width, self.heads,
+                                     jnp.dtype(self.dtype))
+        ):
+            # whole-block Pallas path: same parameter tree, read directly
+            ln1_s, ln1_b = _LNParams(self.width, name="ln_1")()
+            (wqkv, bqkv), (wo, bo) = _MHAParams(self.width, name="attn")()
+            ln2_s, ln2_b = _LNParams(self.width, name="ln_2")()
+            wfc, bfc = _DenseParams(self.width, 4 * self.width,
+                                    name="mlp_fc")()
+            wproj, bproj = _DenseParams(4 * self.width, self.width,
+                                        name="mlp_proj")()
+            act = self.quick_gelu
+            act_str = (
+                "quick_gelu" if act is True
+                else (act if isinstance(act, str) and act else "gelu")
+            )
+            dt = self.dtype
+            x = fused_attn_block(
+                x, ln1_s, ln1_b, wqkv.astype(dt), bqkv.astype(dt),
+                wo.astype(dt), bo.astype(dt), heads=self.heads,
+                n_valid=self.n_valid or s, causal=self.causal_fused,
+            )
+            return fused_mlp_block(
+                x, ln2_s, ln2_b, wfc.astype(dt), bfc.astype(dt),
+                wproj.astype(dt), bproj.astype(dt), act=act_str,
+            )
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x)
         x = x + MultiHeadAttention(
             self.width, self.heads, dtype=self.dtype,
@@ -248,6 +339,7 @@ class Transformer(nn.Module):
     remat: bool = False
     softmax_f32: bool = True
     fused: bool = False
+    fused_block: bool = False
     n_valid: Optional[int] = None
     causal_fused: bool = False
 
@@ -262,6 +354,7 @@ class Transformer(nn.Module):
             x = block_cls(
                 self.width, self.heads, self.quick_gelu, dtype=self.dtype,
                 softmax_f32=self.softmax_f32, fused=self.fused,
+                fused_block=self.fused_block,
                 n_valid=self.n_valid, causal_fused=self.causal_fused,
                 name=f"resblocks_{i}",
             )(x, mask)
@@ -354,7 +447,7 @@ class VisionTransformer(nn.Module):
         # MultiHeadAttention (e.g. batch-1 query embeds fall back to the
         # masked XLA path with identical results).
         fused = bool(
-            c.fused_attention
+            (c.fused_attention or c.fused_block)
             and jnp.dtype(c.dtype) == jnp.bfloat16
             and c.vision_width // c.vision_heads == 64
         )
@@ -368,7 +461,9 @@ class VisionTransformer(nn.Module):
             c.vision_width, c.vision_layers, c.vision_heads,
             c.act or c.quick_gelu,
             dtype=c.dtype, remat=c.remat,
-            softmax_f32=c.attn_softmax_f32, fused=fused,
+            softmax_f32=c.attn_softmax_f32,
+            fused=fused and c.fused_attention,
+            fused_block=fused and c.fused_block,
             n_valid=n_valid, name="transformer",
         )(x)
         if n_valid is not None:
@@ -414,7 +509,7 @@ class TextTransformer(nn.Module):
         # argmax-pooled CLIP text towers only — "last"-pooled (SigLIP)
         # towers read position -1, which padding would corrupt
         fused = bool(
-            c.fused_attention
+            (c.fused_attention or c.fused_block)
             and c.text_causal
             and c.text_pool == "argmax"
             and jnp.dtype(c.dtype) == jnp.bfloat16
@@ -435,7 +530,9 @@ class TextTransformer(nn.Module):
             c.text_width, c.text_layers, c.text_heads,
             c.act or c.quick_gelu,
             dtype=c.dtype, remat=c.remat,
-            softmax_f32=c.attn_softmax_f32, fused=fused,
+            softmax_f32=c.attn_softmax_f32,
+            fused=fused and c.fused_attention,
+            fused_block=fused and c.fused_block,
             n_valid=n_tok if fused else None, causal_fused=fused,
             name="transformer",
         )(x, mask)

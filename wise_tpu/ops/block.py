@@ -1,0 +1,292 @@
+"""Fused transformer-block kernels (Pallas TPU) — LN/GEMM/attention/MLP
+residual blocks that never spill activations to HBM.
+
+Motivation (BENCHMARKS.md roofline, round 2): with the fused attention
+middle in place, one ViT-B/32 layer still costs ~4.0 ms at batch 512
+against a 1.86 ms GEMM floor. The remaining ~1.7 ms is bandwidth:
+LayerNorms (f32 passes over the (B, S, D) activations), the gelu pass over
+the (B, S, 4D) MLP intermediate, residual adds, and the HBM round trips of
+every intermediate between those XLA fusions. These kernels run a whole
+residual block per grid step with everything resident in VMEM:
+
+  fused_attn_block:  x + out_proj(MHA(LN1(x)))     [one kernel]
+  fused_mlp_block:   x + proj(gelu(fc(LN2(x))))    [one kernel]
+
+Weights ride in VMEM via constant-index blocks (fetched once, reused
+across the batch grid — Mosaic skips copies for unchanged block indices),
+so per-layer weight traffic is one read of the layer (~14 MB for ViT-B)
+instead of one read per batch group.
+
+Scope mirrors ops/attention.py: inference, bf16 activations, head_dim 64
+towers, VMEM-feasible tilings only (``supports_fused_block``); everything
+else stays on the XLA path. LayerNorm statistics and softmax run in f32
+exactly like the XLA path (flax _compute_stats: var = E[x^2] - E[x]^2,
+rsqrt(var + eps)); GEMMs accumulate f32 on the MXU and round to bf16 at
+the same points the Dense layers do.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-5
+
+# One grid step's working set must stay under the scoped-VMEM ceiling.
+# Round-2 calibration: ~10 MB is safe for multi-buffered kernels, 12 MB
+# validated at group 1 (ops/attention.py). Block kernels hold the layer
+# weights resident on top of the activation blocks (constant-index blocks
+# are fetched once, not per step), so the MLP kernel — whose fc+proj
+# weights alone are 9.4 MB at ViT-B width — gets a larger allowance that
+# assumes the resident weights are not double-buffered. Both budgets are
+# calibrated on hardware with scripts/bench_block_kernels.py.
+_VMEM_BUDGET = 10_000_000
+_VMEM_BUDGET_MLP = 11_500_000
+_VMEM_LIMIT_BYTES = 100 * 1024 * 1024  # cap passed to Mosaic, not a target
+
+
+def _ln_f32(xf, scale, bias):
+    """flax.linen.LayerNorm numerics (f32): var = max(E[x^2]-E[x]^2, 0)."""
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    mean2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    mul = jax.lax.rsqrt(var + _EPS) * scale
+    return (xf - mean) * mul + bias
+
+
+def _gelu_f32(h, act: str):
+    if act == "quick_gelu":
+        return h * jax.nn.sigmoid(1.702 * h)
+    if act == "gelu_tanh":
+        return jax.nn.gelu(h, approximate=True)
+    return jax.nn.gelu(h, approximate=False)
+
+
+# ---------------------------------------------------------------------------
+# attention block: x + out_proj(MHA(LN1(x)))
+# ---------------------------------------------------------------------------
+
+
+def _attn_block_kernel(
+    x_ref, ln_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref, att_ref,
+    *, heads: int, n_valid: int, scale: float, causal: bool,
+):
+    x = x_ref[:]                              # (G, SP, D) bf16
+    g, sp, d = x.shape
+    hd = d // heads
+    y = _ln_f32(
+        x.astype(jnp.float32), ln_ref[0, :], ln_ref[1, :]
+    ).astype(x.dtype)
+    qkv = jax.lax.dot_general(
+        y, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qkv = (qkv + bqkv_ref[0, :]).astype(x.dtype)   # (G, SP, 3D)
+    col = jax.lax.broadcasted_iota(jnp.int32, (g, sp, sp), 2)
+    keep = col < n_valid
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (g, sp, sp), 1)
+        keep = keep & (col <= row)
+    for h in range(heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        q = qkv[:, :, h * hd:(h + 1) * hd]
+        k = qkv[:, :, d + h * hd:d + (h + 1) * hd]
+        v = qkv[:, :, 2 * d + h * hd:2 * d + (h + 1) * hd]
+        logits = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        logits = jnp.where(keep, logits * scale, -jnp.inf)
+        m = jnp.max(logits, axis=2, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=2, keepdims=True)
+        att_ref[:, :, sl] = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(att_ref.dtype)
+    out = jax.lax.dot_general(
+        att_ref[:], wo_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = x + (out + bo_ref[0, :]).astype(x.dtype)
+
+
+def _attn_group(batch: int, seq_pad: int, width: int):
+    """Largest batch group whose working set fits the budget: layer
+    attention weights resident (4D^2 bf16) + double-buffered x/out blocks
+    + qkv/att/f32 intermediates."""
+    wbytes = 4 * width * width * 2
+    for g in (8, 4, 2, 1):
+        if batch % g:
+            continue
+        blk = g * seq_pad * width
+        est = (
+            wbytes
+            + 2 * 2 * blk * 2       # x, out: double-buffered bf16
+            + blk * 2               # att scratch bf16
+            + 3 * blk * 2           # qkv bf16
+            + 3 * blk * 4           # qkv f32 pre-round + LN f32 temps
+            + g * seq_pad * seq_pad * (4 + 2)
+        )
+        if est <= _VMEM_BUDGET:
+            return g
+    return None
+
+
+def _mlp_group(batch: int, seq_pad: int, width: int):
+    """Batch group for the MLP block: fc+proj weights resident (8D^2 bf16)
+    + x/out blocks + the (G, SP, 4D) intermediate."""
+    wbytes = 8 * width * width * 2
+    for g in (8, 4, 2, 1):
+        if batch % g:
+            continue
+        blk = g * seq_pad * width
+        est = (
+            wbytes
+            + 2 * 2 * blk * 2       # x, out double-buffered bf16
+            + blk * 4 + blk * 2     # LN f32 temp + y bf16
+            + 4 * blk * 2           # h bf16
+            + 4 * blk * 4           # h f32 pre-gelu
+        )
+        if est <= _VMEM_BUDGET_MLP:
+            return g
+    return None
+
+
+def supports_fused_block(batch: int, seq_pad: int, width: int, heads: int,
+                         dtype) -> bool:
+    """Static gate: shapes/dtype both block kernels are built for."""
+    return (
+        jnp.dtype(dtype) == jnp.bfloat16
+        and width % heads == 0
+        and width // heads == 64
+        and width % 128 == 0
+        and seq_pad % 8 == 0
+        and batch > 0
+        and _attn_group(batch, seq_pad, width) is not None
+        and _mlp_group(batch, seq_pad, width) is not None
+        and jax.default_backend() == "tpu"
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "n_valid", "causal", "interpret", "group"),
+)
+def fused_attn_block(
+    x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
+    wqkv: jax.Array, bqkv: jax.Array, wo: jax.Array, bo: jax.Array,
+    heads: int, n_valid: int, causal: bool = False,
+    interpret: bool = False, group: int | None = None,
+) -> jax.Array:
+    """x (B, SP, D) bf16 -> x + out_proj(MHA(LN(x))). Weights bf16
+    (wqkv (D, 3D), wo (D, D)); LN params f32. Key columns >= n_valid are
+    masked; padded query rows carry garbage the caller never reads (they
+    stay garbage through the residual, exactly like the XLA path)."""
+    b, sp, d = x.shape
+    group = group or _attn_group(b, sp, d)
+    assert group is not None, "gate with supports_fused_block() first"
+    xspec = pl.BlockSpec((group, sp, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    ln = jnp.stack([ln_scale, ln_bias]).astype(jnp.float32)
+    return pl.pallas_call(
+        functools.partial(
+            _attn_block_kernel, heads=heads, n_valid=n_valid,
+            scale=1.0 / np.sqrt(d // heads), causal=causal,
+        ),
+        grid=(b // group,),
+        in_specs=[
+            xspec,
+            const((2, d)),
+            const((d, 3 * d)),
+            const((1, 3 * d)),
+            const((d, d)),
+            const((1, d)),
+        ],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, sp, d), x.dtype),
+        scratch_shapes=[pltpu.VMEM((group, sp, d), x.dtype)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * sp * (4 * d * d + 2 * sp * d) + 4 * b * sp * sp * d,
+            bytes_accessed=4 * b * sp * d * 2 + 8 * d * d * 2,
+            transcendentals=b * heads * sp * sp,
+        ),
+    )(x, ln, wqkv, bqkv.reshape(1, -1), wo, bo.reshape(1, -1))
+
+
+def _mlp_block_kernel(
+    x_ref, ln_ref, wfc_ref, bfc_ref, wproj_ref, bproj_ref, o_ref, *, act: str
+):
+    x = x_ref[:]                              # (G, SP, D) bf16
+    y = _ln_f32(
+        x.astype(jnp.float32), ln_ref[0, :], ln_ref[1, :]
+    ).astype(x.dtype)
+    h = jax.lax.dot_general(
+        y, wfc_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    h = _gelu_f32(h + bfc_ref[0, :], act).astype(x.dtype)
+    out = jax.lax.dot_general(
+        h, wproj_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = x + (out + bproj_ref[0, :]).astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("act", "interpret", "group"))
+def fused_mlp_block(
+    x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
+    wfc: jax.Array, bfc: jax.Array, wproj: jax.Array, bproj: jax.Array,
+    act: str = "gelu", interpret: bool = False, group: int | None = None,
+) -> jax.Array:
+    """x (B, SP, D) bf16 -> x + proj(gelu(fc(LN(x)))). wfc (D, 4D),
+    wproj (4D, D) bf16; LN params f32; act in {gelu, quick_gelu,
+    gelu_tanh} (gelu computed in f32 inside the kernel)."""
+    b, sp, d = x.shape
+    ff = wfc.shape[1]
+    group = group or _mlp_group(b, sp, d)
+    assert group is not None, "gate with supports_fused_block() first"
+    xspec = pl.BlockSpec((group, sp, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    ln = jnp.stack([ln_scale, ln_bias]).astype(jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_mlp_block_kernel, act=act),
+        grid=(b // group,),
+        in_specs=[
+            xspec,
+            const((2, d)),
+            const((d, ff)),
+            const((1, ff)),
+            const((ff, d)),
+            const((1, d)),
+        ],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, sp, d), x.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * sp * d * ff,
+            bytes_accessed=2 * b * sp * d * 2 + 2 * d * ff * 2,
+            transcendentals=b * sp * ff,
+        ),
+    )(x, ln, wfc, bfc.reshape(1, -1), wproj, bproj.reshape(1, -1))

@@ -47,6 +47,50 @@ def encode_pq(residuals: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     return codes
 
 
+def decode_pq(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """codes (N, M) uint8 -> reconstructed residuals (N, D) float32."""
+    m, ksub, dsub = codebooks.shape
+    out = np.empty((codes.shape[0], m * dsub), np.float32)
+    for i in range(m):
+        out[:, i * dsub:(i + 1) * dsub] = codebooks[i][codes[:, i]]
+    return out
+
+
+def train_opq(
+    residuals: np.ndarray, m: int, ksub: int = 256, iters: int = 15,
+    opq_iters: int = 8, seed: int = 0, sample: int = 20000,
+) -> tuple:
+    """OPQ-NP (Ge et al., CVPR'13): learn an orthogonal rotation R that
+    minimises PQ reconstruction error, alternating (a) PQ training on the
+    rotated residuals with (b) the orthogonal-Procrustes solve
+    R = U V^T of X^T Y = U S V^T against the reconstructions Y.
+
+    Rationale (round-2 recall sweep, BENCHMARKS.md): a random spectrum
+    rotation mixes every effective dimension into every subvector and
+    costs PQ ~0.3 R0@10 on clustered synthetic data; the learned rotation
+    re-concentrates variance per subspace. Because R is orthogonal, inner
+    products are preserved — the caller stores centroids @ R and rotates
+    queries once (q @ R), and every downstream kernel is unchanged.
+
+    Returns (R (D, D) float32, codebooks (M, ksub, D/M) float32) with
+    codebooks trained on residuals @ R."""
+    n, d = residuals.shape
+    rng = np.random.default_rng(seed)
+    X = (residuals[rng.permutation(n)[:sample]]
+         if n > sample else residuals).astype(np.float32)
+    R = np.eye(d, dtype=np.float32)
+    for _ in range(opq_iters):
+        Xr = X @ R
+        books = train_pq(Xr, m, ksub, iters=4, seed=seed)
+        recon = decode_pq(encode_pq(Xr, books), books)
+        u, _, vt = np.linalg.svd(
+            X.T.astype(np.float64) @ recon.astype(np.float64)
+        )
+        R = (u @ vt).astype(np.float32)
+    books = train_pq(residuals @ R, m, ksub, iters=iters, seed=seed)
+    return R, books
+
+
 def adc_tables(query: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     """query (D,) -> (M, ksub) inner-product lookup tables."""
     m, ksub, dsub = codebooks.shape

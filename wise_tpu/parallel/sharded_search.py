@@ -170,139 +170,154 @@ def _merge_gathered_topk(vals, idx, k: int, axis: str):
     return top_vals, jnp.take_along_axis(flat_idx, pos, axis=1)
 
 
-def _ivf_probe_rows(q, centroids, cell_offsets, nprobe: int, lmax: int):
-    """Replicated coarse probe: top-nprobe cells (re-sorted ascending) ->
-    (global candidate rows (Q, nprobe*lmax), lane-validity mask, per-row
-    coarse score (Q, nprobe*lmax))."""
-    cscores = jax.lax.dot_general(
-        q, centroids.astype(jnp.float32),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+def _ivf_paged_shard_body(q, centroids, page_first, page_count, paged_db,
+                          page_rows, *, nprobe: int, budget: int, chunk: int,
+                          k: int, axis: str):
+    """Per-chip IVF-Flat under shard_map: each chip runs the SAME paged
+    kernel as the single-chip path (ops/ivf_paged.py paged_flat_core) on
+    its own contiguous cell-partition — one contiguous page-gather + MXU
+    matmul per chunk, no lmax-padded strided row gathers. page_rows carry
+    global row ids, so candidates merge over ICI with no re-indexing; a
+    cell this chip doesn't own has page_count 0 and contributes nothing."""
+    from ..ops.ivf_paged import paged_flat_core
+
+    vals, rows = paged_flat_core(
+        q.astype(jnp.float32), centroids,
+        page_first[0], page_count[0], paged_db, page_rows,
+        nprobe=nprobe, budget=budget, chunk=chunk, k=k,
     )
-    probe_scores, cells = jax.lax.top_k(cscores, nprobe)
-    order = jnp.argsort(cells, axis=1)
-    cells = jnp.take_along_axis(cells, order, axis=1)
-    probe_scores = jnp.take_along_axis(probe_scores, order, axis=1)
-    starts = cell_offsets[cells]
-    lens = cell_offsets[cells + 1] - starts
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lmax), 2)
-    rows = starts[:, :, None] + lane                      # (Q, nprobe, lmax)
-    valid = lane < lens[:, :, None]
-    nq = q.shape[0]
-    return (
-        rows.reshape(nq, -1),
-        valid.reshape(nq, -1),
-        jnp.repeat(probe_scores, lmax, axis=1),
-    )
+    return _merge_gathered_topk(vals, rows, k, axis)
 
 
-def _ivf_shard_body(q, centroids, cell_offsets, db_shard, *, nprobe: int,
-                    lmax: int, k: int, axis: str):
-    """Per-chip IVF-Flat search under shard_map: probe is replicated work
-    (tiny); each chip gathers/scores only the intersection of the probed
-    ranges with its own contiguous global row range."""
-    q = q.astype(jnp.float32)
-    shard_rows = db_shard.shape[0]
-    my = jax.lax.axis_index(axis)
-    base = my * shard_rows
-    rows, valid, _ = _ivf_probe_rows(q, centroids, cell_offsets, nprobe, lmax)
-    mine = valid & (rows >= base) & (rows < base + shard_rows)
-    local = jnp.clip(rows - base, 0, shard_rows - 1)
-    cand = db_shard[local].astype(jnp.float32)            # (Q, P, D)
-    scores = jnp.einsum(
-        "qd,qpd->qp", q, cand, precision=jax.lax.Precision.HIGHEST
-    )
-    scores = jnp.where(mine, scores, -jnp.inf)
-    k_local = min(k, scores.shape[1])
-    vals, pos = jax.lax.top_k(scores, k_local)
-    gidx = jnp.take_along_axis(rows, pos, axis=1)
-    return _merge_gathered_topk(vals, gidx, k, axis)
+def _ivfpq_paged_shard_body(q, centroids, page_first, page_count,
+                            paged_codes, page_rows, codebooks, *,
+                            nprobe: int, budget: int, chunk: int, k: int,
+                            axis: str):
+    """Per-chip IVF-PQ ADC under shard_map — the single-chip paged one-hot
+    ADC kernel (ops/ivf_paged.py paged_pq_core) per cell-partition."""
+    from ..ops.ivf_paged import paged_pq_core
 
-
-def _ivfpq_shard_body(q, centroids, cell_offsets, codebooks, codes_shard, *,
-                      nprobe: int, lmax: int, k: int, axis: str):
-    """Per-chip IVF-PQ ADC under shard_map (uint8 codes row-sharded)."""
-    q = q.astype(jnp.float32)
-    nq = q.shape[0]
-    m, ksub, dsub = codebooks.shape
-    shard_rows = codes_shard.shape[0]
-    my = jax.lax.axis_index(axis)
-    base = my * shard_rows
-    rows, valid, probe_scores = _ivf_probe_rows(
-        q, centroids, cell_offsets, nprobe, lmax
+    vals, rows = paged_pq_core(
+        q.astype(jnp.float32), centroids,
+        page_first[0], page_count[0], paged_codes, page_rows, codebooks,
+        nprobe=nprobe, budget=budget, chunk=chunk, k=k,
     )
-    mine = valid & (rows >= base) & (rows < base + shard_rows)
-    local = jnp.clip(rows - base, 0, shard_rows - 1)
-    tables = jnp.einsum(
-        "qmd,mkd->qmk", q.reshape(nq, m, dsub),
-        codebooks.astype(jnp.float32),
-        precision=jax.lax.Precision.HIGHEST,
-    ).reshape(nq, m * ksub)
-    cand = codes_shard[local].astype(jnp.int32)           # (Q, P, M)
-    flat_idx = cand + jnp.arange(m, dtype=jnp.int32) * ksub
-    lut = jnp.take_along_axis(tables[:, None, :], flat_idx, axis=2)
-    scores = jnp.sum(lut, axis=2) + probe_scores
-    scores = jnp.where(mine, scores, -jnp.inf)
-    k_local = min(k, scores.shape[1])
-    vals, pos = jax.lax.top_k(scores, k_local)
-    gidx = jnp.take_along_axis(rows, pos, axis=1)
-    return _merge_gathered_topk(vals, gidx, k, axis)
+    return _merge_gathered_topk(vals, rows, k, axis)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "nprobe", "lmax", "k")
+    jax.jit, static_argnames=("mesh", "nprobe", "budget", "chunk", "k")
 )
-def _sharded_ivf(mesh, q, centroids, cell_offsets, db, nprobe, lmax, k):
+def _sharded_ivf(mesh, q, centroids, page_first, page_count, paged_db,
+                 page_rows, nprobe, budget, chunk, k):
     from jax import shard_map
 
     body = functools.partial(
-        _ivf_shard_body, nprobe=nprobe, lmax=lmax, k=k, axis="dp"
+        _ivf_paged_shard_body, nprobe=nprobe, budget=budget, chunk=chunk,
+        k=k, axis="dp",
     )
     return shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(), P(), P("dp", None)),
+        in_specs=(P(), P(), P("dp", None), P("dp", None),
+                  P("dp", None, None), P("dp", None)),
         out_specs=(P(), P()),
         check_vma=False,
-    )(q, centroids, cell_offsets, db)
+    )(q, centroids, page_first, page_count, paged_db, page_rows)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "nprobe", "lmax", "k")
+    jax.jit, static_argnames=("mesh", "nprobe", "budget", "chunk", "k")
 )
-def _sharded_ivfpq(mesh, q, centroids, cell_offsets, codebooks, codes,
-                   nprobe, lmax, k):
+def _sharded_ivfpq(mesh, q, centroids, page_first, page_count, paged_codes,
+                   page_rows, codebooks, nprobe, budget, chunk, k):
     from jax import shard_map
 
     body = functools.partial(
-        _ivfpq_shard_body, nprobe=nprobe, lmax=lmax, k=k, axis="dp"
+        _ivfpq_paged_shard_body, nprobe=nprobe, budget=budget, chunk=chunk,
+        k=k, axis="dp",
     )
     return shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P("dp", None)),
+        in_specs=(P(), P(), P("dp", None), P("dp", None),
+                  P("dp", None, None), P("dp", None), P()),
         out_specs=(P(), P()),
         check_vma=False,
-    )(q, centroids, cell_offsets, codebooks, codes)
+    )(q, centroids, page_first, page_count, paged_codes, page_rows,
+      codebooks)
 
 
-def sharded_ivf_topk(mesh, queries, centroids, cell_offsets, db_sharded,
-                     nprobe: int, lmax: int, k: int):
-    """Multi-chip IVF-Flat: centroids/offsets replicated, cell-sorted rows
-    sharded over 'dp' (pad_and_shard_db). Returns host (scores, rows)."""
+def build_sharded_paged(mesh: Mesh, data, cell_offsets, lpad: int,
+                        cast_bf16: bool = False) -> dict:
+    """Host cell-sorted rows/codes + offsets -> device-resident paged
+    shards, cell-partitioned over 'dp' (build_paged_layout ->
+    shard_paged_layout -> shard_paged_to_device)."""
+    from ..ops.ivf_paged import build_paged_layout, shard_paged_layout
+
+    lay = build_paged_layout(np.asarray(data), np.asarray(cell_offsets),
+                             lpad)
+    sh = shard_paged_layout(lay, mesh.shape["dp"])
+    return shard_paged_to_device(mesh, sh, cast_bf16=cast_bf16)
+
+
+def sharded_paged_plan(pg: dict, nprobe: int, dim: int):
+    """Static (budget, chunk) shared by every chip: budget is the worst
+    chip's worst case (one static value for SPMD)."""
+    from ..ops.ivf_paged import default_chunk, paged_budget
+
+    budget = max(paged_budget(row, nprobe) for row in pg["page_count_host"])
+    lpad = pg["paged"].shape[1]
+    return budget, default_chunk(lpad, int(dim), budget)
+
+
+def shard_paged_to_device(mesh: Mesh, sharded_layout: dict,
+                          cast_bf16: bool = False) -> dict:
+    """device_put a shard_paged_layout result with pages/first/count/rows
+    sharded over 'dp' (centroid-replicated arrays are the caller's)."""
+    sh = lambda *axes: NamedSharding(mesh, P(*axes))  # noqa: E731
+    out = {
+        "paged": jax.device_put(
+            sharded_layout["paged"], sh("dp", None, None)
+        ),
+        "page_rows": jax.device_put(
+            sharded_layout["page_rows"], sh("dp", None)
+        ),
+        "page_first": jax.device_put(
+            sharded_layout["page_first"], sh("dp", None)
+        ),
+        "page_count": jax.device_put(
+            sharded_layout["page_count"], sh("dp", None)
+        ),
+        "page_count_host": sharded_layout["page_count_host"],
+    }
+    if cast_bf16:
+        out["paged"] = jax.jit(
+            lambda x: x.astype(jnp.bfloat16),
+            out_shardings=sh("dp", None, None),
+        )(out["paged"])
+    return out
+
+
+def sharded_ivf_paged_topk(mesh, queries, centroids, pg: dict, nprobe: int,
+                           k: int, chunk: int, budget: int):
+    """Multi-chip paged IVF-Flat: ``pg`` from shard_paged_to_device.
+    Returns host (scores, global cell-sorted rows)."""
     q = jnp.asarray(queries, dtype=jnp.float32)
     vals, idx = _sharded_ivf(
-        mesh, q, centroids, cell_offsets, db_sharded,
-        int(nprobe), int(lmax), int(k),
+        mesh, q, centroids, pg["page_first"], pg["page_count"],
+        pg["paged"], pg["page_rows"],
+        int(nprobe), int(budget), int(chunk), int(k),
     )
     return np.asarray(vals), np.asarray(idx)
 
 
-def sharded_ivfpq_topk(mesh, queries, centroids, cell_offsets, codebooks,
-                       codes_sharded, nprobe: int, lmax: int, k: int):
-    """Multi-chip IVF-PQ ADC over row-sharded uint8 codes."""
+def sharded_ivfpq_paged_topk(mesh, queries, centroids, pg: dict, codebooks,
+                             nprobe: int, k: int, chunk: int, budget: int):
+    """Multi-chip paged IVF-PQ ADC over cell-partitioned uint8 code pages."""
     q = jnp.asarray(queries, dtype=jnp.float32)
     vals, idx = _sharded_ivfpq(
-        mesh, q, centroids, cell_offsets, codebooks, codes_sharded,
-        int(nprobe), int(lmax), int(k),
+        mesh, q, centroids, pg["page_first"], pg["page_count"],
+        pg["paged"], pg["page_rows"], codebooks,
+        int(nprobe), int(budget), int(chunk), int(k),
     )
     return np.asarray(vals), np.asarray(idx)
 
