@@ -100,8 +100,12 @@ def test_ivfpq_device_full_probe_matches_flat_adc(tmp_path, rng):
     cell_of_row = np.searchsorted(offsets, np.arange(len(codes)), side="right") - 1
 
     q = vecs[10][None]
-    flat = adc_scores(codes, adc_tables(q[0], books))
-    flat = flat + (centroids @ q[0])[cell_of_row]
+    # OPQ stores rotated centroids/codebooks; the reference computation
+    # lives in the rotated space too
+    qr = q @ np.asarray(idx._arrays["opq_rotation"]) \
+        if "opq_rotation" in idx._arrays else q
+    flat = adc_scores(codes, adc_tables(qr[0], books))
+    flat = flat + (centroids @ qr[0])[cell_of_row]
     k = 15
     order = np.argsort(-flat, kind="stable")[:k]
     dev_s, dev_r = idx._search_ivfpq_device(q, k, 10_000)
@@ -147,3 +151,39 @@ def test_ivfpq_reconstruct_rows(tmp_path, rng):
         np.linalg.norm(rec, axis=1) * np.linalg.norm(orig, axis=1)
     )
     assert cos.mean() > 0.75 and cos.min() > 0.3
+
+
+def test_opq_beats_plain_pq_on_rotated_spectrum(rng):
+    """The round-2 adversarial case: a decaying spectrum mixed into every
+    subvector by a random rotation. OPQ's learned rotation must recover
+    most of the axis-aligned recall that plain PQ loses (BENCHMARKS.md
+    recall section; reference bar docs/Search-Index-Evaluation.md)."""
+    from wise_tpu.ops.pq import train_opq
+
+    n, d, m, ksub, k = 4000, 64, 8, 64, 10
+    z = rng.standard_normal((n, d)) * (1.0 / np.sqrt(1.0 + np.arange(d)))
+    qmat, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    x = (z @ qmat).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    queries = x[:16]
+    exact = np.argsort(-(queries @ x.T), axis=1, kind="stable")[:, :k]
+
+    def r_at_k(codes, books, rot=None):
+        qs = queries @ rot if rot is not None else queries
+        hits = 0
+        for qi in range(len(queries)):
+            s = adc_scores(codes, adc_tables(qs[qi], books))
+            got = np.argsort(-s, kind="stable")[:k]
+            hits += len(np.intersect1d(got, exact[qi]))
+        return hits / (len(queries) * k)
+
+    books_p = train_pq(x, m, ksub, iters=6)
+    r_plain = r_at_k(encode_pq(x, books_p), books_p)
+
+    rot, books_o = train_opq(x, m, ksub, iters=6, opq_iters=5, seed=0)
+    # orthogonality is what makes the centroid-rotation trick exact
+    np.testing.assert_allclose(
+        rot @ rot.T, np.eye(d), rtol=0, atol=1e-4
+    )
+    r_opq = r_at_k(encode_pq(x @ rot, books_o), books_o, rot=rot)
+    assert r_opq >= r_plain + 0.05, (r_plain, r_opq)

@@ -70,6 +70,14 @@ class IndexConfig:
     pq_m: int = 8
     pq_ksub: int = 256
     pq_train_samples: int = 100_000
+    # OPQ: learn an orthogonal rotation (ops/pq.py train_opq) minimising PQ
+    # reconstruction error before codebook training. The .widx stores the
+    # ROTATED centroids plus the rotation; queries rotate once at dispatch
+    # (inner products are invariant), so every search kernel is unchanged.
+    # Lifts standalone ADC ranking toward the reference's real-data class
+    # without requiring the flat-sibling exact rerank.
+    pq_opq: bool = True
+    pq_opq_iters: int = 8
     # device-side scan parameters
     scan_block_rows: int = 4096            # DB rows per Pallas scan block
     # HBM copy of the flat database: "float32" (bit-parity with faiss),

@@ -145,7 +145,7 @@ class FeatureSearchIndex(SearchIndex):
                     {"index_type": "IndexIVFFlat", **meta},
                 )
             else:
-                from ..ops.pq import encode_pq, train_pq
+                from ..ops.pq import encode_pq, train_opq, train_pq
 
                 residuals = vecs - centroids[assign]
                 pq_train = residuals[
@@ -153,18 +153,30 @@ class FeatureSearchIndex(SearchIndex):
                 ]
                 logger.info(
                     f"PQ training: M={cfg.pq_m} ksub={cfg.pq_ksub} "
-                    f"on {len(pq_train)} residuals"
+                    f"on {len(pq_train)} residuals (opq={cfg.pq_opq})"
                 )
-                codebooks = train_pq(pq_train, cfg.pq_m, cfg.pq_ksub)
+                arrays = {}
+                centroids_out = centroids
+                if cfg.pq_opq:
+                    rot, codebooks = train_opq(
+                        pq_train, cfg.pq_m, cfg.pq_ksub,
+                        opq_iters=cfg.pq_opq_iters,
+                    )
+                    residuals = residuals @ rot
+                    centroids_out = (centroids @ rot).astype(np.float32)
+                    arrays["opq_rotation"] = rot
+                else:
+                    codebooks = train_pq(pq_train, cfg.pq_m, cfg.pq_ksub)
                 codes = encode_pq(residuals, codebooks)
                 write_index_file(
                     out,
                     {
                         "ids": ids[perm],
                         "codes": codes[perm],
-                        "centroids": centroids,
+                        "centroids": centroids_out,
                         "pq_codebooks": codebooks,
                         "cell_offsets": offsets,
+                        **arrays,
                     },
                     {"index_type": "IndexIVFPQ", "pq_m": int(cfg.pq_m), **meta},
                 )
@@ -244,18 +256,26 @@ class FeatureSearchIndex(SearchIndex):
         dest[order] = np.arange(n)
         meta["nlist"] = int(nlist)
 
+        opq_rot = None
+        centroids_out = centroids
         if index_type == "IndexIVFPQ":
-            from ..ops.pq import encode_pq, train_pq
+            from ..ops.pq import encode_pq, train_opq, train_pq
 
             pq_rows = sampled[1]
             pq_assign = np.asarray(_assign(pq_rows, centroids))
             logger.info(
                 f"PQ training: M={cfg.pq_m} ksub={cfg.pq_ksub} "
-                f"on {len(pq_rows)} residuals"
+                f"on {len(pq_rows)} residuals (opq={cfg.pq_opq})"
             )
-            codebooks = train_pq(
-                pq_rows - centroids[pq_assign], cfg.pq_m, cfg.pq_ksub
-            )
+            pq_resid = pq_rows - centroids[pq_assign]
+            if cfg.pq_opq:
+                opq_rot, codebooks = train_opq(
+                    pq_resid, cfg.pq_m, cfg.pq_ksub,
+                    opq_iters=cfg.pq_opq_iters,
+                )
+                centroids_out = (centroids @ opq_rot).astype(np.float32)
+            else:
+                codebooks = train_pq(pq_resid, cfg.pq_m, cfg.pq_ksub)
             specs = {
                 "ids": (np.int64, (n,)),
                 "codes": (np.uint8, (n, cfg.pq_m)),
@@ -263,6 +283,8 @@ class FeatureSearchIndex(SearchIndex):
                 "pq_codebooks": (np.float32, codebooks.shape),
                 "cell_offsets": (np.int64, (nlist + 1,)),
             }
+            if opq_rot is not None:
+                specs["opq_rotation"] = (np.float32, opq_rot.shape)
             header = {"index_type": "IndexIVFPQ", "pq_m": int(cfg.pq_m), **meta}
         else:
             specs = {
@@ -276,19 +298,22 @@ class FeatureSearchIndex(SearchIndex):
         # pass 3: scatter rows (or codes) to their cell-sorted destinations
         with IndexFileWriter(out, specs, header) as w:
             w.write_rows("ids", 0, ids[order])
-            w.write_rows("centroids", 0, centroids)
+            w.write_rows("centroids", 0, centroids_out)
             w.write_rows("cell_offsets", 0, offsets)
             if index_type == "IndexIVFPQ":
                 w.write_rows("pq_codebooks", 0, codebooks)
+            if opq_rot is not None:
+                w.write_rows("opq_rotation", 0, opq_rot)
             row = 0
             name = "codes" if index_type == "IndexIVFPQ" else "vectors"
             for _, batch in store.iter_batch(self.STREAM_BATCH):
                 batch = batch.reshape(-1, d)
                 m = batch.shape[0]
                 if index_type == "IndexIVFPQ":
-                    batch = encode_pq(
-                        batch - centroids[assign[row : row + m]], codebooks
-                    )
+                    resid = batch - centroids[assign[row : row + m]]
+                    if opq_rot is not None:
+                        resid = resid @ opq_rot
+                    batch = encode_pq(resid, codebooks)
                 self._scatter_rows(w, name, dest[row : row + m], batch)
                 row += m
         logger.info(f"wrote {out} (streamed)")
@@ -518,10 +543,20 @@ class FeatureSearchIndex(SearchIndex):
         vals, idx = flat_topk(qvec, db, n_valid=n_valid, k=k, group=self.GROUP)
         return np.asarray(vals), np.asarray(idx)
 
+    def _rotate_q_pq(self, qvec: np.ndarray) -> np.ndarray:
+        """OPQ: the .widx stores ROTATED centroids + codebooks trained in
+        rotated space; one orthogonal rotation of the query puts probe and
+        ADC in that space (inner products invariant)."""
+        if "opq_rotation" in self._arrays:
+            rot = np.asarray(self._arrays["opq_rotation"], np.float32)
+            return (qvec.astype(np.float32) @ rot).astype(np.float32)
+        return qvec
+
     def reconstruct_rows(self, rows) -> np.ndarray:
         """Stored vectors by row (faiss reconstruct_batch parity,
         routes.py:1077-1146). Flat/IVF return exact rows; IVF-PQ decodes
-        cell_centroid + per-subspace codebook entries (lossy, like faiss)."""
+        cell_centroid + per-subspace codebook entries (lossy, like faiss),
+        un-rotating OPQ-space reconstructions back to the original basis."""
         rows = np.atleast_1d(np.asarray(rows, dtype=np.int64))
         if "vectors" in self._arrays:
             return np.asarray(self._arrays["vectors"][rows], np.float32)
@@ -534,7 +569,11 @@ class FeatureSearchIndex(SearchIndex):
         resid = np.concatenate(
             [books[i][codes[:, i]] for i in range(m)], axis=1
         )
-        return (centroids[cells] + resid).astype(np.float32)
+        out = (centroids[cells] + resid).astype(np.float32)
+        if "opq_rotation" in self._arrays:
+            rot = np.asarray(self._arrays["opq_rotation"], np.float32)
+            out = out @ rot.T
+        return out.astype(np.float32)
 
     def _search_ivfpq(self, qvec, topk, nprobe):
         """IVF+PQ dispatch: single-device -> fully on-device jitted ADC
@@ -611,6 +650,8 @@ class FeatureSearchIndex(SearchIndex):
 
     def _search_ivfpq_sharded(self, qvec, topk, nprobe):
         import jax
+
+        qvec = self._rotate_q_pq(qvec)
 
         from ..parallel.sharded_search import sharded_ivfpq_paged_topk
 
@@ -694,6 +735,8 @@ class FeatureSearchIndex(SearchIndex):
     def _search_ivfpq_device(self, qvec, topk, nprobe):
         import jax
 
+        qvec = self._rotate_q_pq(qvec)
+
         from ..ops.ivf_paged import ivfpq_search_paged
 
         centroids, _ = self._ensure_ivf_coarse()
@@ -733,6 +776,7 @@ class FeatureSearchIndex(SearchIndex):
         docs/Search-Index-Evaluation.md)."""
         from ..ops.pq import adc_scores, adc_tables
 
+        qvec = self._rotate_q_pq(qvec)
         centroids = np.asarray(self._arrays["centroids"])
         offsets = np.asarray(self._arrays["cell_offsets"])
         codebooks = np.asarray(self._arrays["pq_codebooks"])
