@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import itertools
 import logging
-import random
 import threading
 import time
 from pathlib import Path
@@ -65,11 +64,15 @@ class SearchEngine:
         counts = get_counts(self.conn)
         self.num_vectors = counts["num_vectors"]
         self.num_media_files = counts["num_media_files"]
-        # featured ids, seeded sampling (reference: routes.py:1159-1165)
-        ids = get_featured_vector_ids(self.conn, self.config.serve.featured_max)
-        rng = random.Random(self.config.serve.featured_seed)
-        rng.shuffle(ids)
-        self.featured_ids = ids
+        # featured ids, seeded sampling (reference: routes.py:1159-1165;
+        # numpy default_rng to match its shuffle exactly)
+        ids = np.array(
+            get_featured_vector_ids(self.conn, self.config.serve.featured_max)
+        )
+        np.random.default_rng(
+            seed=self.config.serve.featured_seed
+        ).shuffle(ids)
+        self.featured_ids = [int(i) for i in ids]
 
     @property
     def conn(self):
@@ -441,8 +444,15 @@ class SearchEngine:
         return list(index.reconstruct_rows(rows))
 
     def featured(self, start: int = 0, end: int = 44,
-                 thumbnails_to_send: int = 10) -> M.SearchResponse:
-        ids = self.featured_ids[start:end]
+                 thumbnails_to_send: int = 10,
+                 random_seed: int = 123) -> M.SearchResponse:
+        """Two-stage seeded sampling exactly like the reference
+        (routes.py:1159-1181): featured_ids is the fixed seed-42 shuffle
+        capped at 10k; each request re-shuffles a copy with its
+        random_seed and takes up to 1000."""
+        selected = np.array(self.featured_ids)
+        np.random.default_rng(seed=random_seed).shuffle(selected)
+        ids = [int(i) for i in selected[:1000][start:end]]
         dists = [1.0] * len(ids)
         resp = self.construct_search_response(dists, ids, None, thumbnails_to_send)
         resp.time = 0.0

@@ -17,6 +17,7 @@ import logging
 import mimetypes
 import re
 import urllib.parse
+import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
@@ -48,6 +49,15 @@ def parse_range(header: str, file_size: int) -> Optional[Tuple[int, int]]:
     if start >= file_size:
         return None
     return start, min(end, file_size - 1)
+
+
+def _fetch_url_bytes(url: str, timeout: float = 10.0) -> bytes:
+    """Download a pasted image/audio URL query (reference fetches with
+    requests, routes.py POST /search URL-query handling)."""
+    if not url.startswith(("http://", "https://")):
+        raise ValueError(f"unsupported URL scheme: {url!r}")
+    with urllib.request.urlopen(url, timeout=timeout) as r:
+        return r.read()
 
 
 def parse_multipart(body: bytes, content_type: str) -> Dict[str, List[bytes]]:
@@ -128,11 +138,22 @@ class WiseAPIHandler(BaseHTTPRequestHandler):
             if path == "featured":
                 start = int(qs.get("start", ["0"])[0])
                 end = int(qs.get("end", ["44"])[0])
-                thumbs = int(qs.get("thumbnails_to_send", ["10"])[0])
-                resp = self.engine.featured(start, end, thumbs)
+                thumbs = self._thumbs_param(qs, default=10)
+                seed = int(qs.get("random_seed", ["123"])[0])
+                resp = self.engine.featured(start, end, thumbs,
+                                            random_seed=seed)
                 return self._send_json(resp.model_dump())
             if path == "search":
                 return self._get_search(qs)
+            if path == "thumbnail":
+                # the reference frontend's route (routes.py:243-260):
+                # /thumbnail?media_id=&timestamp=
+                media_id = int(qs.get("media_id", ["0"])[0])
+                ts = float(qs.get("timestamp", ["0"])[0])
+                blob = self.engine.thumbnail(media_id, ts)
+                if blob is None:
+                    return self._send_error_json(404, "Thumbnail not found!")
+                return self._send_bytes(blob, "image/jpeg")
             m = re.match(r"media/(\d+)$", path)
             if m:
                 return self._get_media(int(m.group(1)))
@@ -170,13 +191,20 @@ class WiseAPIHandler(BaseHTTPRequestHandler):
             except Exception:
                 pass
 
+    @staticmethod
+    def _thumbs_param(qs, default: int = 0) -> int:
+        """thumbnails_to_send, also accepting the built frontend's short
+        'thumbs' name (frontend/dist/config.js FETCH_THUMBS)."""
+        val = qs.get("thumbnails_to_send", qs.get("thumbs", [str(default)]))
+        return int(val[0])
+
     def _get_search(self, qs):
         queries = qs.get("q", [])
         if not queries:
             return self._send_error_json(400, "Missing search query")
         start = int(qs.get("start", ["0"])[0])
         end = min(int(qs.get("end", ["20"])[0]), max(self.engine.num_vectors, 1))
-        thumbs = int(qs.get("thumbnails_to_send", ["0"])[0])
+        thumbs = self._thumbs_param(qs)
         if start > end:
             return self._send_error_json(
                 400, "'start' cannot be greater than 'end'"
@@ -287,7 +315,17 @@ class WiseAPIHandler(BaseHTTPRequestHandler):
             if not target.exists():
                 return self._send_error_json(404, "not found")
         ctype = mimetypes.guess_type(str(target))[0] or "application/octet-stream"
-        self._send_bytes(target.read_bytes(), ctype)
+        data = target.read_bytes()
+        if target.name == "index.html":
+            # the reference patches <base href> into frontend/dist/index.html
+            # at serve time so the SPA's relative API calls resolve under
+            # /{project}/ (api/__init__.py:84-92) — do it on the fly here
+            data = re.sub(
+                rb'<base href="[^"]*"\s*/?>',
+                f'<base href="/{self.project_id}/" />'.encode(),
+                data, count=1,
+            )
+        self._send_bytes(data, ctype)
 
     # -- POST --------------------------------------------------------------
     def do_POST(self):
@@ -322,7 +360,7 @@ class WiseAPIHandler(BaseHTTPRequestHandler):
             )
         start = int(qs.get("start", ["0"])[0])
         end = int(qs.get("end", ["20"])[0])
-        thumbs = int(qs.get("thumbnails_to_send", ["0"])[0])
+        thumbs = self._thumbs_param(qs)
 
         form: Dict[str, List[bytes]] = {}
         ctype = self.headers.get("Content-Type", "")
@@ -354,6 +392,15 @@ class WiseAPIHandler(BaseHTTPRequestHandler):
                 )
                 return self._send_error_json(403, msg)
 
+        def fetch_urls(key):
+            """URL-paste queries (reference routes.py Form fields
+            image_url_queries/audio_url_queries): download and treat as
+            uploaded bytes. Failures -> 400 like the reference."""
+            out = []
+            for u in get_texts(key):
+                out.append(_fetch_url_bytes(u))
+            return out
+
         items: List[Dict] = []
         items += [dict(sign="positive", modality="text", val=t) for t in text_q]
         items += [
@@ -364,6 +411,25 @@ class WiseAPIHandler(BaseHTTPRequestHandler):
             dict(sign="positive", modality="audio", val=b)
             for b in form.get("audio_file_queries", [])
         ]
+        try:
+            items += [
+                dict(sign="positive", modality="image", val=b)
+                for b in fetch_urls("image_url_queries")
+            ]
+            items += [
+                dict(sign="positive", modality="audio", val=b)
+                for b in fetch_urls("audio_url_queries")
+            ]
+            items += [
+                dict(sign="negative", modality="image", val=b)
+                for b in fetch_urls("negative_image_url_queries")
+            ]
+            items += [
+                dict(sign="negative", modality="audio", val=b)
+                for b in fetch_urls("negative_audio_url_queries")
+            ]
+        except Exception as e:
+            return self._send_error_json(400, f"failed to fetch URL: {e}")
         for vid in qs.get("internal_image_queries", []):
             feats = self.engine.internal_image_features(media_type, [int(vid)])
             items.append(dict(sign="positive", modality="image", val=feats[0]))

@@ -59,12 +59,26 @@ def _ln_f32(xf, scale, bias):
     return (xf - mean) * mul + bias
 
 
+def _erf_f32(x):
+    """erf for Mosaic: lax.erf/erfc have no Pallas TPU lowering (probed on
+    hardware, round 3), so use Abramowitz & Stegun 7.1.26 — max abs error
+    1.5e-7, ~50x below bf16 resolution; only exp() is transcendental."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
 def _gelu_f32(h, act: str):
     if act == "quick_gelu":
         return h * jax.nn.sigmoid(1.702 * h)
     if act == "gelu_tanh":
         return jax.nn.gelu(h, approximate=True)
-    return jax.nn.gelu(h, approximate=False)
+    # exact gelu via the in-kernel erf (jax.nn.gelu approximate=False
+    # lowers to erfc, which Mosaic lacks)
+    return 0.5 * h * (1.0 + _erf_f32(h * np.float32(1.0 / np.sqrt(2.0))))
 
 
 # ---------------------------------------------------------------------------
