@@ -6,6 +6,7 @@ pad + key-mask + slice logic through the XLA path)."""
 import dataclasses
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -175,3 +176,72 @@ def test_padded_tower_matches_unfused(rng):
     e1 = np.asarray(m1.apply(params, imgs, method=CLIP.encode_image))
     # padding + key-mask must not change the embeddings
     np.testing.assert_allclose(e0, e1, atol=1e-5)
+
+
+class TestTrainableVJP:
+    """fused_attention_trainable: Pallas forward + recompute backward."""
+
+    def _setup(self, monkeypatch, causal):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from wise_tpu.ops import attention as A
+
+        monkeypatch.setattr(
+            A, "fused_short_attention",
+            functools.partial(A.fused_short_attention, interpret=True),
+        )
+        b, sp, d, heads, n_valid = 4, 16, 128, 2, 13
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q, k, v = (
+            (0.5 * jax.random.normal(kk, (b, sp, d))).astype(jnp.bfloat16)
+            for kk in ks
+        )
+        return A, q, k, v, heads, n_valid
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_grads_match_xla_path(self, monkeypatch, causal):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        A, q, k, v, heads, n_valid = self._setup(monkeypatch, causal)
+        mask = A._pad_causal_mask(q.shape[1], n_valid, causal)
+
+        def loss_fused(q, k, v):
+            out = A.fused_attention_trainable(q, k, v, heads, n_valid,
+                                              causal)
+            return jnp.sum(out[:, :n_valid].astype(jnp.float32) ** 2)
+
+        def loss_xla(q, k, v):
+            out = A.xla_attention(q, k, v, heads=heads, mask=mask,
+                                  softmax_f32=True, out_dtype=q.dtype)
+            return jnp.sum(out[:, :n_valid].astype(jnp.float32) ** 2)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gf, gx):
+            # backward IS the XLA vjp (recompute); only the primal's
+            # cotangent differs by fused-vs-XLA rounding
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b_, np.float32),
+                rtol=0.08, atol=0.02,
+            )
+
+    def test_padded_key_columns_get_zero_grad(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        A, q, k, v, heads, n_valid = self._setup(monkeypatch, False)
+
+        def loss(k, v):
+            out = A.fused_attention_trainable(q, k, v, heads, n_valid,
+                                              False)
+            return jnp.sum(out[:, :n_valid].astype(jnp.float32) ** 2)
+
+        gk, gv = jax.grad(loss, argnums=(0, 1))(k, v)
+        assert float(jnp.abs(gk[:, n_valid:]).max()) == 0.0
+        assert float(jnp.abs(gv[:, n_valid:]).max()) == 0.0

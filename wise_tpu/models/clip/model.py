@@ -191,7 +191,7 @@ class MultiHeadAttention(nn.Module):
     @nn.compact
     def __call__(self, x, mask: Optional[jax.Array] = None):
         from ...ops.attention import (
-            fused_short_attention,
+            fused_attention_trainable,
             supports_fused,
             xla_attention,
         )
@@ -205,9 +205,10 @@ class MultiHeadAttention(nn.Module):
             and (mask is None or self.causal_fused)
             and supports_fused(b, s, D, H, jnp.dtype(self.dtype))
         ):
-            out = fused_short_attention(
-                q, k, v, heads=H, n_valid=self.n_valid or s,
-                causal=self.causal_fused,
+            # differentiable wrapper: Pallas forward, recompute backward —
+            # fine-tuning (parallel/train.py) runs the kernel too
+            out = fused_attention_trainable(
+                q, k, v, H, self.n_valid or s, self.causal_fused,
             )
         else:
             if self.n_valid is not None and self.n_valid < s:

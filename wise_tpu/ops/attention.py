@@ -144,6 +144,55 @@ def fused_short_attention(
     )(q, k, v)
 
 
+def _pad_causal_mask(sp: int, n_valid: int, causal: bool):
+    """The mask the fused kernel applies natively, as an additive array for
+    the XLA path: key columns >= n_valid (and, if causal, above-diagonal)
+    get -inf."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, sp), 3)
+    mask = jnp.where(col < n_valid, 0.0, -jnp.inf)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sp, sp), 2)
+        colq = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sp, sp), 3)
+        mask = mask + jnp.where(colq <= row, 0.0, -jnp.inf)
+    return mask
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_attention_trainable(q, k, v, heads: int, n_valid: int,
+                              causal: bool = False):
+    """Differentiable wrapper: Pallas fused forward + recompute-style
+    backward (the gradient of the equivalent masked XLA attention,
+    linearized at the same inputs — the standard flash-attention backward
+    structure). Padded query rows receive zero cotangents from any caller
+    that slices them off, and padded key columns are -inf-masked in the
+    recompute, so no gradient leaks through the padding. Gate with
+    supports_fused() first."""
+    return fused_short_attention(q, k, v, heads=heads, n_valid=n_valid,
+                                 causal=causal)
+
+
+def _fat_fwd(q, k, v, heads, n_valid, causal):
+    out = fused_short_attention(q, k, v, heads=heads, n_valid=n_valid,
+                                causal=causal)
+    return out, (q, k, v)
+
+
+def _fat_bwd(heads, n_valid, causal, res, g):
+    q, k, v = res
+    sp = q.shape[1]
+    mask = _pad_causal_mask(sp, n_valid, causal)
+
+    def f(q_, k_, v_):
+        return xla_attention(q_, k_, v_, heads=heads, mask=mask,
+                             softmax_f32=True, out_dtype=q_.dtype)
+
+    _, vjp = jax.vjp(f, q, k, v)
+    return vjp(g)
+
+
+fused_attention_trainable.defvjp(_fat_fwd, _fat_bwd)
+
+
 def xla_attention(q, k, v, heads: int, mask=None, softmax_f32: bool = True,
                   out_dtype=None):
     """Reference XLA path, same (B, S, D)->(B, S, D) contract (used for
