@@ -109,7 +109,7 @@ def make_av(path, seconds=4, fps=10, size=(64, 48), rate=16000, freq=440.0):
 
 
 def make_av_lossless(path, seconds=6, fps=4, size=(48, 32), rate=48000,
-                     freq=440.0, block_seconds=2):
+                     freq=440.0, block_seconds=2, seed=20260816):
     """Lossless AV file: raw bottom-up BGR24 (DIB / BI_RGB) video + PCM16
     audio muxed into a hand-written AVI. Every decoder (libav rawvideo,
     cv2) reproduces the frame bytes EXACTLY — no DCT, no chroma subsampling,
@@ -129,7 +129,7 @@ def make_av_lossless(path, seconds=6, fps=4, size=(48, 32), rate=48000,
     w, h = size
     assert (w * 3) % 4 == 0, "DIB rows must be 4-byte aligned; pick w%4==0"
     n_frames = int(seconds * fps)
-    rng = np.random.default_rng(20260816)
+    rng = np.random.default_rng(seed)
     n_blocks = int(np.ceil(seconds / block_seconds))
     block_imgs = [
         rng.integers(0, 256, (h, w, 3), dtype=np.uint8)

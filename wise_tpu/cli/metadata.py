@@ -30,6 +30,10 @@ SEGMENT_COLUMNS = ["__filename", "__metadata_id", "__starttime", "__stoptime"]
 
 
 def get_csv_row_col_value(row: Dict, col_id: str):
+    """col_id None -> None: --col-starttime/--col-stoptime are optional
+    (file-level metadata with no temporal segment, MetadataType.FILE)."""
+    if col_id is None:
+        return None
     if "{" in col_id and "}" in col_id:
         return col_id.format(**row)
     return row[col_id]
@@ -48,7 +52,9 @@ def hhmmss_to_sec(hhmmss: str) -> float:
     return float(hh * 3600 + mm * 60 + ss + ms / 100.0)
 
 
-def time2sec(t) -> float:
+def time2sec(t):
+    if t is None:
+        return None
     if isinstance(t, (int, float)):
         return float(t)
     t = str(t)
@@ -99,15 +105,23 @@ def get_valid_metadata(rows: List[Dict], conn) -> List[Dict]:
         fname = rec["__filename"]
         if fname not in duration_cache:
             media = repo.get_row_by_column_match(conn, "path", fname)
-            duration_cache[fname] = (
-                float(media.duration) if media and media.duration else -1.0
-            )
+            if media is None:
+                duration_cache[fname] = -1.0  # file not in project
+            else:
+                # durationless media (images) accept file-level metadata;
+                # only a real duration can bound timestamps
+                duration_cache[fname] = (
+                    float(media.duration) if media.duration else 0.0
+                )
         duration = duration_cache[fname]
         if duration < 0:
             missing.add(fname)
             continue
         start, stop = rec["__starttime"], rec["__stoptime"]
-        if start < 0 or start >= duration or stop < 0 or stop > duration + 1e-6:
+        if start is not None and stop is not None and duration > 0 and (
+            start < 0 or start >= duration or stop < 0
+            or stop > duration + 1e-6
+        ):
             bad_ts += 1
             continue
         valid.append(rec)
