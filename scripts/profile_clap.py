@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Attribute the CLAP audio encoder's roofline (VERDICT round-2 weak #7).
+
+Round-2 headline: 36.4 segments/s/chip at batch 32 (bench_components
+--only clap) with no attribution. This decomposes the encode step on the
+real chip:
+
+  mel        GEMM log-mel frontend only (ops/mel.py)
+  full       mel + HTSAT tower (the production path)
+  tower      HTSAT only, mel precomputed
+  stageN     tower truncated after stage N (per-stage cost by differencing)
+  attn       standalone WindowAttention at stage-1 shapes vs its GEMM floor
+  floor      analytic bf16 GEMM floor of the whole tower at 200 TF/s
+
+Timing per CLAUDE.md: host-chained data-dependent iterations, one tiny
+readback, tunnel roundtrip subtracted.
+
+    python scripts/profile_clap.py [--batch 32] [--iters 10]
+"""
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--iters", type=int, default=10)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from wise_tpu.models.clap.model import (
+        CLAPConfig,
+        HTSATEncoder,
+        get_clap_config,
+    )
+    from wise_tpu.ops.mel import log_mel_spectrogram
+
+    B = args.batch
+    base = dataclasses.replace(get_clap_config("2023"), dtype=jnp.bfloat16)
+
+    def rt():
+        f = jax.jit(lambda a: a + 1)
+        np.asarray(f(jnp.zeros(1)))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(f(jnp.zeros(1)))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    roundtrip = rt()
+    out = {"batch": B, "tunnel_roundtrip_ms": round(roundtrip * 1e3, 1)}
+
+    def timed(fn, *arrays):
+        def step(c, *a):
+            return fn(*a, c)
+
+        jstep = jax.jit(step)
+        np.asarray(jstep(jnp.float32(0), *arrays))
+        c = jnp.float32(0)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            c = jstep(c, *arrays)
+        np.asarray(c)
+        return (time.perf_counter() - t0 - roundtrip) / args.iters
+
+    # 7 s @ 44.1 kHz mono segments, generated on device
+    wav = jax.random.normal(
+        jax.random.PRNGKey(0), (B, int(base.sample_rate * base.duration))
+    )
+
+    def mel_of(w):
+        return log_mel_spectrogram(
+            w, sr=base.sample_rate, n_fft=base.n_fft,
+            hop_length=base.hop_length, n_mels=base.n_mels,
+            fmin=base.fmin, fmax=base.fmax,
+        )
+
+    t_mel = timed(lambda w, c: jnp.sum(mel_of(w + c * 0)[:, 0, 0]), wav)
+    out["mel_ms"] = round(t_mel * 1e3, 2)
+    mel = mel_of(wav)
+
+    def tower_time(cfg):
+        enc = HTSATEncoder(cfg)
+        params = enc.init(jax.random.PRNGKey(0), mel[:1])
+
+        def f(m, c):
+            return jnp.sum(enc.apply(params, m + c.astype(m.dtype) * 0)[:, 0])
+
+        return timed(f, mel)
+
+    t_tower = tower_time(base)
+    out["tower_ms"] = round(t_tower * 1e3, 2)
+    out["segments_per_s"] = round(B / (t_mel + t_tower), 1)
+
+    # per-stage: truncate depths progressively
+    prev = 0.0
+    for n in range(1, 5):
+        cfg = dataclasses.replace(base, depths=tuple(base.depths[:n]),
+                                  num_heads=tuple(base.num_heads[:n]))
+        t = tower_time(cfg)
+        out[f"stage{n-1}_ms"] = round((t - prev) * 1e3, 2)
+        prev = t
+
+    # analytic GEMM floor of the tower (bf16 ~200 TF/s)
+    flops = 0
+    res, dim = 64, base.embed_dim
+    for depth, heads in zip(base.depths, base.num_heads):
+        L = res * res
+        per_block = (
+            2 * L * dim * 3 * dim     # qkv
+            + 2 * L * dim * dim       # proj
+            + 2 * 2 * L * 64 * dim    # window attention (l=64 keys)
+            + 2 * L * dim * 4 * dim * 2  # mlp fc + proj
+        )
+        flops += depth * per_block
+        res //= 2
+        dim *= 2
+    flops *= B
+    out["tower_gemm_floor_ms"] = round(flops / 200e12 * 1e3, 2)
+    out["tower_gflop_per_batch"] = round(flops / 1e9, 1)
+    out["mfu_pct"] = round(
+        100 * flops / 200e12 / t_tower, 1
+    )
+
+    # standalone stage-1 window attention vs its GEMM floor
+    from wise_tpu.models.clap.model import WindowAttention
+
+    nwin = B * 64  # stage 1: 64 windows/sample
+    x = (0.1 * jax.random.normal(
+        jax.random.PRNGKey(1), (nwin, 64, base.embed_dim)
+    )).astype(jnp.bfloat16)
+    wa = WindowAttention(base.embed_dim, base.num_heads[0], base.window_size,
+                        dtype=jnp.bfloat16)
+    wparams = wa.init(jax.random.PRNGKey(0), x)
+
+    def fattn(xx, c):
+        return jnp.sum(wa.apply(wparams, xx + c.astype(xx.dtype) * 0)[:, 0, 0]
+                       .astype(jnp.float32))
+
+    t_attn = timed(fattn, x)
+    d = base.embed_dim
+    attn_flops = nwin * (2 * 64 * d * 3 * d + 2 * 64 * d * d
+                         + 4 * 64 * 64 * d)
+    out["stage1_attn_ms"] = round(t_attn * 1e3, 2)
+    out["stage1_attn_floor_ms"] = round(attn_flops / 200e12 * 1e3, 2)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,7 +29,15 @@ def main(argv=None) -> int:
     p.add_argument("--media-type", default="video",
                    choices=["video", "audio", "av", "image"])
     p.add_argument("--frame-rate", type=float, default=2.0)
-    p.add_argument("--frames-per-chunk", type=int, default=8)
+    p.add_argument("--frames-per-chunk", type=int, default=None,
+                   help="frames per decoded chunk (defaults from --preset)")
+    p.add_argument(
+        "--preset", default="clip", choices=["clip", "internvideo"],
+        help="model-family chunking preset (reference "
+             "src/dataloader/__main__.py:34-69): 'clip' embeds frames "
+             "independently (1 frame/chunk at 2 fps); 'internvideo' feeds "
+             "8-frame clips per chunk",
+    )
     p.add_argument("--audio-rate", type=int, default=48000)
     p.add_argument("--segment-length", type=float, default=4.0)
     p.add_argument("--num-workers", type=int, default=0)
@@ -56,12 +64,17 @@ def main(argv=None) -> int:
         return 0
 
     mt = MediaType(args.media_type)
+    # preset defaults (reference src/dataloader/__main__.py:92-175: CLIP
+    # embeds single frames, InternVideo consumes 8-frame clips)
+    fpc = args.frames_per_chunk
+    if fpc is None:
+        fpc = 8 if args.preset == "internvideo" else 1
     kw = {}
     if mt in (MediaType.VIDEO, MediaType.AV):
         kw["video"] = VideoIngestConfig(
             frame_rate=args.frame_rate,
-            frames_per_chunk=args.frames_per_chunk,
-            segment_length=args.frames_per_chunk / args.frame_rate,
+            frames_per_chunk=fpc,
+            segment_length=fpc / args.frame_rate,
         )
     if mt in (MediaType.AUDIO, MediaType.AV):
         kw["audio"] = AudioIngestConfig(
