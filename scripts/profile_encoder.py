@@ -44,6 +44,10 @@ def main():
     p.add_argument("--model", default="ViT-B-32")
     p.add_argument("--fused", action="store_true",
                    help="profile the fused-attention production config")
+    p.add_argument("--fused-block", action="store_true",
+                   help="whole-residual-block Pallas kernels (ops/block.py)")
+    p.add_argument("--patch-matmul", action="store_true",
+                   help="patchify+GEMM patch embed instead of lax.conv")
     args = p.parse_args()
 
     import jax
@@ -60,6 +64,8 @@ def main():
     base = dataclasses.replace(
         get_clip_config(args.model), dtype=jnp.bfloat16,
         fused_attention=args.fused,
+        fused_block=args.fused_block,
+        patch_embed_matmul=args.patch_matmul,
     )
     rng = jax.random.PRNGKey(0)
     frames = jnp.asarray(

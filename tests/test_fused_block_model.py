@@ -112,3 +112,23 @@ def test_text_embeddings_match_causal(force_fused_block):
     got = CLIP(cfg_f).apply(params, toks, method="encode_text")
     cos = (np.asarray(got) * np.asarray(want)).sum(-1)
     assert cos.min() > 0.999, cos.min()
+
+
+def test_patch_embed_matmul_matches_conv():
+    """patch_embed_matmul: identical params, near-identical embeddings
+    (same math, different XLA op — f32 tolerances)."""
+    from wise_tpu.models.clip.model import CLIP
+
+    cfg_conv = _tiny_cfg()
+    cfg_mm = _tiny_cfg(patch_embed_matmul=True)
+    imgs = jax.random.normal(jax.random.PRNGKey(3), (4, 64, 64, 3))
+    toks = jnp.zeros((1, 16), jnp.int32)
+    params = CLIP(cfg_conv).init(jax.random.PRNGKey(0), imgs[:1], toks)
+    want = CLIP(cfg_conv).apply(params, imgs, method="encode_image")
+    got = CLIP(cfg_mm).apply(params, imgs, method="encode_image")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+    # init under the matmul path declares the same tree
+    p2 = CLIP(cfg_mm).init(jax.random.PRNGKey(0), imgs[:1], toks)
+    assert _paths(p2["params"]) == _paths(params["params"])

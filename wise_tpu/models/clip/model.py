@@ -81,6 +81,13 @@ class CLIPConfig:
     #: VMEM-feasible tiling); other shapes fall back to the fused_attention
     #: / XLA paths. Inference only (no backward).
     fused_block: bool = False
+    #: compute the patch embedding as an explicit patchify (reshape +
+    #: transpose) followed by one (B*N, p*p*3) @ (p*p*3, D) matmul instead
+    #: of lax.conv — identical math and parameter tree (the conv kernel is
+    #: reshaped), but the matmul form lets XLA pick the MXU-native layout
+    #: for the big GEMM instead of the convolution path. Measured effect:
+    #: BENCHMARKS.md embed/head section.
+    patch_embed_matmul: bool = False
     dtype: Any = jnp.float32
 
 
@@ -403,6 +410,27 @@ class MAPHead(nn.Module):
         return out[:, 0, :]
 
 
+class _ConvParams(nn.Module):
+    """nn.Conv's patch-embed variables (kernel HWIO + optional bias) for
+    the patchify-matmul path — one checkpoint layout for both."""
+
+    patch: int
+    width: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        kern = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.patch, self.patch, 3, self.width),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.width,))
+            if self.use_bias else None
+        )
+        return kern, bias
+
+
 class VisionTransformer(nn.Module):
     config: CLIPConfig
 
@@ -412,15 +440,32 @@ class VisionTransformer(nn.Module):
         c = self.config
         grid = c.image_size // c.patch_size
         use_cls = c.vision_pool == "cls"
-        x = nn.Conv(
-            c.vision_width,
-            kernel_size=(c.patch_size, c.patch_size),
-            strides=(c.patch_size, c.patch_size),
-            use_bias=not use_cls,  # SigLIP patch embed has a bias
-            dtype=c.dtype,
-            name="conv1",
-        )(images.astype(c.dtype))
-        x = x.reshape(x.shape[0], grid * grid, c.vision_width)
+        if c.patch_embed_matmul:
+            # patchify + one big GEMM — identical math/params to the conv
+            # (kernel reshaped HWIO -> (p*p*3, D) matches the flattened
+            # per-patch (h, w, chan) element order)
+            p = c.patch_size
+            kern, bias = _ConvParams(
+                p, c.vision_width, use_bias=not use_cls, name="conv1"
+            )()
+            b = images.shape[0]
+            xp = images.astype(c.dtype).reshape(b, grid, p, grid, p, 3)
+            xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, grid * grid, p * p * 3
+            )
+            x = xp @ kern.reshape(p * p * 3, c.vision_width).astype(c.dtype)
+            if bias is not None:
+                x = x + bias.astype(c.dtype)
+        else:
+            x = nn.Conv(
+                c.vision_width,
+                kernel_size=(c.patch_size, c.patch_size),
+                strides=(c.patch_size, c.patch_size),
+                use_bias=not use_cls,  # SigLIP patch embed has a bias
+                dtype=c.dtype,
+                name="conv1",
+            )(images.astype(c.dtype))
+            x = x.reshape(x.shape[0], grid * grid, c.vision_width)
         n_tokens = grid * grid
         if use_cls:
             class_emb = self.param(
