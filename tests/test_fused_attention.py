@@ -245,3 +245,103 @@ class TestTrainableVJP:
         gk, gv = jax.grad(loss, argnums=(0, 1))(k, v)
         assert float(jnp.abs(gk[:, n_valid:]).max()) == 0.0
         assert float(jnp.abs(gv[:, n_valid:]).max()) == 0.0
+
+
+class TestSPMDRule:
+    """custom_partitioning: under GSPMD the kernel runs per batch shard —
+    no all-gathers of q/k/v appear in the compiled module."""
+
+    def test_dp_sharded_matches_xla_and_no_gather(self, monkeypatch):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from wise_tpu.ops import attention as A
+        from wise_tpu.parallel.mesh import get_mesh
+
+        monkeypatch.setattr(
+            A, "fused_short_attention",
+            functools.partial(A.fused_short_attention, interpret=True),
+        )
+        mesh = get_mesh(dp=8)
+        b, sp, d, heads, n_valid = 16, 16, 128, 2, 13
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q, k, v = (
+            (0.5 * jax.random.normal(kk, (b, sp, d))).astype(jnp.bfloat16)
+            for kk in ks
+        )
+        sh = NamedSharding(mesh, P("dp", None, None))
+        qs, ks_, vs = (jax.device_put(t, sh) for t in (q, k, v))
+
+        f = jax.jit(
+            lambda q, k, v: A.fused_attention_trainable(
+                q, k, v, heads, n_valid, False
+            )
+        )
+        lowered = f.lower(qs, ks_, vs).compile()
+        hlo = lowered.as_text()
+        assert "all-gather" not in hlo and "all-reduce" not in hlo, (
+            "GSPMD inserted collectives around the kernel"
+        )
+        got = np.asarray(f(qs, ks_, vs), np.float32)
+
+        mask = A._pad_causal_mask(sp, n_valid, False)
+        want = np.asarray(
+            A.xla_attention(q, k, v, heads=heads, mask=mask,
+                            softmax_f32=True, out_dtype=q.dtype),
+            np.float32,
+        )
+        num = (got[:, :n_valid] * want[:, :n_valid]).sum(-1)
+        den = (
+            np.linalg.norm(got[:, :n_valid], axis=-1)
+            * np.linalg.norm(want[:, :n_valid], axis=-1) + 1e-30
+        )
+        assert (num / den).min() > 0.999
+
+    def test_grad_under_sharding(self, monkeypatch):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from wise_tpu.ops import attention as A
+        from wise_tpu.parallel.mesh import get_mesh
+
+        monkeypatch.setattr(
+            A, "fused_short_attention",
+            functools.partial(A.fused_short_attention, interpret=True),
+        )
+        mesh = get_mesh(dp=8)
+        b, sp, d, heads, n_valid = 16, 16, 128, 2, 13
+        ks = jax.random.split(jax.random.PRNGKey(1), 3)
+        q, k, v = (
+            (0.5 * jax.random.normal(kk, (b, sp, d))).astype(jnp.bfloat16)
+            for kk in ks
+        )
+        sh = NamedSharding(mesh, P("dp", None, None))
+        qs, ks_, vs = (jax.device_put(t, sh) for t in (q, k, v))
+
+        def loss(q, k, v):
+            out = A.fused_attention_trainable(q, k, v, heads, n_valid,
+                                              False)
+            return jnp.sum(out[:, :n_valid].astype(jnp.float32) ** 2)
+
+        gf = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(qs, ks_, vs)
+        mask = A._pad_causal_mask(sp, n_valid, False)
+
+        def loss_x(q, k, v):
+            out = A.xla_attention(q, k, v, heads=heads, mask=mask,
+                                  softmax_f32=True, out_dtype=q.dtype)
+            return jnp.sum(out[:, :n_valid].astype(jnp.float32) ** 2)
+
+        gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gf, gx):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b_, np.float32),
+                rtol=0.08, atol=0.02,
+            )

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
 
 # VMEM budget for one grid step's working set (of ~16 MB/core): q/k/v/o
@@ -157,6 +158,51 @@ def _pad_causal_mask(sp: int, n_valid: int, causal: bool):
     return mask
 
 
+# ---------------------------------------------------------------------------
+# GSPMD rule: the kernel is batch-parallel, so under pjit/GSPMD each chip
+# runs it on its own batch shard — without this rule XLA would treat the
+# custom call as replicated and insert all-gathers of q/k/v.
+# ---------------------------------------------------------------------------
+
+
+def _batch_only(sharding):
+    """Keep only the batch-dim sharding (dim 0); SP/D replicate."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = getattr(sharding, "spec", None)
+    batch = spec[0] if spec is not None and len(spec) > 0 else None
+    return NamedSharding(sharding.mesh, P(batch, None, None))
+
+
+def _fsa_infer_sharding(heads, n_valid, causal, mesh, arg_shapes, shape):
+    return _batch_only(arg_shapes[0].sharding)
+
+
+def _fsa_partition(heads, n_valid, causal, mesh, arg_shapes, result_shape):
+    sharding = _batch_only(arg_shapes[0].sharding)
+
+    def lower_fn(q, k, v):
+        return fused_short_attention(q, k, v, heads=heads, n_valid=n_valid,
+                                     causal=causal)
+
+    return mesh, lower_fn, sharding, (sharding,) * 3
+
+
+@functools.partial(custom_partitioning, static_argnums=(3, 4, 5))
+def _fused_attention_spmd(q, k, v, heads, n_valid, causal):
+    return fused_short_attention(q, k, v, heads=heads, n_valid=n_valid,
+                                 causal=causal)
+
+
+_fused_attention_spmd.def_partition(
+    infer_sharding_from_operands=_fsa_infer_sharding,
+    partition=_fsa_partition,
+    # Shardy propagation rule: batch factor shared across operands/result.
+    # partition() still forces SP/D replicated on the enforced shardings.
+    sharding_rule="b s d, b s d, b s d -> b s d",
+)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_attention_trainable(q, k, v, heads: int, n_valid: int,
                               causal: bool = False):
@@ -166,14 +212,13 @@ def fused_attention_trainable(q, k, v, heads: int, n_valid: int,
     structure). Padded query rows receive zero cotangents from any caller
     that slices them off, and padded key columns are -inf-masked in the
     recompute, so no gradient leaks through the padding. Gate with
-    supports_fused() first."""
-    return fused_short_attention(q, k, v, heads=heads, n_valid=n_valid,
-                                 causal=causal)
+    supports_fused() first. Under pjit/GSPMD the SPMD rule above runs the
+    kernel per batch shard (no gathers)."""
+    return _fused_attention_spmd(q, k, v, heads, n_valid, causal)
 
 
 def _fat_fwd(q, k, v, heads, n_valid, causal):
-    out = fused_short_attention(q, k, v, heads=heads, n_valid=n_valid,
-                                causal=causal)
+    out = _fused_attention_spmd(q, k, v, heads, n_valid, causal)
     return out, (q, k, v)
 
 

@@ -62,15 +62,11 @@ class CLIPTrainer:
                  learning_rate: float = 1e-4, weight_decay: float = 0.01,
                  warmup_steps: int = 0, total_steps: int = 0,
                  grad_clip: float = 0.0):
-        # the fused attention kernel is differentiable (custom VJP,
-        # ops/attention.py fused_attention_trainable) and engages for
-        # single-device fine-tuning; under a >1-device mesh GSPMD has no
-        # sharding rule for the pallas_call and would insert gathers, so
-        # multi-chip training keeps the XLA attention path
-        if config.fused_attention and mesh.devices.size > 1:
-            import dataclasses as _dc
-
-            config = _dc.replace(config, fused_attention=False)
+        # the fused attention kernel is differentiable (custom VJP) and
+        # carries a GSPMD batch-sharding rule (ops/attention.py
+        # _fused_attention_spmd), so fine-tuning runs it on single chips
+        # AND under dp-sharded meshes — each chip executes the kernel on
+        # its own batch shard, no gathers
         self.config = config
         self.mesh = mesh
         self.model = CLIP(config)
