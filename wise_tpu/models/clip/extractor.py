@@ -78,6 +78,14 @@ class OpenClipExtractor(FeatureExtractor):
                 dtype_name == "bfloat16"
                 and os.environ.get("WISE_FUSED_ATTN", "1") != "0"
             ),
+            # whole-residual-block kernels (ops/block.py) — supersede the
+            # attention kernel per layer where supports_fused_block admits
+            # the shapes. Default flips to on once the MLP block's VMEM
+            # calibration has run on hardware (WISE_FUSED_BLOCK=1 to try)
+            fused_block=(
+                dtype_name == "bfloat16"
+                and os.environ.get("WISE_FUSED_BLOCK", "0") == "1"
+            ),
         )
         self.output_dim = self.config.embed_dim
         self.input_size = (self.config.image_size, self.config.image_size)
