@@ -122,3 +122,57 @@ def test_group_pickers():
     # CLIP text tower
     assert (_attn_group(256, 80, 512) or 0) >= 2
     assert (_mlp_group(256, 80, 512) or 0) >= 2
+
+
+def test_spmd_rule_no_collectives(monkeypatch):
+    """Under GSPMD with dp-sharded x, the block kernels run per shard —
+    compiled module is collective-free and matches the XLA blocks."""
+    import functools
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wise_tpu.ops import block as Bk
+    from wise_tpu.parallel.mesh import get_mesh
+
+    monkeypatch.setattr(
+        Bk, "fused_attn_block",
+        functools.partial(Bk.fused_attn_block, interpret=True),
+    )
+    monkeypatch.setattr(
+        Bk, "fused_mlp_block",
+        functools.partial(Bk.fused_mlp_block, interpret=True),
+    )
+    mesh = get_mesh(dp=8)
+    b, sp, d, heads, n_valid = 16, 16, 256, 4, 13
+    x = _mk((b, sp, d), 30, 1.0).astype(jnp.bfloat16)
+    ln_s = 1.0 + _mk((d,), 31)
+    ln_b = _mk((d,), 32)
+    wqkv, bqkv = _mk((d, 3 * d), 33), _mk((3 * d,), 34)
+    wo, bo = _mk((d, d), 35), _mk((d,), 36)
+    wfc, bfc = _mk((d, 4 * d), 37), _mk((4 * d,), 38)
+    wproj, bproj = _mk((4 * d, d), 39), _mk((d,), 40)
+    bf = jnp.bfloat16
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp", None, None)))
+
+    def f(x):
+        y = Bk.fused_attn_block_spmd(
+            x, ln_s, ln_b, wqkv.astype(bf), bqkv.astype(bf),
+            wo.astype(bf), bo.astype(bf), heads, n_valid, False,
+        )
+        return Bk.fused_mlp_block_spmd(
+            y, ln_s, ln_b, wfc.astype(bf), bfc.astype(bf),
+            wproj.astype(bf), bproj.astype(bf), "gelu",
+        )
+
+    jf = jax.jit(f)
+    hlo = jf.lower(xs).compile().as_text()
+    assert "all-gather" not in hlo and "all-reduce" not in hlo
+    got = jf(xs)
+    want = xla_mlp_block(
+        xla_attn_block(x, ln_s, ln_b, wqkv, bqkv, wo, bo, heads, n_valid,
+                       False),
+        ln_s, ln_b, wfc, bfc, wproj, bproj, "gelu",
+    )
+    cos = _cos_rows(got[:, :n_valid], want[:, :n_valid])
+    assert cos.min() > 0.999, cos.min()

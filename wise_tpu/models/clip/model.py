@@ -289,8 +289,8 @@ class ResidualAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None):
         from ...ops.block import (
-            fused_attn_block,
-            fused_mlp_block,
+            fused_attn_block_spmd,
+            fused_mlp_block_spmd,
             supports_fused_block,
         )
 
@@ -315,14 +315,14 @@ class ResidualAttentionBlock(nn.Module):
                 else (act if isinstance(act, str) and act else "gelu")
             )
             dt = self.dtype
-            x = fused_attn_block(
+            x = fused_attn_block_spmd(
                 x, ln1_s, ln1_b, wqkv.astype(dt), bqkv.astype(dt),
-                wo.astype(dt), bo.astype(dt), heads=self.heads,
-                n_valid=self.n_valid or s, causal=self.causal_fused,
+                wo.astype(dt), bo.astype(dt),
+                self.heads, self.n_valid or s, self.causal_fused,
             )
-            return fused_mlp_block(
+            return fused_mlp_block_spmd(
                 x, ln2_s, ln2_b, wfc.astype(dt), bfc.astype(dt),
-                wproj.astype(dt), bproj.astype(dt), act=act_str,
+                wproj.astype(dt), bproj.astype(dt), act_str,
             )
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x)
         x = x + MultiHeadAttention(

@@ -33,7 +33,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 _EPS = 1e-5
 
@@ -304,3 +306,79 @@ def fused_mlp_block(
             transcendentals=b * sp * ff,
         ),
     )(x, ln, wfc, bfc.reshape(1, -1), wproj, bproj.reshape(1, -1))
+
+
+# ---------------------------------------------------------------------------
+# GSPMD rules: the block kernels are batch-parallel — under pjit each chip
+# runs them on its own batch shard with the weights replicated; without a
+# rule XLA would treat the custom calls as replicated and gather x.
+# ---------------------------------------------------------------------------
+
+
+def _x_batch_only(sharding):
+    spec = getattr(sharding, "spec", None)
+    batch = spec[0] if spec is not None and len(spec) > 0 else None
+    return NamedSharding(sharding.mesh, P(batch, None, None))
+
+
+def _replicated_like(mesh, shape):
+    return NamedSharding(mesh, P(*(None for _ in shape.shape)))
+
+
+def _block_infer(*args):
+    # (static..., mesh, arg_shapes, result_shape) — statics are splatted
+    arg_shapes = args[-2]
+    return _x_batch_only(arg_shapes[0].sharding)
+
+
+def _make_block_partition(impl, static_names):
+    def partition(*args):
+        statics = args[:-3]
+        mesh, arg_shapes, _result_shape = args[-3:]
+        xsh = _x_batch_only(arg_shapes[0].sharding)
+        arg_shardings = (xsh,) + tuple(
+            _replicated_like(mesh, a) for a in arg_shapes[1:]
+        )
+
+        def lower_fn(x, *weights):
+            return impl(x, *weights, **dict(zip(static_names, statics)))
+
+        return mesh, lower_fn, xsh, arg_shardings
+
+    return partition
+
+
+@functools.partial(custom_partitioning, static_argnums=(7, 8, 9))
+def fused_attn_block_spmd(x, ln_s, ln_b, wqkv, bqkv, wo, bo,
+                          heads, n_valid, causal):
+    return fused_attn_block(x, ln_s, ln_b, wqkv, bqkv, wo, bo,
+                            heads=heads, n_valid=n_valid, causal=causal)
+
+
+fused_attn_block_spmd.def_partition(
+    infer_sharding_from_operands=_block_infer,
+    partition=_make_block_partition(
+        lambda x, ln_s, ln_b, wqkv, bqkv, wo, bo, **kw: fused_attn_block(
+            x, ln_s, ln_b, wqkv, bqkv, wo, bo, **kw
+        ),
+        ("heads", "n_valid", "causal"),
+    ),
+    sharding_rule="b s d, e, f, g h, i, j k, l -> b s d",
+)
+
+
+@functools.partial(custom_partitioning, static_argnums=(7,))
+def fused_mlp_block_spmd(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act):
+    return fused_mlp_block(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act=act)
+
+
+fused_mlp_block_spmd.def_partition(
+    infer_sharding_from_operands=_block_infer,
+    partition=_make_block_partition(
+        lambda x, ln_s, ln_b, wfc, bfc, wproj, bproj, **kw: fused_mlp_block(
+            x, ln_s, ln_b, wfc, bfc, wproj, bproj, **kw
+        ),
+        ("act",),
+    ),
+    sharding_rule="b s d, e, f, g h, i, j k, l -> b s d",
+)
