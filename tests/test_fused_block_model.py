@@ -132,3 +132,23 @@ def test_patch_embed_matmul_matches_conv():
     # init under the matmul path declares the same tree
     p2 = CLIP(cfg_mm).init(jax.random.PRNGKey(0), imgs[:1], toks)
     assert _paths(p2["params"]) == _paths(params["params"])
+
+
+def test_map_pooled_vision_fused_block(force_fused_block):
+    """SigLIP-style MAP-pooled tower: blocks run fused, the attention-pool
+    head stays XLA, embeddings agree."""
+    from wise_tpu.models.clip.model import CLIP
+
+    kw = dict(
+        vision_pool="map", text_causal=False, text_pool="last",
+        act="gelu_tanh", text_proj_bias=True, dtype=jnp.bfloat16,
+    )
+    cfg_x = _tiny_cfg(**kw)
+    cfg_f = _tiny_cfg(fused_block=True, **kw)
+    imgs = jax.random.normal(jax.random.PRNGKey(5), (8, 64, 64, 3))
+    toks = jnp.zeros((1, 16), jnp.int32)
+    params = CLIP(cfg_x).init(jax.random.PRNGKey(0), imgs[:1], toks)
+    want = CLIP(cfg_x).apply(params, imgs, method="encode_image")
+    got = CLIP(cfg_f).apply(params, imgs, method="encode_image")
+    cos = (np.asarray(got) * np.asarray(want)).sum(-1)
+    assert cos.min() > 0.999, cos.min()
