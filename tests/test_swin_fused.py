@@ -1,0 +1,108 @@
+"""Fused Swin window attention (ops/swin_attention.py) vs the XLA module,
+including the relative-position bias and the shifted-window mask, plus the
+model-level env-gated path."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def _cos_rows(a, b):
+    a = np.asarray(a, np.float32).reshape(-1, a.shape[-1])
+    b = np.asarray(b, np.float32).reshape(-1, b.shape[-1])
+    num = (a * b).sum(-1)
+    den = np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-30
+    return num / den
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_kernel_matches_window_attention_module(masked):
+    from wise_tpu.models.clap.model import WindowAttention, _shift_attn_mask
+    from wise_tpu.ops.swin_attention import fused_window_attention
+
+    window, c, heads = 4, 96, 4
+    hres = wres = 16
+    n_win = (hres // window) * (wres // window)   # 16
+    b = 2
+    n, l = b * n_win, window * window
+    x = (0.5 * jax.random.normal(jax.random.PRNGKey(0), (n, l, c))).astype(
+        jnp.bfloat16
+    )
+    mask = (
+        jnp.asarray(_shift_attn_mask(hres, wres, window, window // 2))
+        if masked else None
+    )
+
+    wa = WindowAttention(c, heads, window, dtype=jnp.bfloat16)
+    params = wa.init(jax.random.PRNGKey(1), x, mask)
+    want = wa.apply(params, x, mask)
+
+    p = params["params"]
+    got = fused_window_attention(
+        x,
+        p["qkv"]["kernel"].astype(jnp.bfloat16),
+        p["qkv"]["bias"].astype(jnp.bfloat16),
+        p["proj"]["kernel"].astype(jnp.bfloat16),
+        p["proj"]["bias"].astype(jnp.bfloat16),
+        _bias_tensor(p["relative_position_bias_table"], window, l, heads),
+        mask, heads=heads, interpret=True,
+    )
+    cos = _cos_rows(got, want)
+    assert cos.min() > 0.999, cos.min()
+
+
+def _bias_tensor(table, window, l, heads):
+    from wise_tpu.models.clap.model import _relative_position_index
+
+    idx = _relative_position_index(window)
+    return jnp.transpose(
+        jnp.asarray(table)[idx.reshape(-1)].reshape(l, l, heads), (2, 0, 1)
+    )
+
+
+def test_model_env_gated_path(monkeypatch):
+    """WISE_FUSED_SWIN=1: the module takes the fused branch (patched to
+    interpret mode) and matches the XLA branch; the param tree is shared."""
+    import functools
+
+    from wise_tpu.models.clap.model import WindowAttention, _shift_attn_mask
+    from wise_tpu.ops import swin_attention as SA
+
+    monkeypatch.setenv("WISE_FUSED_SWIN", "1")
+    monkeypatch.setattr(
+        SA, "supports_fused_swin",
+        lambda *a: jnp.dtype(a[-1]) == jnp.bfloat16,
+    )
+    monkeypatch.setattr(
+        SA, "fused_window_attention",
+        functools.partial(SA.fused_window_attention, interpret=True),
+    )
+    # the model imports symbols at call time from the module, so the
+    # monkeypatches take effect
+    import wise_tpu.models.clap.model as M
+
+    window, c, heads = 4, 96, 4
+    n_win, b = 16, 2
+    l = window * window
+    x = (0.5 * jax.random.normal(jax.random.PRNGKey(2),
+                                 (b * n_win, l, c))).astype(jnp.bfloat16)
+    mask = jnp.asarray(_shift_attn_mask(16, 16, window, 2))
+    wa = M.WindowAttention(c, heads, window, dtype=jnp.bfloat16)
+    params_fused = wa.init(jax.random.PRNGKey(1), x, mask)
+    got = wa.apply(params_fused, x, mask)
+
+    monkeypatch.setenv("WISE_FUSED_SWIN", "0")
+    params_xla = wa.init(jax.random.PRNGKey(1), x, mask)
+    assert jax.tree_util.tree_structure(
+        params_fused
+    ) == jax.tree_util.tree_structure(params_xla)
+    want = wa.apply(params_xla, x, mask)
+    cos = _cos_rows(got, want)
+    assert cos.min() > 0.999, cos.min()

@@ -121,9 +121,38 @@ class WindowAttention(nn.Module):
     @nn.compact
     def __call__(self, x, attn_mask=None):
         """x: (nW*B, w*w, C); attn_mask: (nW, w*w, w*w) or None."""
+        import os
+
         n, l, c = x.shape
         h = self.heads
         head_dim = c // h
+        if os.environ.get("WISE_FUSED_SWIN", "0") == "1":
+            from ...ops.swin_attention import (
+                fused_window_attention,
+                supports_fused_swin,
+            )
+
+            n_win = attn_mask.shape[0] if attn_mask is not None else None
+            if supports_fused_swin(n, l, c, h, n_win, jnp.dtype(self.dtype)):
+                from ..clip.model import _DenseParams
+
+                wqkv, bqkv = _DenseParams(c, 3 * c, name="qkv")()
+                wo, bo = _DenseParams(c, c, name="proj")()
+                bias_table = self.param(
+                    "relative_position_bias_table",
+                    nn.initializers.truncated_normal(0.02),
+                    ((2 * self.window - 1) ** 2, h),
+                )
+                idx = _relative_position_index(self.window)
+                bias = jnp.transpose(
+                    bias_table[idx.reshape(-1)].reshape(l, l, h), (2, 0, 1)
+                )
+                dt = self.dtype
+                return fused_window_attention(
+                    x, wqkv.astype(dt), bqkv.astype(dt),
+                    wo.astype(dt), bo.astype(dt),
+                    bias, attn_mask, heads=h,
+                )
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(n, l, h, head_dim).transpose(0, 2, 1, 3)
