@@ -36,7 +36,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from wise_tpu.ops.block import fused_attn_block, fused_mlp_block
+    from wise_tpu.ops.block import (
+        fused_attn_block,
+        fused_mlp_block,
+        fused_mlp_split,
+    )
 
     B, SP, D, H = args.batch, args.seq, args.width, args.heads
     k = jax.random.PRNGKey(0)
@@ -116,6 +120,9 @@ def main():
                 n_valid=args.n_valid, causal=args.causal, group=g),
              want_attn),
             ("mlp", lambda xx, g=g: fused_mlp_block(
+                xx, ln_s, ln_b, wfc, bfc, wproj, bproj, act="gelu",
+                group=g), want_mlp),
+            ("mlpsplit", lambda xx, g=g: fused_mlp_split(
                 xx, ln_s, ln_b, wfc, bfc, wproj, bproj, act="gelu",
                 group=g), want_mlp),
         ):

@@ -176,3 +176,23 @@ def test_spmd_rule_no_collectives(monkeypatch):
     )
     cos = _cos_rows(got[:, :n_valid], want[:, :n_valid])
     assert cos.min() > 0.999, cos.min()
+
+
+@pytest.mark.parametrize("act", ["gelu", "quick_gelu"])
+def test_mlp_split_matches_xla(act):
+    from wise_tpu.ops.block import fused_mlp_split
+
+    b, sp, d = 8, 56, 256
+    x = _mk((b, sp, d), 50, 1.0).astype(jnp.bfloat16)
+    ln_s = 1.0 + _mk((d,), 51)
+    ln_b = _mk((d,), 52)
+    wfc, bfc = _mk((d, 4 * d), 53), _mk((4 * d,), 54)
+    wproj, bproj = _mk((4 * d, d), 55), _mk((d,), 56)
+    got = fused_mlp_split(
+        x, ln_s, ln_b, wfc.astype(jnp.bfloat16), bfc.astype(jnp.bfloat16),
+        wproj.astype(jnp.bfloat16), bproj.astype(jnp.bfloat16),
+        act=act, interpret=True,
+    )
+    want = xla_mlp_block(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act)
+    cos = _cos_rows(got, want)
+    assert cos.min() > 0.999, cos.min()

@@ -382,3 +382,93 @@ fused_mlp_block_spmd.def_partition(
     ),
     sharding_rule="b s d, e, f, g h, i, j k, l -> b s d",
 )
+
+
+# ---------------------------------------------------------------------------
+# fallback MLP pair: fc+gelu and proj+residual as two kernels. Used if the
+# single fused_mlp_block's ~9.4 MB resident weights don't fit the scoped
+# VMEM on hardware: each kernel holds one 4.7 MB weight, at the cost of
+# one HBM round trip of the (B, SP, 4D) intermediate (~0.4 ms/layer at
+# ViT-B/32 step shapes). scripts/bench_block_kernels.py probes both.
+# ---------------------------------------------------------------------------
+
+
+def _fc_kernel(x_ref, ln_ref, wfc_ref, bfc_ref, h_ref, *, act: str):
+    x = x_ref[:]
+    y = _ln_f32(
+        x.astype(jnp.float32), ln_ref[0, :], ln_ref[1, :]
+    ).astype(x.dtype)
+    h = jax.lax.dot_general(
+        y, wfc_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    h_ref[:] = _gelu_f32(h + bfc_ref[0, :], act).astype(x.dtype)
+
+
+def _proj_kernel(x_ref, h_ref, wproj_ref, bproj_ref, o_ref):
+    x = x_ref[:]
+    out = jax.lax.dot_general(
+        h_ref[:], wproj_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = x + (out + bproj_ref[0, :]).astype(x.dtype)
+
+
+def _mlp_split_group(batch: int, seq_pad: int, width: int):
+    wbytes = 4 * width * width * 2
+    for g in (8, 4, 2, 1):
+        if batch % g:
+            continue
+        blk = g * seq_pad * width
+        est = (
+            wbytes
+            + 2 * 2 * blk * 2           # x/out or x/h blocks
+            + 2 * 4 * blk * 2           # h blocks bf16 (in+out worst case)
+            + blk * 4 + 4 * blk * 4     # f32 temps
+        )
+        if est <= _VMEM_BUDGET:
+            return g
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("act", "interpret", "group"))
+def fused_mlp_split(
+    x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
+    wfc: jax.Array, bfc: jax.Array, wproj: jax.Array, bproj: jax.Array,
+    act: str = "gelu", interpret: bool = False, group: int | None = None,
+) -> jax.Array:
+    """Same contract as fused_mlp_block, two-kernel variant."""
+    b, sp, d = x.shape
+    ff = wfc.shape[1]
+    group = group or _mlp_split_group(b, sp, d)
+    assert group is not None
+    xspec = pl.BlockSpec((group, sp, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    hspec = pl.BlockSpec((group, sp, ff), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    ln = jnp.stack([ln_scale, ln_bias]).astype(jnp.float32)
+    params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",),
+        vmem_limit_bytes=_VMEM_LIMIT_BYTES,
+    )
+    h = pl.pallas_call(
+        functools.partial(_fc_kernel, act=act),
+        grid=(b // group,),
+        in_specs=[xspec, const((2, d)), const((d, ff)), const((1, ff))],
+        out_specs=hspec,
+        out_shape=jax.ShapeDtypeStruct((b, sp, ff), x.dtype),
+        interpret=interpret,
+        compiler_params=params,
+    )(x, ln, wfc, bfc.reshape(1, -1))
+    return pl.pallas_call(
+        _proj_kernel,
+        grid=(b // group,),
+        in_specs=[xspec, hspec, const((ff, d)), const((1, d))],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, sp, d), x.dtype),
+        interpret=interpret,
+        compiler_params=params,
+    )(x, h, wproj, bproj.reshape(1, -1))
