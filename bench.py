@@ -55,22 +55,17 @@ def _measure_roundtrip():
 
 
 def bench_tpu_vit(roundtrip: float, dtype_name: str = "bfloat16"):
-    import dataclasses
-
     import jax
     import jax.numpy as jnp
 
-    from wise_tpu.models.clip.model import CLIP, get_clip_config
+    from wise_tpu.models.clip.extractor import production_clip_config
+    from wise_tpu.models.clip.model import CLIP
     from wise_tpu.models.clip.preprocess import preprocess_images
 
-    config = get_clip_config("ViT-B-32")
-    config = dataclasses.replace(
-        config,
-        dtype=jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32,
-        # the production inference config (extractor.py): fused VMEM
-        # attention kernel for short-sequence bf16 towers
-        fused_attention=dtype_name == "bfloat16",
-    )
+    # the production inference config (extractor.py) — env gates included,
+    # so the headline measures exactly what serving runs
+    os.environ["WISE_CLIP_DTYPE"] = dtype_name
+    config = production_clip_config("ViT-B-32")
     model = CLIP(config)
     params = model.init(
         jax.random.PRNGKey(0),

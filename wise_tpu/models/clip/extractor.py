@@ -53,6 +53,39 @@ def _find_checkpoint(d: Path) -> Optional[Path]:
     return None
 
 
+def production_clip_config(model_name: str):
+    """The extractor's inference config for a model: bf16 activations by
+    default (MXU peak ~4x f32 on v5e; params/LN/outputs stay f32 —
+    WISE_CLIP_DTYPE=float32 to override) plus the kernel gates. bench.py
+    uses this too, so the headline benchmark always measures the
+    production serving configuration."""
+    import dataclasses as _dc
+
+    cfg = get_clip_config(model_name)
+    dtype_name = os.environ.get("WISE_CLIP_DTYPE", "bfloat16")
+    return _dc.replace(
+        cfg,
+        dtype=jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32,
+        # inference path: fused VMEM attention where shapes allow
+        # (ops/attention.py; WISE_FUSED_ATTN=0 to disable)
+        fused_attention=(
+            dtype_name == "bfloat16"
+            and os.environ.get("WISE_FUSED_ATTN", "1") != "0"
+        ),
+        # whole-residual-block kernels (ops/block.py) — supersede the
+        # attention kernel per layer where supports_fused_block admits
+        # the shapes. Default flips to on once the MLP block's VMEM
+        # calibration has run on hardware (WISE_FUSED_BLOCK=1 to try)
+        fused_block=(
+            dtype_name == "bfloat16"
+            and os.environ.get("WISE_FUSED_BLOCK", "0") == "1"
+        ),
+        # patchify+GEMM patch embed (WISE_PATCH_MATMUL=1 to try; pending
+        # the hardware A/B)
+        patch_embed_matmul=os.environ.get("WISE_PATCH_MATMUL", "0") == "1",
+    )
+
+
 class OpenClipExtractor(FeatureExtractor):
     supports_audio = False
 
@@ -62,31 +95,7 @@ class OpenClipExtractor(FeatureExtractor):
             raise ValueError(f"invalid open_clip extractor id {id}")
         self.id = id
         self.model_name, self.pretrained = tok[2], tok[3]
-        self.config = get_clip_config(self.model_name)
-        # bf16 activations by default: MXU peak is ~4x f32 on v5e, and CLIP
-        # retrieval is robust to bf16 forward error (params stay f32, LayerNorm
-        # and the final features are f32). Override with WISE_CLIP_DTYPE=float32.
-        import dataclasses as _dc
-
-        dtype_name = os.environ.get("WISE_CLIP_DTYPE", "bfloat16")
-        self.config = _dc.replace(
-            self.config,
-            dtype=jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32,
-            # inference path: fused VMEM attention where shapes allow
-            # (ops/attention.py; WISE_FUSED_ATTN=0 to disable)
-            fused_attention=(
-                dtype_name == "bfloat16"
-                and os.environ.get("WISE_FUSED_ATTN", "1") != "0"
-            ),
-            # whole-residual-block kernels (ops/block.py) — supersede the
-            # attention kernel per layer where supports_fused_block admits
-            # the shapes. Default flips to on once the MLP block's VMEM
-            # calibration has run on hardware (WISE_FUSED_BLOCK=1 to try)
-            fused_block=(
-                dtype_name == "bfloat16"
-                and os.environ.get("WISE_FUSED_BLOCK", "0") == "1"
-            ),
-        )
+        self.config = production_clip_config(self.model_name)
         self.output_dim = self.config.embed_dim
         self.input_size = (self.config.image_size, self.config.image_size)
 
