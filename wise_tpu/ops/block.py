@@ -65,7 +65,7 @@ def _erf_f32(x):
     """erf for Mosaic: lax.erf/erfc have no Pallas TPU lowering (probed on
     hardware, round 3), so use Abramowitz & Stegun 7.1.26 — max abs error
     1.5e-7, ~50x below bf16 resolution; only exp() is transcendental."""
-    s = jnp.sign(x)
+    s = jnp.where(x >= 0, 1.0, -1.0)  # sign via select (guaranteed lowering)
     a = jnp.abs(x)
     t = 1.0 / (1.0 + 0.3275911 * a)
     poly = t * (0.254829592 + t * (-0.284496736 + t * (
@@ -74,10 +74,18 @@ def _erf_f32(x):
 
 
 def _gelu_f32(h, act: str):
+    """Activations expressed via exp() only — the one transcendental with a
+    proven Mosaic lowering here (erf/erfc are unimplemented; sigmoid/tanh
+    primitives unprobed). exp saturates cleanly in f32 so the rewrites are
+    stable at both tails."""
     if act == "quick_gelu":
-        return h * jax.nn.sigmoid(1.702 * h)
+        # sigmoid(z) = 1 / (1 + exp(-z))
+        return h / (1.0 + jnp.exp(-1.702 * h))
     if act == "gelu_tanh":
-        return jax.nn.gelu(h, approximate=True)
+        # tanh(z) = 1 - 2/(exp(2z) + 1)
+        z = np.float32(np.sqrt(2.0 / np.pi)) * (h + 0.044715 * h * h * h)
+        tanh_z = 1.0 - 2.0 / (jnp.exp(2.0 * z) + 1.0)
+        return 0.5 * h * (1.0 + tanh_z)
     # exact gelu via the in-kernel erf (jax.nn.gelu approximate=False
     # lowers to erfc, which Mosaic lacks)
     return 0.5 * h * (1.0 + _erf_f32(h * np.float32(1.0 / np.sqrt(2.0))))
