@@ -40,18 +40,9 @@ TOPK = 100
 
 
 def _measure_roundtrip():
-    import jax
-    import jax.numpy as jnp
+    from wise_tpu.utils.profiling import measure_roundtrip
 
-    f = jax.jit(lambda a: a + 1)
-    x = jnp.zeros((1,))
-    np.asarray(f(x))
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        np.asarray(f(x))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+    return measure_roundtrip()
 
 
 def bench_tpu_vit(roundtrip: float, dtype_name: str = "bfloat16"):

@@ -58,17 +58,9 @@ def main():
     wproj = (0.02 * jax.random.normal(ks[9], (4 * D, D))).astype(bf)
     bproj = (0.02 * jax.random.normal(ks[10], (D,))).astype(bf)
 
-    def rt():
-        f = jax.jit(lambda a: a + 1)
-        np.asarray(f(jnp.zeros(1)))
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            np.asarray(f(jnp.zeros(1)))
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+    from wise_tpu.utils.profiling import measure_roundtrip
 
-    roundtrip = rt()
+    roundtrip = measure_roundtrip()
     print(f"roundtrip {roundtrip*1e3:.1f} ms; shapes B={B} SP={SP} D={D}")
 
     def timed(fn):

@@ -37,17 +37,9 @@ def main():
     from wise_tpu.parallel.mesh import get_mesh
     from wise_tpu.parallel.train import CLIPTrainer
 
-    def rt():
-        f = jax.jit(lambda a: a + 1)
-        np.asarray(f(jnp.zeros(1)))
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            np.asarray(f(jnp.zeros(1)))
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+    from wise_tpu.utils.profiling import measure_roundtrip
 
-    roundtrip = rt()
+    roundtrip = measure_roundtrip()
     mesh = get_mesh(dp=jax.device_count())
     out = {"batch": args.batch, "model": args.model,
            "tunnel_roundtrip_ms": round(roundtrip * 1e3, 1)}

@@ -49,17 +49,9 @@ def main():
     B = args.batch
     base = dataclasses.replace(get_clap_config("2023"), dtype=jnp.bfloat16)
 
-    def rt():
-        f = jax.jit(lambda a: a + 1)
-        np.asarray(f(jnp.zeros(1)))
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            np.asarray(f(jnp.zeros(1)))
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+    from wise_tpu.utils.profiling import measure_roundtrip
 
-    roundtrip = rt()
+    roundtrip = measure_roundtrip()
     out = {"batch": B, "tunnel_roundtrip_ms": round(roundtrip * 1e3, 1)}
 
     def timed(fn, *arrays):

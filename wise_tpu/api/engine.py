@@ -65,14 +65,15 @@ class SearchEngine:
         self.num_vectors = counts["num_vectors"]
         self.num_media_files = counts["num_media_files"]
         # featured ids, seeded sampling (reference: routes.py:1159-1165;
-        # numpy default_rng to match its shuffle exactly)
-        ids = np.array(
-            get_featured_vector_ids(self.conn, self.config.serve.featured_max)
-        )
+        # numpy default_rng, shuffle FIRST then cap — same subset as the
+        # reference on corpora larger than featured_max)
+        ids = np.array(get_featured_vector_ids(self.conn))
         np.random.default_rng(
             seed=self.config.serve.featured_seed
         ).shuffle(ids)
-        self.featured_ids = [int(i) for i in ids]
+        self.featured_ids = [
+            int(i) for i in ids[: self.config.serve.featured_max]
+        ]
 
     @property
     def conn(self):

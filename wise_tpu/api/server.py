@@ -15,6 +15,7 @@ import datetime
 import json
 import logging
 import mimetypes
+import os
 import re
 import urllib.parse
 import urllib.request
@@ -51,13 +52,43 @@ def parse_range(header: str, file_size: int) -> Optional[Tuple[int, int]]:
     return start, min(end, file_size - 1)
 
 
+_URL_QUERY_MAX_BYTES = 32 * 1024 * 1024
+
+
 def _fetch_url_bytes(url: str, timeout: float = 10.0) -> bytes:
     """Download a pasted image/audio URL query (reference fetches with
-    requests, routes.py POST /search URL-query handling)."""
-    if not url.startswith(("http://", "https://")):
+    requests, routes.py POST /search URL-query handling).
+
+    SSRF guard: the target host must resolve to a public address —
+    loopback/private/link-local/metadata ranges are refused (the server
+    would otherwise fetch internal endpoints on the client's behalf).
+    WISE_ALLOW_INTERNAL_URLS=1 opts out for trusted deployments. Reads are
+    capped at 32 MB so a streaming endpoint can't pin a handler thread."""
+    import ipaddress
+    import socket
+
+    parsed = urllib.parse.urlparse(url)
+    if parsed.scheme not in ("http", "https"):
         raise ValueError(f"unsupported URL scheme: {url!r}")
+    if os.environ.get("WISE_ALLOW_INTERNAL_URLS", "0") != "1":
+        host = parsed.hostname or ""
+        try:
+            infos = socket.getaddrinfo(host, None)
+        except socket.gaierror:
+            raise ValueError(f"cannot resolve host {host!r}")
+        for info in infos:
+            addr = ipaddress.ip_address(info[4][0])
+            if (addr.is_private or addr.is_loopback or addr.is_link_local
+                    or addr.is_reserved or addr.is_multicast
+                    or addr.is_unspecified):
+                raise ValueError(
+                    f"refusing to fetch non-public address for {host!r}"
+                )
     with urllib.request.urlopen(url, timeout=timeout) as r:
-        return r.read()
+        data = r.read(_URL_QUERY_MAX_BYTES + 1)
+    if len(data) > _URL_QUERY_MAX_BYTES:
+        raise ValueError("URL query payload exceeds 32 MB")
+    return data
 
 
 def parse_multipart(body: bytes, content_type: str) -> Dict[str, List[bytes]]:

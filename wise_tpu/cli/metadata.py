@@ -118,10 +118,15 @@ def get_valid_metadata(rows: List[Dict], conn) -> List[Dict]:
             missing.add(fname)
             continue
         start, stop = rec["__starttime"], rec["__stoptime"]
-        if start is not None and stop is not None and duration > 0 and (
-            start < 0 or start >= duration or stop < 0
-            or stop > duration + 1e-6
-        ):
+        has_ts = start is not None or stop is not None
+        if has_ts and duration <= 0:
+            # temporal metadata on durationless media (images/bad probe)
+            bad_ts += 1
+            continue
+        if start is not None and (start < 0 or start >= duration):
+            bad_ts += 1
+            continue
+        if stop is not None and (stop < 0 or stop > duration + 1e-6):
             bad_ts += 1
             continue
         valid.append(rec)

@@ -330,9 +330,12 @@ def get_thumbnail_by_timestamp(
     return row["content"] if row else None
 
 
-def get_featured_vector_ids(conn: sqlite3.Connection, limit: int) -> List[int]:
+def get_featured_vector_ids(conn: sqlite3.Connection) -> List[int]:
     """A vector near the 4 s mark of each video (reference:
-    repository/__init__.py get_featured_images)."""
+    repository/__init__.py get_featured_images). Returns ALL candidates —
+    the caller shuffles with the fixed seed and THEN caps (the reference
+    order: routes.py:1159-1165; capping first would select a different
+    subset than the reference on >cap corpora)."""
     rows = conn.execute(
         """
         SELECT v.id FROM vectors v
@@ -340,9 +343,7 @@ def get_featured_vector_ids(conn: sqlite3.Connection, limit: int) -> List[int]:
         WHERE v.timestamp >= 4.0 AND v.modality IN ('IMAGE','VIDEO')
         GROUP BY v.media_id
         ORDER BY v.media_id
-        LIMIT ?
         """,
-        (limit,),
     ).fetchall()
     return [r["id"] for r in rows]
 

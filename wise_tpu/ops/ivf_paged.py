@@ -323,11 +323,18 @@ def shard_paged_layout(layout: dict, ndev: int) -> dict:
     total = int(page_count.sum())
 
     # contiguous cell ranges with ~equal pages: split points on the page
-    # cumsum (searchsorted keeps cells whole)
+    # cumsum, assigning each boundary cell to whichever side leaves the
+    # cumulative count closer to the ideal split (always forcing it left
+    # can starve trailing chips — e.g. page_count=[1,3] over 2 chips)
     cum = np.cumsum(page_count)
     targets = total * (np.arange(1, ndev) / ndev)
+    idx = np.searchsorted(cum, targets, side="left")
+    cum_ext = np.concatenate([[0], cum])
+    take_right = np.abs(cum_ext[idx] - targets) <= np.abs(
+        cum_ext[np.minimum(idx + 1, nlist)] - targets
+    )
     bounds = np.concatenate(
-        [[0], np.searchsorted(cum, targets, side="left") + 1, [nlist]]
+        [[0], np.where(take_right, idx, idx + 1), [nlist]]
     )
     bounds = np.minimum(bounds, nlist)
     bounds = np.maximum.accumulate(bounds)

@@ -33,18 +33,25 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = 10_000_000
 
 
-def swin_group(batch: int, seq: int, width: int, n_win: int | None):
+def swin_group(batch: int, seq: int, width: int, heads: int,
+               n_win: int | None):
     """Largest window group fitting VMEM; must divide the window-batch and
-    (when a shift mask is present) the per-sample window count."""
+    (when a shift mask is present) the per-sample window count. The
+    estimate includes the resident (heads, L, L) f32 bias and, when
+    masked, the double-buffered (g, L, L) f32 mask block."""
     wbytes = 4 * width * width * 2
+    bias_bytes = heads * seq * seq * 4
     for g in (128, 64, 32, 16, 8, 4, 2, 1):
         if batch % g:
             continue
         if n_win is not None and (n_win % g and g % n_win):
             continue
         blk = g * seq * width
+        mask_bytes = 2 * g * seq * seq * 4 if n_win is not None else 0
         est = (
             wbytes
+            + bias_bytes
+            + mask_bytes
             + 2 * 2 * blk * 2          # x, out double-buffered bf16
             + 3 * blk * 2 + 3 * blk * 4  # qkv bf16 + f32
             + blk * 2                  # att scratch
@@ -62,7 +69,7 @@ def supports_fused_swin(batch: int, seq: int, width: int, heads: int,
         and width % heads == 0
         and seq % 8 == 0
         and width % 8 == 0
-        and swin_group(batch, seq, width, n_win) is not None
+        and swin_group(batch, seq, width, heads, n_win) is not None
         and jax.default_backend() == "tpu"
     )
 
@@ -123,7 +130,7 @@ def fused_window_attention(
     supports_fused_swin() first."""
     n, l, c = x.shape
     n_win = mask.shape[0] if mask is not None else None
-    group = group or swin_group(n, l, c, n_win)
+    group = group or swin_group(n, l, c, heads, n_win)
     assert group is not None, "gate with supports_fused_swin() first"
     xspec = pl.BlockSpec((group, l, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)

@@ -65,3 +65,24 @@ def trace(label: str = "wise"):
 
     with jax.profiler.trace(os.path.join(trace_dir, label)):
         yield
+
+
+def measure_roundtrip(samples: int = 5) -> float:
+    """Median host<->device round-trip seconds on this backend — the
+    CLAUDE.md tunnel-timing calibration primitive (block_until_ready is a
+    no-op through the axon tunnel; a tiny readback is the only sync).
+    Every benchmark/profile script subtracts this from its host-chained
+    loop timings."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    f = jax.jit(lambda a: a + 1)
+    x = jnp.zeros((1,))
+    np.asarray(f(x))
+    ts = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
