@@ -74,11 +74,13 @@ def production_clip_config(model_name: str):
         ),
         # whole-residual-block kernels (ops/block.py) — supersede the
         # attention kernel per layer where supports_fused_block admits
-        # the shapes. Default flips to on once the MLP block's VMEM
-        # calibration has run on hardware (WISE_FUSED_BLOCK=1 to try)
+        # the shapes. Production default since the round-3 hardware A/B:
+        # all-kernel layers dodge XLA's per-layer relayout copies at the
+        # Pallas boundary — ViT-B/32 13.4k vs 9.8k frames/s
+        # (scripts/bench_encoder_ab.py; WISE_FUSED_BLOCK=0 to disable)
         fused_block=(
             dtype_name == "bfloat16"
-            and os.environ.get("WISE_FUSED_BLOCK", "0") == "1"
+            and os.environ.get("WISE_FUSED_BLOCK", "1") != "0"
         ),
         # patchify+GEMM patch embed (WISE_PATCH_MATMUL=1 to try; pending
         # the hardware A/B)

@@ -301,29 +301,54 @@ class ResidualAttentionBlock(nn.Module):
             and supports_fused_block(b, s, self.width, self.heads,
                                      jnp.dtype(self.dtype))
         ):
-            # whole-block Pallas path: same parameter tree, read directly
+            import os
+
+            # Both halves of the layer run as Pallas kernels (same
+            # parameter tree, read directly). Keeping the MLP in a kernel
+            # matters for a non-obvious reason: standalone, XLA's MLP is
+            # slightly faster than the kernel (1.63 vs 1.72 ms/layer at
+            # ViT-B/32 step shapes), but in the full tower XLA assigns its
+            # MLP GEMMs a non-default {2,0,1} layout while Pallas custom
+            # calls mandate default layouts, so every kernel<->XLA
+            # boundary inserts a transposing copy of the (B, S, W) stream
+            # (~23 such copies / ~1.1 ms/layer, see /tmp HLO dump in
+            # BENCHMARKS.md roofline notes). All-kernel layers have no
+            # boundary: measured 38.2 ms vs 51.1 ms per step end-to-end
+            # (13.4k vs 10.0k frames/s, scripts/bench_encoder_ab.py).
+            # WISE_FUSED_MLP=0 restores the XLA-MLP hybrid for A/B runs.
             ln1_s, ln1_b = _LNParams(self.width, name="ln_1")()
             (wqkv, bqkv), (wo, bo) = _MHAParams(self.width, name="attn")()
-            ln2_s, ln2_b = _LNParams(self.width, name="ln_2")()
-            wfc, bfc = _DenseParams(self.width, 4 * self.width,
-                                    name="mlp_fc")()
-            wproj, bproj = _DenseParams(4 * self.width, self.width,
-                                        name="mlp_proj")()
-            act = self.quick_gelu
-            act_str = (
-                "quick_gelu" if act is True
-                else (act if isinstance(act, str) and act else "gelu")
-            )
             dt = self.dtype
             x = fused_attn_block_spmd(
                 x, ln1_s, ln1_b, wqkv.astype(dt), bqkv.astype(dt),
                 wo.astype(dt), bo.astype(dt),
                 self.heads, self.n_valid or s, self.causal_fused,
             )
-            return fused_mlp_block_spmd(
-                x, ln2_s, ln2_b, wfc.astype(dt), bfc.astype(dt),
-                wproj.astype(dt), bproj.astype(dt), act_str,
-            )
+            from ...ops.block import _mlp_group
+
+            if (
+                os.environ.get("WISE_FUSED_MLP", "1") != "0"
+                and _mlp_group(b, s, self.width) is not None
+            ):
+                ln2_s, ln2_b = _LNParams(self.width, name="ln_2")()
+                wfc, bfc = _DenseParams(self.width, 4 * self.width,
+                                        name="mlp_fc")()
+                wproj, bproj = _DenseParams(4 * self.width, self.width,
+                                            name="mlp_proj")()
+                act = self.quick_gelu
+                act_str = (
+                    "quick_gelu" if act is True
+                    else (act if isinstance(act, str) and act else "gelu")
+                )
+                return fused_mlp_block_spmd(
+                    x, ln2_s, ln2_b, wfc.astype(dt), bfc.astype(dt),
+                    wproj.astype(dt), bproj.astype(dt), act_str,
+                )
+            y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(x)
+            h = nn.Dense(self.width * 4, dtype=self.dtype, name="mlp_fc")(y)
+            h = _gelu(h, self.quick_gelu)
+            return x + nn.Dense(self.width, dtype=self.dtype,
+                                name="mlp_proj")(h)
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x)
         x = x + MultiHeadAttention(
             self.width, self.heads, dtype=self.dtype,

@@ -142,11 +142,13 @@ def _attn_block_kernel(
 
 
 def _attn_group(batch: int, seq_pad: int, width: int):
-    """Largest batch group whose working set fits the budget: layer
-    attention weights resident (4D^2 bf16) + double-buffered x/out blocks
-    + qkv/att/f32 intermediates."""
+    """Batch group for the attention block, in MEASURED preference order:
+    at ViT-B/32 step shapes g=2 ran 1.14/1.28 ms across two hardware
+    sessions vs 1.24/1.35 at g=8 and 1.49/1.55 at g=4 (scripts/
+    bench_block_kernels.py) — smaller blocks pipeline better here, so g=2
+    leads whenever it fits."""
     wbytes = 4 * width * width * 2
-    for g in (8, 4, 2, 1):
+    for g in (2, 8, 4, 1):
         if batch % g:
             continue
         blk = g * seq_pad * width
@@ -185,7 +187,15 @@ def _mlp_group(batch: int, seq_pad: int, width: int):
 
 def supports_fused_block(batch: int, seq_pad: int, width: int, heads: int,
                          dtype) -> bool:
-    """Static gate: shapes/dtype both block kernels are built for."""
+    """Static gate for the production block path, keyed on the ATTENTION
+    block kernel. The MLP half additionally requires ``_mlp_group`` to
+    admit the shape (checked at the call site); when it does, production
+    runs BOTH kernels: standalone the MLP kernel is marginally slower
+    than XLA's MLP (1.72 vs 1.63 ms/layer at ViT-B/32 step shapes), but
+    all-kernel layers avoid the per-layer {2,1,0}<->{2,0,1} relayout
+    copies XLA inserts at every Pallas<->XLA boundary (~1.1 ms/layer),
+    measured 38.2 vs 51.1 ms per production step end-to-end
+    (scripts/bench_encoder_ab.py, round 3)."""
     return (
         jnp.dtype(dtype) == jnp.bfloat16
         and width % heads == 0
@@ -194,7 +204,6 @@ def supports_fused_block(batch: int, seq_pad: int, width: int, heads: int,
         and seq_pad % 8 == 0
         and batch > 0
         and _attn_group(batch, seq_pad, width) is not None
-        and _mlp_group(batch, seq_pad, width) is not None
         and jax.default_backend() == "tpu"
     )
 
