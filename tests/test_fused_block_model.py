@@ -152,3 +152,41 @@ def test_map_pooled_vision_fused_block(force_fused_block):
     got = CLIP(cfg_f).apply(params, imgs, method="encode_image")
     cos = (np.asarray(got) * np.asarray(want)).sum(-1)
     assert cos.min() > 0.999, cos.min()
+
+
+def test_split_mlp_fallback_selected(force_fused_block, monkeypatch):
+    """When the single-kernel MLP's weights don't fit VMEM
+    (_mlp_group -> None), the model selects the two-kernel split pair
+    (fused_mlp_split) instead of falling back to XLA, and embeddings
+    still agree with the XLA path."""
+    import functools as ft
+
+    from wise_tpu.models.clip.model import CLIP
+    from wise_tpu.ops import block
+
+    monkeypatch.setattr(block, "_mlp_group", lambda b, sp, w: None)
+    monkeypatch.setattr(
+        block, "fused_mlp_split",
+        ft.partial(block.fused_mlp_split, interpret=True),
+    )
+    calls = []
+    orig = block.fused_mlp_split_spmd
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    import wise_tpu.ops.block as block_mod
+
+    monkeypatch.setattr(block_mod, "fused_mlp_split_spmd", spy)
+
+    cfg_x = _tiny_cfg(dtype=jnp.bfloat16)
+    cfg_f = _tiny_cfg(dtype=jnp.bfloat16, fused_block=True)
+    imgs = jax.random.normal(jax.random.PRNGKey(7), (8, 64, 64, 3))
+    toks = jnp.zeros((1, 16), jnp.int32)
+    params = CLIP(cfg_x).init(jax.random.PRNGKey(0), imgs[:1], toks)
+    want = CLIP(cfg_x).apply(params, imgs, method="encode_image")
+    got = CLIP(cfg_f).apply(params, imgs, method="encode_image")
+    assert calls, "fused_mlp_split_spmd was not selected"
+    cos = (np.asarray(got) * np.asarray(want)).sum(-1)
+    assert cos.min() > 0.999, cos.min()

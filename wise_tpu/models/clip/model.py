@@ -324,12 +324,22 @@ class ResidualAttentionBlock(nn.Module):
                 wo.astype(dt), bo.astype(dt),
                 self.heads, self.n_valid or s, self.causal_fused,
             )
-            from ...ops.block import _mlp_group
+            from ...ops.block import fused_mlp_split_spmd, mlp_choice
 
-            if (
-                os.environ.get("WISE_FUSED_MLP", "1") != "0"
-                and _mlp_group(b, s, self.width) is not None
-            ):
+            # MLP kernel selection (ops.block.mlp_choice): single
+            # whole-MLP kernel when both weights fit VMEM (width <= 768);
+            # else the two-kernel split pair (one weight resident each,
+            # one HBM round trip of the 4W intermediate) — either keeps
+            # the layer all-custom-call so no relayout copies appear.
+            choice = (
+                mlp_choice(b, s, self.width)
+                if os.environ.get("WISE_FUSED_MLP", "1") != "0" else None
+            )
+            if choice is not None:
+                mlp_impl = (
+                    fused_mlp_block_spmd if choice[0] == "single"
+                    else fused_mlp_split_spmd
+                )
                 ln2_s, ln2_b = _LNParams(self.width, name="ln_2")()
                 wfc, bfc = _DenseParams(self.width, 4 * self.width,
                                         name="mlp_fc")()
@@ -340,7 +350,7 @@ class ResidualAttentionBlock(nn.Module):
                     "quick_gelu" if act is True
                     else (act if isinstance(act, str) and act else "gelu")
                 )
-                return fused_mlp_block_spmd(
+                return mlp_impl(
                     x, ln2_s, ln2_b, wfc.astype(dt), bfc.astype(dt),
                     wproj.astype(dt), bproj.astype(dt), act_str,
                 )

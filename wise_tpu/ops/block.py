@@ -47,6 +47,31 @@ _EPS = 1e-5
 # weights alone are 9.4 MB at ViT-B width — gets a larger allowance that
 # assumes the resident weights are not double-buffered. Both budgets are
 # calibrated on hardware with scripts/bench_block_kernels.py.
+#
+# The analytic estimates below are deliberately CONSERVATIVE fallbacks for
+# shapes nobody has probed: round-3 hardware probes showed Mosaic's real
+# allocation is ~3x below these formulas (weights and f32 temporaries are
+# not double-buffered/live simultaneously), e.g. the L/14 attention block
+# at "est 24 MB" compiles and runs at 5.35 ms. Production tower shapes
+# therefore come from _CALIBRATED — per-(seq_pad, width) group choices
+# measured on the v5e (scripts/bench_block_kernels.py + the round-3 probe
+# session recorded in BENCHMARKS.md):
+#
+#   (56, 768)    ViT-B/32 @224: attn g=2 1.14 ms; single-MLP g=1 1.72 ms
+#   (200, 768)   ViT-B/16 @224: attn g=1 2.24 ms (g=2 2.41, g=4 2.49);
+#                single-MLP g=2 2.82 ms (split g=2 2.86)
+#   (264, 1024)  ViT-L/14 @224: attn g=2 5.35 ms (g=1 6.19);
+#                split-MLP g=2 6.75 ms (single g=1 6.94 — fc+proj 16.8 MB
+#                resident is over budget; split holds one 8.4 MB weight)
+#   (80, 512)    CLIP text B: formula picks (attn g=2, single g=4) —
+#                measured +41% end-to-end (21.6k vs 15.4k queries/s)
+_CALIBRATED_ATTN = {(56, 768): 2, (200, 768): 1, (264, 1024): 2}
+#: (seq_pad, width) -> ("single"|"split", group)
+_CALIBRATED_MLP = {
+    (56, 768): ("single", 1),
+    (200, 768): ("single", 2),
+    (264, 1024): ("split", 2),
+}
 _VMEM_BUDGET = 10_000_000
 _VMEM_BUDGET_MLP = 11_500_000
 _VMEM_LIMIT_BYTES = 100 * 1024 * 1024  # cap passed to Mosaic, not a target
@@ -147,6 +172,9 @@ def _attn_group(batch: int, seq_pad: int, width: int):
     sessions vs 1.24/1.35 at g=8 and 1.49/1.55 at g=4 (scripts/
     bench_block_kernels.py) — smaller blocks pipeline better here, so g=2
     leads whenever it fits."""
+    cal = _CALIBRATED_ATTN.get((seq_pad, width))
+    if cal is not None and batch % cal == 0:
+        return cal
     wbytes = 4 * width * width * 2
     for g in (2, 8, 4, 1):
         if batch % g:
@@ -165,9 +193,28 @@ def _attn_group(batch: int, seq_pad: int, width: int):
     return None
 
 
+def mlp_choice(batch: int, seq_pad: int, width: int):
+    """Production MLP-kernel selection: ("single"|"split", group) or None.
+    Calibrated shapes take their measured winner; others fall back to the
+    conservative single-then-split estimate chain."""
+    cal = _CALIBRATED_MLP.get((seq_pad, width))
+    if cal is not None and batch % cal[1] == 0:
+        return cal
+    g = _mlp_group(batch, seq_pad, width)
+    if g is not None:
+        return ("single", g)
+    g = _mlp_split_group(batch, seq_pad, width)
+    if g is not None:
+        return ("split", g)
+    return None
+
+
 def _mlp_group(batch: int, seq_pad: int, width: int):
     """Batch group for the MLP block: fc+proj weights resident (8D^2 bf16)
     + x/out blocks + the (G, SP, 4D) intermediate."""
+    cal = _CALIBRATED_MLP.get((seq_pad, width))
+    if cal is not None and cal[0] == "single" and batch % cal[1] == 0:
+        return cal[1]
     wbytes = 8 * width * width * 2
     for g in (8, 4, 2, 1):
         if batch % g:
@@ -432,6 +479,9 @@ def _proj_kernel(x_ref, h_ref, wproj_ref, bproj_ref, o_ref):
 
 
 def _mlp_split_group(batch: int, seq_pad: int, width: int):
+    cal = _CALIBRATED_MLP.get((seq_pad, width))
+    if cal is not None and cal[0] == "split" and batch % cal[1] == 0:
+        return cal[1]
     wbytes = 4 * width * width * 2
     for g in (8, 4, 2, 1):
         if batch % g:
@@ -489,3 +539,20 @@ def fused_mlp_split(
         interpret=interpret,
         compiler_params=params,
     )(x, h, wproj, bproj.reshape(1, -1))
+
+
+@functools.partial(custom_partitioning, static_argnums=(7,))
+def fused_mlp_split_spmd(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act):
+    return fused_mlp_split(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act=act)
+
+
+fused_mlp_split_spmd.def_partition(
+    infer_sharding_from_operands=_block_infer,
+    partition=_make_block_partition(
+        lambda x, ln_s, ln_b, wfc, bfc, wproj, bproj, **kw: fused_mlp_split(
+            x, ln_s, ln_b, wfc, bfc, wproj, bproj, **kw
+        ),
+        ("act",),
+    ),
+    sharding_rule="b s d, e, f, g h, i, j k, l -> b s d",
+)
