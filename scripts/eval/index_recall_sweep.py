@@ -56,6 +56,10 @@ def main():
     p.add_argument("--nprobes", type=int, nargs="+",
                    default=[8, 64, 256, 1024])
     p.add_argument("--pq-m", type=int, default=8)
+    p.add_argument("--pq-variant", choices=["plain", "opq", "both"],
+                   default="both",
+                   help="plain subspace PQ, the OPQ learned rotation "
+                        "(the production build default), or both")
     p.add_argument("--only", choices=["flat", "pq", "both"], default="both")
     p.add_argument("--out", default=None)
     args = p.parse_args()
@@ -211,14 +215,15 @@ def main():
 
     rt = roundtrip()
 
-    def timed(kernel, arrays, static):
+    def timed(kernel, arrays, static, queries=None):
         """p50 via 100 chained on-device iterations, measured roundtrip
         subtracted (a hardcoded 33 ms would skew results on any host whose
         readback latency differs from the dev tunnel's)."""
         st = tuple(sorted(static.items()))
-        np.asarray(_timing_loop(q, arrays, kernel, st))
+        qv = q if queries is None else queries
+        np.asarray(_timing_loop(qv, arrays, kernel, st))
         t0 = time.perf_counter()
-        np.asarray(_timing_loop(q, arrays, kernel, st))
+        np.asarray(_timing_loop(qv, arrays, kernel, st))
         return (time.perf_counter() - t0 - rt) / 100
 
     report = {"n": N, "d": D, "nlist": nlist, "topk": K,
@@ -243,7 +248,11 @@ def main():
         report["rows"].append(row)
         print(f"# {row}", file=sys.stderr)
 
-    # --- IVF-PQ sweep (codebooks trained on host from a residual sample)
+    # --- IVF-PQ sweep (codebooks trained on host from a residual sample).
+    # Variants: plain subspace PQ and the OPQ learned rotation — the
+    # production build default (feature_index._build_pq, opq=True). OPQ
+    # stores ROTATED centroids and rotates queries once at dispatch, so
+    # the search kernels are identical; this mirrors that exactly.
     M = args.pq_m
     cell_of_row = np.repeat(np.arange(nlist), lens)
 
@@ -256,8 +265,6 @@ def main():
         N, min(N, 100_000), replace=False
     )
     sample = np.asarray(resid[jnp.asarray(np.sort(sample_idx))])
-    books = train_pq(sample, M, 256)
-    books_d = jnp.asarray(books)
 
     @jax.jit
     def encode(resid, books_d):
@@ -274,23 +281,42 @@ def main():
 
         return jax.lax.map(blk, rp).reshape(-1, M)[:N]
 
-    codes = encode(resid, books_d)
     LPADQ = 128
-    pagedq, prowq, pfirstq, pcountq = device_paged(codes, LPADQ)
-    pfirstq_d, pcountq_d = jnp.asarray(pfirstq), jnp.asarray(pcountq)
-    for nprobe in args.nprobes if args.only in ("pq", "both") else []:
-        nprobe = min(nprobe, nlist)
-        budget = paged_budget(pcountq, nprobe)
-        chunk = default_chunk(LPADQ, D, budget)
+    variants = {"both": ("plain", "opq"), "plain": ("plain",),
+                "opq": ("opq",)}[args.pq_variant]
+    for variant in variants if args.only in ("pq", "both") else []:
+        if variant == "opq":
+            from wise_tpu.ops.pq import train_opq
 
-        arrays = (cents, pfirstq_d, pcountq_d, pagedq, prowq, books_d)
-        static = dict(nprobe=nprobe, budget=budget, chunk=chunk, k=K)
-        _, rows = ivfpq_search_paged(q, *arrays, **static)
-        row = {"index": f"IVF-PQ(M={M})", "nprobe": nprobe, **metrics(rows),
-               "ms_per_query": round(
-                   timed(ivfpq_search_paged, arrays, static) * 1e3, 3)}
-        report["rows"].append(row)
-        print(f"# {row}", file=sys.stderr)
+            t0 = time.time()
+            R, books = train_opq(sample, M, 256)
+            print(f"# train_opq: {time.time()-t0:.1f}s", file=sys.stderr)
+            R_d = jnp.asarray(R)
+            rot = jax.jit(lambda a: a @ R_d)
+            resid_v, cents_v, q_v = rot(resid), rot(cents), rot(q)
+            label = f"IVF-PQ(M={M},OPQ)"
+        else:
+            books = train_pq(sample, M, 256)
+            resid_v, cents_v, q_v = resid, cents, q
+            label = f"IVF-PQ(M={M})"
+        books_d = jnp.asarray(books)
+        codes = encode(resid_v, books_d)
+        pagedq, prowq, pfirstq, pcountq = device_paged(codes, LPADQ)
+        pfirstq_d, pcountq_d = jnp.asarray(pfirstq), jnp.asarray(pcountq)
+        for nprobe in args.nprobes:
+            nprobe = min(nprobe, nlist)
+            budget = paged_budget(pcountq, nprobe)
+            chunk = default_chunk(LPADQ, D, budget)
+
+            arrays = (cents_v, pfirstq_d, pcountq_d, pagedq, prowq, books_d)
+            static = dict(nprobe=nprobe, budget=budget, chunk=chunk, k=K)
+            _, rows = ivfpq_search_paged(q_v, *arrays, **static)
+            row = {"index": label, "nprobe": nprobe, **metrics(rows),
+                   "ms_per_query": round(
+                       timed(ivfpq_search_paged, arrays, static,
+                             queries=q_v) * 1e3, 3)}
+            report["rows"].append(row)
+            print(f"# {row}", file=sys.stderr)
 
     print(json.dumps(report, indent=2))
     # markdown table in the reference's column style
