@@ -38,6 +38,7 @@ def main():
 
     from wise_tpu.ops.block import (
         fused_attn_block,
+        fused_attn_block_padded,
         fused_mlp_block,
         fused_mlp_split,
     )
@@ -117,6 +118,12 @@ def main():
             ("mlpsplit", lambda xx, g=g: fused_mlp_split(
                 xx, ln_s, ln_b, wfc, bfc, wproj, bproj, act="gelu",
                 group=g), want_mlp),
+            # padded-head decomposition (non-lane-aligned head dims —
+            # ViT-H class); groups=(proj, resid), probed square here
+            ("attnpad", lambda xx, g=g: fused_attn_block_padded(
+                xx, ln_s, ln_b, wqkv, bqkv, wo, bo, heads=H,
+                n_valid=args.n_valid, causal=args.causal,
+                groups=(g, g)), want_attn),
         ):
             try:
                 got = fn(x)

@@ -196,3 +196,54 @@ def test_mlp_split_matches_xla(act):
     want = xla_mlp_block(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act)
     cos = _cos_rows(got, want)
     assert cos.min() > 0.999, cos.min()
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_attn_block_padded_matches_xla(causal):
+    """Padded-head decomposition (head_dim 80 — the ViT-H class, the
+    reference's default extract-features backbone) against the XLA block:
+    zero-padded 128-lane head slots must be numerically invisible."""
+    from wise_tpu.ops.block import fused_attn_block_padded
+
+    b, sp, d, heads, n_valid = 4, 16, 160, 2, 13  # head_dim 80
+    x = _mk((b, sp, d), 20, 1.0).astype(jnp.bfloat16)
+    ln_s = 1.0 + _mk((d,), 21)
+    ln_b = _mk((d,), 22)
+    wqkv, bqkv = _mk((d, 3 * d), 23), _mk((3 * d,), 24)
+    wo, bo = _mk((d, d), 25), _mk((d,), 26)
+    got = fused_attn_block_padded(
+        x, ln_s, ln_b, wqkv.astype(jnp.bfloat16), bqkv.astype(jnp.bfloat16),
+        wo.astype(jnp.bfloat16), bo.astype(jnp.bfloat16),
+        heads=heads, n_valid=n_valid, causal=causal, interpret=True,
+        groups=(1, 1),
+    )
+    want = xla_attn_block(x, ln_s, ln_b, wqkv, bqkv, wo, bo, heads,
+                          n_valid, causal)
+    assert got.shape == want.shape and got.dtype == want.dtype
+    cos = _cos_rows(got[:, :n_valid], want[:, :n_valid])
+    assert cos.min() > 0.999, cos.min()
+
+
+def test_padded_gate_requires_calibration():
+    """supports_fused_block_padded only opens for hardware-calibrated
+    (seq_pad, width) shapes with a non-lane-aligned head dim."""
+    from wise_tpu.ops import block
+
+    assert not block.supports_fused_block_padded(
+        128, 264, 1280, 16, jnp.bfloat16
+    )  # not calibrated yet (populated by hardware probes)
+    try:
+        block._CALIBRATED_PAD[(264, 1280)] = (1, 1)
+        # still requires TPU backend + a kernel MLP choice on this shape
+        res = block.supports_fused_block_padded(
+            128, 264, 1280, 16, jnp.bfloat16
+        )
+        assert isinstance(res, bool)
+        # head_dim 64 shapes never take the padded path
+        block._CALIBRATED_PAD[(56, 768)] = (1, 1)
+        assert not block.supports_fused_block_padded(
+            512, 56, 768, 12, jnp.bfloat16
+        )
+    finally:
+        block._CALIBRATED_PAD.pop((264, 1280), None)
+        block._CALIBRATED_PAD.pop((56, 768), None)

@@ -190,3 +190,44 @@ def test_split_mlp_fallback_selected(force_fused_block, monkeypatch):
     assert calls, "fused_mlp_split_spmd was not selected"
     cos = (np.asarray(got) * np.asarray(want)).sum(-1)
     assert cos.min() > 0.999, cos.min()
+
+
+@pytest.fixture
+def force_fused_block_padded(monkeypatch):
+    """Open the padded-head gate (head_dim 80 class) and run every kernel
+    in interpret mode."""
+    from wise_tpu.ops import block
+
+    monkeypatch.setattr(
+        block, "supports_fused_block_padded",
+        lambda b, sp, w, h, dt: jnp.dtype(dt) == jnp.bfloat16
+        and (w // h) % 64 != 0 and (w // h) < 128 and sp % 8 == 0,
+    )
+    # the orchestrator forwards interpret= to every sub-kernel, so one
+    # patch covers the LN-matmul/attention/residual-matmul chain
+    monkeypatch.setattr(
+        block, "fused_attn_block_padded",
+        functools.partial(block.fused_attn_block_padded, interpret=True),
+    )
+    monkeypatch.setattr(
+        block, "fused_mlp_block",
+        functools.partial(block.fused_mlp_block, interpret=True),
+    )
+
+
+def test_vith_class_padded_block(force_fused_block_padded):
+    """A head_dim-80 tower (the ViT-H/xlm-roberta class — the reference's
+    default backbone, reference extract-features.py:195-207) takes the
+    padded-head all-kernel path and matches the XLA tower."""
+    from wise_tpu.models.clip.model import CLIP
+
+    kw = dict(vision_width=160, vision_heads=2)  # head_dim 80
+    cfg_x = _tiny_cfg(dtype=jnp.bfloat16, **kw)
+    cfg_f = _tiny_cfg(dtype=jnp.bfloat16, fused_block=True, **kw)
+    imgs = jax.random.normal(jax.random.PRNGKey(3), (8, 64, 64, 3))
+    toks = jnp.zeros((1, 16), jnp.int32)
+    params = CLIP(cfg_x).init(jax.random.PRNGKey(0), imgs[:1], toks)
+    want = CLIP(cfg_x).apply(params, imgs, method="encode_image")
+    got = CLIP(cfg_f).apply(params, imgs, method="encode_image")
+    cos = (np.asarray(got) * np.asarray(want)).sum(-1)
+    assert cos.min() > 0.999, cos.min()

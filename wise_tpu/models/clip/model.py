@@ -289,18 +289,27 @@ class ResidualAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None):
         from ...ops.block import (
+            fused_attn_block_padded_spmd,
             fused_attn_block_spmd,
             fused_mlp_block_spmd,
             supports_fused_block,
+            supports_fused_block_padded,
         )
 
         b, s = x.shape[0], x.shape[1]
-        if (
-            self.fused_block
-            and (mask is None or self.causal_fused)
-            and supports_fused_block(b, s, self.width, self.heads,
-                                     jnp.dtype(self.dtype))
-        ):
+        attn_impl = None
+        if self.fused_block and (mask is None or self.causal_fused):
+            if supports_fused_block(b, s, self.width, self.heads,
+                                    jnp.dtype(self.dtype)):
+                attn_impl = fused_attn_block_spmd
+            elif supports_fused_block_padded(b, s, self.width, self.heads,
+                                             jnp.dtype(self.dtype)):
+                # head_dim 72/80/88/104 towers (ViT-H/14 class — the
+                # reference's default backbone): zero-padded 128-lane head
+                # slots, five-kernel decomposition (ops/block.py padded
+                # section). Calibration-gated like the monolithic path.
+                attn_impl = fused_attn_block_padded_spmd
+        if attn_impl is not None:
             import os
 
             # Both halves of the layer run as Pallas kernels (same
@@ -319,7 +328,7 @@ class ResidualAttentionBlock(nn.Module):
             ln1_s, ln1_b = _LNParams(self.width, name="ln_1")()
             (wqkv, bqkv), (wo, bo) = _MHAParams(self.width, name="attn")()
             dt = self.dtype
-            x = fused_attn_block_spmd(
+            x = attn_impl(
                 x, ln1_s, ln1_b, wqkv.astype(dt), bqkv.astype(dt),
                 wo.astype(dt), bo.astype(dt),
                 self.heads, self.n_valid or s, self.causal_fused,
@@ -527,10 +536,30 @@ class VisionTransformer(nn.Module):
         # head see only real tokens. The per-call shape gate lives in
         # MultiHeadAttention (e.g. batch-1 query embeds fall back to the
         # masked XLA path with identical results).
+        from ...ops.block import (
+            supports_fused_block,
+            supports_fused_block_padded,
+        )
+
+        sp8 = ((n_tokens + 7) // 8) * 8
         fused = bool(
             (c.fused_attention or c.fused_block)
             and jnp.dtype(c.dtype) == jnp.bfloat16
-            and c.vision_width // c.vision_heads == 64
+            and (
+                c.vision_width // c.vision_heads == 64
+                # head_dim 80 (ViT-H class — the reference's default
+                # backbone): pad the token axis only when a calibrated
+                # block path will actually consume it (monolithic kernel
+                # via _CALIBRATED_ATTN, or the padded-head fallback),
+                # else stay on the unpadded XLA path
+                or (c.fused_block and (
+                    supports_fused_block(
+                        x.shape[0], sp8, c.vision_width, c.vision_heads,
+                        c.dtype)
+                    or supports_fused_block_padded(
+                        x.shape[0], sp8, c.vision_width, c.vision_heads,
+                        c.dtype)))
+            )
         )
         n_valid = None
         if fused:

@@ -68,9 +68,15 @@ def supports_fused(batch: int, seq_pad: int, width: int, heads: int,
         and width % heads == 0
         # head dim 64 only: ViT-B/L/SigLIP all win (4.1x/3.1x/3.3x over
         # the XLA middle). head_dim 80 (ViT-H) won standalone (2.1x) but
-        # measured 38% SLOWER in the full model at every group size —
-        # the 80-wide lane slices force relayouts around the custom call
-        # that the isolated probe never paid; gated off until understood
+        # measured 38% SLOWER in the full model at every group size.
+        # Round 3 identified the cause: the XLA<->Pallas boundary
+        # relayout tax (BENCHMARKS.md round-3 section) — XLA assigns its
+        # surrounding GEMMs non-default layouts, so every custom-call
+        # boundary pays a transposing copy of the activation stream.
+        # ViT-H therefore runs the ALL-KERNEL block path instead
+        # (ops/block.py, calibrated (264, 1280) entry: attn block 3.41 ms
+        # vs 7.09 XLA standalone), which has no boundary to tax; this
+        # lone-middle kernel stays hd-64 where the hybrid is proven.
         and width // heads == 64
         and seq_pad % 8 == 0
         and batch > 0
@@ -81,6 +87,9 @@ def supports_fused(batch: int, seq_pad: int, width: int, heads: int,
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, n_valid: int,
             scale: float, causal: bool):
+    # scale is 1/sqrt(TRUE head_dim) — for padded-head callers (head slots
+    # zero-padded to 128 lanes, ops/block.py padded path) the true head
+    # dim differs from d // heads, so the caller passes it explicitly.
     q = q_ref[:]                       # (GROUP, SP, D) bf16
     k = k_ref[:]
     v = v_ref[:]
@@ -110,17 +119,22 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, n_valid: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("heads", "n_valid", "causal", "interpret")
+    jax.jit,
+    static_argnames=("heads", "n_valid", "causal", "interpret", "scale"),
 )
 def fused_short_attention(
     q: jax.Array, k: jax.Array, v: jax.Array,
     heads: int, n_valid: int, causal: bool = False,
-    interpret: bool = False,
+    interpret: bool = False, scale: float | None = None,
 ) -> jax.Array:
     """q/k/v (B, SP, D) bf16 natural layout -> (B, SP, D). Key columns
     >= n_valid are masked (and, with ``causal``, columns > row — the text
     tower's autoregressive mask); query rows >= n_valid return garbage the
-    caller must not read. Gate with supports_fused() first."""
+    caller must not read. Gate with supports_fused() first.
+
+    ``scale`` overrides the default 1/sqrt(D/heads) — used by the
+    padded-head path (ops/block.py) where head slots are zero-padded to
+    128 lanes and the TRUE head dim is smaller than D // heads."""
     b, sp, d = q.shape
     hd = d // heads
     group = _pick_group(b, sp, d)
@@ -130,7 +144,8 @@ def fused_short_attention(
     return pl.pallas_call(
         functools.partial(
             _kernel, heads=heads, n_valid=n_valid,
-            scale=1.0 / np.sqrt(hd), causal=causal,
+            scale=scale if scale is not None else 1.0 / np.sqrt(hd),
+            causal=causal,
         ),
         grid=(b // group,),
         in_specs=[spec, spec, spec],

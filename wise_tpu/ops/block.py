@@ -65,12 +65,27 @@ _EPS = 1e-5
 #                resident is over budget; split holds one 8.4 MB weight)
 #   (80, 512)    CLIP text B: formula picks (attn g=2, single g=4) —
 #                measured +41% end-to-end (21.6k vs 15.4k queries/s)
-_CALIBRATED_ATTN = {(56, 768): 2, (200, 768): 1, (264, 1024): 2}
+#   (264, 1280)  ViT-H/14 @224 (head_dim 80 — the reference's DEFAULT
+#                extract-features backbone): attn g=2 3.41 ms vs XLA 7.09
+#                (g=1 3.49; the padded-head decomposition 5.04 — Mosaic
+#                handles the 80-wide lane slices in-kernel, so the
+#                monolithic kernel wins and hd!=64 is admitted via
+#                calibration below); split-MLP g=2 4.71 ms vs XLA 4.86
+#                (single g=1 4.94/g=2 5.33; wqkv+wo 13.1 MB resident
+#                compiles fine — the formulas' 3x margin again)
+#   (576, 1024)  SigLIP-384 (the reference's integration-test flagship):
+#                attn g=2 3.58 ms vs XLA 7.83 (g=1 4.00); split-MLP g=1
+#                3.86 / single g=2 3.97 vs XLA MLP 3.53 standalone —
+#                kernel MLP still wins end-to-end (boundary-tax rule)
+_CALIBRATED_ATTN = {(56, 768): 2, (200, 768): 1, (264, 1024): 2,
+                    (264, 1280): 2, (576, 1024): 2}
 #: (seq_pad, width) -> ("single"|"split", group)
 _CALIBRATED_MLP = {
     (56, 768): ("single", 1),
     (200, 768): ("single", 2),
     (264, 1024): ("split", 2),
+    (264, 1280): ("split", 2),
+    (576, 1024): ("split", 1),
 }
 _VMEM_BUDGET = 10_000_000
 _VMEM_BUDGET_MLP = 11_500_000
@@ -103,6 +118,8 @@ def _gelu_f32(h, act: str):
     proven Mosaic lowering here (erf/erfc are unimplemented; sigmoid/tanh
     primitives unprobed). exp saturates cleanly in f32 so the rewrites are
     stable at both tails."""
+    if act == "none":
+        return h
     if act == "quick_gelu":
         # sigmoid(z) = 1 / (1 + exp(-z))
         return h / (1.0 + jnp.exp(-1.702 * h))
@@ -243,10 +260,18 @@ def supports_fused_block(batch: int, seq_pad: int, width: int, heads: int,
     copies XLA inserts at every Pallas<->XLA boundary (~1.1 ms/layer),
     measured 38.2 vs 51.1 ms per production step end-to-end
     (scripts/bench_encoder_ab.py, round 3)."""
+    hd = width // heads if width % heads == 0 else 0
+    # head_dim 64 is admitted generally (the formula fallbacks hold);
+    # other head dims (80: ViT-H — the reference's default backbone)
+    # only via a hardware-calibrated (seq_pad, width) entry. The ViT-H
+    # probe showed Mosaic handles the 80-wide in-kernel lane slices fine
+    # (attn block 3.41 ms vs 7.09 XLA, BENCHMARKS.md round 3) — the
+    # round-2 "head_dim 80 is 38% slower" finding was the XLA<->Pallas
+    # boundary relayout tax, which all-kernel layers don't pay.
+    if hd == 0 or (hd != 64 and (seq_pad, width) not in _CALIBRATED_ATTN):
+        return False
     return (
         jnp.dtype(dtype) == jnp.bfloat16
-        and width % heads == 0
-        and width // heads == 64
         and width % 128 == 0
         and seq_pad % 8 == 0
         and batch > 0
@@ -539,6 +564,207 @@ def fused_mlp_split(
         interpret=interpret,
         compiler_params=params,
     )(x, h, wproj, bproj.reshape(1, -1))
+
+
+# ---------------------------------------------------------------------------
+# padded-head attention path for head_dim 72/80/88/104 towers. ViT-H/14 —
+# the reference's DEFAULT extract-features backbone
+# (reference extract-features.py:195-207, xlm-roberta-large-ViT-H-14) — has
+# head_dim 80: per-head lane slices land at 80-byte offsets, which Mosaic
+# relayouts (round-2 measured the monolithic kernel 38% slower end-to-end).
+# Remedy: pad each head slot to 128 lanes IN THE WEIGHTS (done on the
+# weight tensors at trace time, never on the activation stream):
+#
+#   q = LN1(x) @ wq_pad        (wq_pad (D, H*128), zero cols beyond hd)
+#   k, v likewise              (zero-padded K cols contribute 0 logits;
+#                               zero-padded V cols emit zero att cols)
+#   att = fused_short_attention(q, k, v)   (128-aligned head slices,
+#                               scale=1/sqrt(TRUE hd) passed explicitly)
+#   x = x + att @ wo_pad + bo  (wo_pad (H*128, D), zero ROWS at padding)
+#
+# Five Pallas calls + the split-MLP pair keep the layer all-custom-call,
+# so the XLA<->Pallas relayout tax (BENCHMARKS.md round-3 section) never
+# appears. Cost: the four attention-side GEMMs run at 128/hd times their
+# natural flops (1.6x for ViT-H).
+#
+# PROBE VERDICT (round 3, ViT-H shapes B=128 SP=264 D=1280): the padded
+# decomposition measured 5.04 ms vs the MONOLITHIC fused_attn_block's
+# 3.41 ms — Mosaic compiles the 80-wide in-kernel lane slices without
+# the feared relayouts, so the pad's 1.6x GEMM overhead never pays for
+# itself and ViT-H production uses the monolithic kernel via
+# _CALIBRATED_ATTN. This path is kept as a calibratable fallback for
+# shapes where unaligned slices DO blow up (populate _CALIBRATED_PAD
+# from a probe run to enable it; nothing enables it today).
+# ---------------------------------------------------------------------------
+
+#: (seq_pad, width) -> (proj_group, resid_group); populated from hardware
+#: probes (scripts/bench_block_kernels.py --padded).
+_CALIBRATED_PAD: dict = {}
+
+
+@functools.partial(
+    jax.jit, static_argnames=("act", "interpret", "group")
+)
+def fused_ln_matmul(
+    x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
+    w: jax.Array, b: jax.Array, act: str = "none",
+    interpret: bool = False, group: int = 1,
+) -> jax.Array:
+    """x (B, SP, D) bf16 -> act(LN(x) @ w + b) (B, SP, OW). The weight
+    rides resident in VMEM (constant-index block); OW is arbitrary."""
+    bt, sp, d = x.shape
+    ow = w.shape[1]
+    xspec = pl.BlockSpec((group, sp, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((group, sp, ow), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    ln = jnp.stack([ln_scale, ln_bias]).astype(jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_fc_kernel, act=act),
+        grid=(bt // group,),
+        in_specs=[xspec, const((2, d)), const((d, ow)), const((1, ow))],
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((bt, sp, ow), x.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bt * sp * d * ow,
+            bytes_accessed=bt * sp * (d + ow) * 2 + d * ow * 2,
+            transcendentals=0,
+        ),
+    )(x, ln, w, b.reshape(1, -1))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "group"))
+def fused_residual_matmul(
+    x: jax.Array, h: jax.Array, w: jax.Array, b: jax.Array,
+    interpret: bool = False, group: int = 1,
+) -> jax.Array:
+    """x (B, SP, D), h (B, SP, IW) -> x + h @ w + b (residual GEMM)."""
+    bt, sp, d = x.shape
+    iw = h.shape[2]
+    xspec = pl.BlockSpec((group, sp, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    hspec = pl.BlockSpec((group, sp, iw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _proj_kernel,
+        grid=(bt // group,),
+        in_specs=[xspec, hspec, const((iw, d)), const((1, d))],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((bt, sp, d), x.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bt * sp * iw * d,
+            bytes_accessed=bt * sp * (2 * d + iw) * 2 + iw * d * 2,
+            transcendentals=0,
+        ),
+    )(x, h, w, b.reshape(1, -1))
+
+
+def _pad_head_weights(wqkv, bqkv, wo, heads: int, hd: int, hp: int):
+    """Zero-pad per-head slots to hp lanes. All ops act on WEIGHT tensors
+    (cheap, off the activation stream; XLA hoists/fuses them)."""
+    d = wqkv.shape[0]
+
+    def slot(i):
+        w = wqkv[:, i * d:(i + 1) * d].reshape(d, heads, hd)
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, hp - hd)))
+        bb = bqkv[i * d:(i + 1) * d].reshape(heads, hd)
+        bb = jnp.pad(bb, ((0, 0), (0, hp - hd)))
+        return w.reshape(d, heads * hp), bb.reshape(heads * hp)
+
+    (wq, bq), (wk, bk), (wv, bv) = slot(0), slot(1), slot(2)
+    wo_pad = jnp.pad(
+        wo.reshape(heads, hd, d), ((0, 0), (0, hp - hd), (0, 0))
+    ).reshape(heads * hp, d)
+    return (wq, bq), (wk, bk), (wv, bv), wo_pad
+
+
+def supports_fused_block_padded(batch: int, seq_pad: int, width: int,
+                                heads: int, dtype) -> bool:
+    """Gate for the padded-head all-kernel path: hardware-calibrated
+    (seq_pad, width) shapes only — the padded decomposition was built for
+    head dims that are NOT lane-aligned (72/80/88/104), and enabling it
+    means the MLP must also run as kernels (mlp_choice), or the layer
+    reintroduces the boundary relayouts the path exists to avoid."""
+    if (seq_pad, width) not in _CALIBRATED_PAD:
+        return False
+    pg, rg = _CALIBRATED_PAD[(seq_pad, width)]
+    return (
+        jnp.dtype(dtype) == jnp.bfloat16
+        and width % heads == 0
+        and (width // heads) < 128
+        and (width // heads) % 64 != 0
+        and seq_pad % 8 == 0
+        and batch % pg == 0 and batch % rg == 0
+        and mlp_choice(batch, seq_pad, width) is not None
+        and jax.default_backend() == "tpu"
+    )
+
+
+def fused_attn_block_padded(
+    x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
+    wqkv: jax.Array, bqkv: jax.Array, wo: jax.Array, bo: jax.Array,
+    heads: int, n_valid: int, causal: bool = False,
+    interpret: bool = False, groups: tuple | None = None,
+) -> jax.Array:
+    """Same contract as fused_attn_block, for non-lane-aligned head dims.
+    ``groups`` = (proj_group, resid_group) overrides the calibration
+    (probe use)."""
+    from .attention import fused_short_attention
+
+    b, sp, d = x.shape
+    hd = d // heads
+    hp = 128
+    pg, rg = groups or _CALIBRATED_PAD.get((sp, d), (1, 1))
+    (wq, bq), (wk, bk), (wv, bv), wo_pad = _pad_head_weights(
+        wqkv, bqkv, wo, heads, hd, hp
+    )
+    q = fused_ln_matmul(x, ln_scale, ln_bias, wq, bq,
+                        group=pg, interpret=interpret)
+    k = fused_ln_matmul(x, ln_scale, ln_bias, wk, bk,
+                        group=pg, interpret=interpret)
+    v = fused_ln_matmul(x, ln_scale, ln_bias, wv, bv,
+                        group=pg, interpret=interpret)
+    att = fused_short_attention(
+        q, k, v, heads=heads, n_valid=n_valid, causal=causal,
+        scale=float(1.0 / np.sqrt(hd)), interpret=interpret,
+    )
+    return fused_residual_matmul(x, att, wo_pad, bo,
+                                 group=rg, interpret=interpret)
+
+
+@functools.partial(custom_partitioning, static_argnums=(7, 8, 9))
+def fused_attn_block_padded_spmd(x, ln_s, ln_b, wqkv, bqkv, wo, bo,
+                                 heads, n_valid, causal):
+    return fused_attn_block_padded(x, ln_s, ln_b, wqkv, bqkv, wo, bo,
+                                   heads=heads, n_valid=n_valid,
+                                   causal=causal)
+
+
+fused_attn_block_padded_spmd.def_partition(
+    infer_sharding_from_operands=_block_infer,
+    partition=_make_block_partition(
+        lambda x, ln_s, ln_b, wqkv, bqkv, wo, bo, **kw:
+        fused_attn_block_padded(x, ln_s, ln_b, wqkv, bqkv, wo, bo, **kw),
+        ("heads", "n_valid", "causal"),
+    ),
+    sharding_rule="b s d, e, f, g h, i, j k, l -> b s d",
+)
 
 
 @functools.partial(custom_partitioning, static_argnums=(7,))
