@@ -177,7 +177,52 @@ def bench_query_latency(roundtrip: float):
     return per_query, per_query_bf16, cpu
 
 
+def _wait_for_tpu(window_s: float = 1800.0, probe_timeout_s: float = 150.0):
+    """Gate on TPU availability before touching jax in-process.
+
+    The dev tunnel drops for stretches (CLAUDE.md); an in-process jax init
+    during an outage HANGS rather than erroring, which would wedge the
+    driver's bench run. Probe in a subprocess (killable), retrying within a
+    bounded window; return True once a trivial jit round-trips."""
+    import subprocess
+    import sys
+
+    probe = (
+        "import jax, jax.numpy as jnp, numpy as np;"
+        "np.asarray(jax.jit(lambda x: x + 1)(jnp.zeros((1,))))"
+    )
+    deadline = time.time() + window_s
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=probe_timeout_s,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        time.sleep(60)
+
+
 def main():
+    if not _wait_for_tpu():
+        print(
+            json.dumps(
+                {
+                    "metric": "frames embedded/sec/chip (ViT-B/32)",
+                    "value": None,
+                    "unit": "frames/s",
+                    "vs_baseline": None,
+                    "error": "TPU backend unavailable (axon tunnel down; "
+                    "probe retried for 30 min)",
+                }
+            )
+        )
+        raise SystemExit(1)
     roundtrip = _measure_roundtrip()
     fps = bench_tpu_vit(roundtrip, "bfloat16")
     torch_fps = bench_torch_cpu_vit()
