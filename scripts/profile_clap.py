@@ -12,10 +12,15 @@ real chip:
   attn       standalone WindowAttention at stage-1 shapes vs its GEMM floor
   floor      analytic bf16 GEMM floor of the whole tower at 200 TF/s
 
+--swin-ab additionally measures the full tower with the fused Swin
+window-attention kernel (ops/swin_attention.py, WISE_FUSED_SWIN=1) vs the
+XLA path back-to-back in one process (tunnel variance is day-scale, so
+interleaved A/B is the only trustworthy comparison — CLAUDE.md).
+
 Timing per CLAUDE.md: host-chained data-dependent iterations, one tiny
 readback, tunnel roundtrip subtracted.
 
-    python scripts/profile_clap.py [--batch 32] [--iters 10]
+    python scripts/profile_clap.py [--batch 32] [--iters 10] [--swin-ab]
 """
 
 import argparse
@@ -34,6 +39,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--swin-ab", action="store_true",
+                   help="A/B the fused Swin kernel on the full tower")
+    p.add_argument("--skip-stages", action="store_true",
+                   help="skip the per-stage truncation runs (4 compiles)")
     args = p.parse_args()
 
     import jax
@@ -96,14 +105,31 @@ def main():
     out["tower_ms"] = round(t_tower * 1e3, 2)
     out["segments_per_s"] = round(B / (t_mel + t_tower), 1)
 
-    # per-stage: truncate depths progressively
-    prev = 0.0
-    for n in range(1, 5):
-        cfg = dataclasses.replace(base, depths=tuple(base.depths[:n]),
-                                  num_heads=tuple(base.num_heads[:n]))
-        t = tower_time(cfg)
-        out[f"stage{n-1}_ms"] = round((t - prev) * 1e3, 2)
-        prev = t
+    if args.swin_ab:
+        # fresh encoder+jit per call -> the env gate is re-read at trace
+        # time; interleave twice to split drift from signal
+        import os
+
+        ab = []
+        for _ in range(2):
+            pair = {}
+            for flag in ("0", "1"):
+                os.environ["WISE_FUSED_SWIN"] = flag
+                pair[flag] = tower_time(base)
+            ab.append(pair)
+        os.environ["WISE_FUSED_SWIN"] = "0"
+        out["tower_xla_ms"] = [round(p["0"] * 1e3, 2) for p in ab]
+        out["tower_fused_swin_ms"] = [round(p["1"] * 1e3, 2) for p in ab]
+
+    if not args.skip_stages:
+        # per-stage: truncate depths progressively
+        prev = 0.0
+        for n in range(1, 5):
+            cfg = dataclasses.replace(base, depths=tuple(base.depths[:n]),
+                                      num_heads=tuple(base.num_heads[:n]))
+            t = tower_time(cfg)
+            out[f"stage{n-1}_ms"] = round((t - prev) * 1e3, 2)
+            prev = t
 
     # analytic GEMM floor of the tower (bf16 ~200 TF/s)
     flops = 0
