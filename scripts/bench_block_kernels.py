@@ -110,14 +110,24 @@ def main():
         for name, fn, want in (
             ("attn", lambda xx, g=g: fused_attn_block(
                 xx, ln_s, ln_b, wqkv, bqkv, wo, bo, heads=H,
-                n_valid=args.n_valid, causal=args.causal, group=g),
-             want_attn),
+                n_valid=args.n_valid, causal=args.causal, group=g,
+                flat=False), want_attn),
+            ("attnflat", lambda xx, g=g: fused_attn_block(
+                xx, ln_s, ln_b, wqkv, bqkv, wo, bo, heads=H,
+                n_valid=args.n_valid, causal=args.causal, group=g,
+                flat=True), want_attn),
             ("mlp", lambda xx, g=g: fused_mlp_block(
                 xx, ln_s, ln_b, wfc, bfc, wproj, bproj, act="gelu",
-                group=g), want_mlp),
+                group=g, flat=False), want_mlp),
+            ("mlpflat", lambda xx, g=g: fused_mlp_block(
+                xx, ln_s, ln_b, wfc, bfc, wproj, bproj, act="gelu",
+                group=g, flat=True), want_mlp),
             ("mlpsplit", lambda xx, g=g: fused_mlp_split(
                 xx, ln_s, ln_b, wfc, bfc, wproj, bproj, act="gelu",
-                group=g), want_mlp),
+                group=g, flat=False), want_mlp),
+            ("mlpsplitflat", lambda xx, g=g: fused_mlp_split(
+                xx, ln_s, ln_b, wfc, bfc, wproj, bproj, act="gelu",
+                group=g, flat=True), want_mlp),
             # padded-head decomposition (non-lane-aligned head dims —
             # ViT-H class); groups=(proj, resid), probed square here
             ("attnpad", lambda xx, g=g: fused_attn_block_padded(

@@ -70,8 +70,9 @@ def _cos_rows(a, b):
     return num / den
 
 
+@pytest.mark.parametrize("flat", [False, True])
 @pytest.mark.parametrize("causal", [False, True])
-def test_attn_block_matches_xla(causal):
+def test_attn_block_matches_xla(causal, flat):
     from wise_tpu.ops.block import fused_attn_block
 
     b, sp, d, heads, n_valid = 8, 56, 256, 4, 50
@@ -84,6 +85,7 @@ def test_attn_block_matches_xla(causal):
         x, ln_s, ln_b, wqkv.astype(jnp.bfloat16), bqkv.astype(jnp.bfloat16),
         wo.astype(jnp.bfloat16), bo.astype(jnp.bfloat16),
         heads=heads, n_valid=n_valid, causal=causal, interpret=True,
+        flat=flat,
     )
     want = xla_attn_block(x, ln_s, ln_b, wqkv, bqkv, wo, bo, heads,
                           n_valid, causal)
@@ -92,8 +94,9 @@ def test_attn_block_matches_xla(causal):
     assert cos.min() > 0.999, cos.min()
 
 
+@pytest.mark.parametrize("flat", [False, True])
 @pytest.mark.parametrize("act", ["gelu", "quick_gelu", "gelu_tanh"])
-def test_mlp_block_matches_xla(act):
+def test_mlp_block_matches_xla(act, flat):
     from wise_tpu.ops.block import fused_mlp_block
 
     b, sp, d = 8, 56, 256
@@ -105,7 +108,7 @@ def test_mlp_block_matches_xla(act):
     got = fused_mlp_block(
         x, ln_s, ln_b, wfc.astype(jnp.bfloat16), bfc.astype(jnp.bfloat16),
         wproj.astype(jnp.bfloat16), bproj.astype(jnp.bfloat16),
-        act=act, interpret=True,
+        act=act, interpret=True, flat=flat,
     )
     want = xla_mlp_block(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act)
     assert got.shape == want.shape and got.dtype == want.dtype
@@ -178,8 +181,9 @@ def test_spmd_rule_no_collectives(monkeypatch):
     assert cos.min() > 0.999, cos.min()
 
 
+@pytest.mark.parametrize("flat", [False, True])
 @pytest.mark.parametrize("act", ["gelu", "quick_gelu"])
-def test_mlp_split_matches_xla(act):
+def test_mlp_split_matches_xla(act, flat):
     from wise_tpu.ops.block import fused_mlp_split
 
     b, sp, d = 8, 56, 256
@@ -191,7 +195,7 @@ def test_mlp_split_matches_xla(act):
     got = fused_mlp_split(
         x, ln_s, ln_b, wfc.astype(jnp.bfloat16), bfc.astype(jnp.bfloat16),
         wproj.astype(jnp.bfloat16), bproj.astype(jnp.bfloat16),
-        act=act, interpret=True,
+        act=act, interpret=True, flat=flat,
     )
     want = xla_mlp_block(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act)
     cos = _cos_rows(got, want)

@@ -345,8 +345,11 @@ class ResidualAttentionBlock(nn.Module):
                 if os.environ.get("WISE_FUSED_MLP", "1") != "0" else None
             )
             if choice is not None:
+                # variants: single/split (+ "...flat": merged-row GEMMs
+                # inside the kernel — tile-exact row counts, ops/block.py)
                 mlp_impl = (
-                    fused_mlp_block_spmd if choice[0] == "single"
+                    fused_mlp_block_spmd
+                    if choice[0] in ("single", "singleflat")
                     else fused_mlp_split_spmd
                 )
                 ln2_s, ln2_b = _LNParams(self.width, name="ln_2")()

@@ -79,7 +79,14 @@ _EPS = 1e-5
 #                kernel MLP still wins end-to-end (boundary-tax rule)
 _CALIBRATED_ATTN = {(56, 768): 2, (200, 768): 1, (264, 1024): 2,
                     (264, 1280): 2, (576, 1024): 2}
-#: (seq_pad, width) -> ("single"|"split", group)
+#: (seq_pad, width) -> group at which the FLAT (merged (G*SP, D) rows)
+#: attention-block variant beat the 3-D batched GEMMs on hardware. When a
+#: shape's entry equals its _CALIBRATED_ATTN group, production runs flat.
+#: Motivation: bf16 VMEM tiles are 16 sublanes, so each (SP, D) GEMM in a
+#: batched group rounds SP up (56 -> 64 at ViT-B/32, ~14% wasted MXU
+#: rows); the merged row count G*SP can be tile-exact.
+_CALIBRATED_FLAT_ATTN: dict = {}
+#: (seq_pad, width) -> ("single"|"split"|"singleflat"|"splitflat", group)
 _CALIBRATED_MLP = {
     (56, 768): ("single", 1),
     (200, 768): ("single", 2),
@@ -141,6 +148,7 @@ def _gelu_f32(h, act: str):
 def _attn_block_kernel(
     x_ref, ln_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref, att_ref,
     *, heads: int, n_valid: int, scale: float, causal: bool,
+    flat: bool = False,
 ):
     x = x_ref[:]                              # (G, SP, D) bf16
     g, sp, d = x.shape
@@ -148,10 +156,21 @@ def _attn_block_kernel(
     y = _ln_f32(
         x.astype(jnp.float32), ln_ref[0, :], ln_ref[1, :]
     ).astype(x.dtype)
-    qkv = jax.lax.dot_general(
-        y, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if flat:
+        # 2-D GEMM over the merged (G*SP, D) rows: batched (SP, D) GEMMs
+        # pay sublane-tile rounding (bf16 tiles are 16 rows — SP=56 rounds
+        # to 64, ~14% wasted MXU rows at ViT-B/32 shapes) while the merged
+        # row count is tile-friendly; the reshape is a VMEM-local relayout
+        qkv = jax.lax.dot_general(
+            y.reshape(g * sp, d), wqkv_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(g, sp, 3 * d)
+    else:
+        qkv = jax.lax.dot_general(
+            y, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     qkv = (qkv + bqkv_ref[0, :]).astype(x.dtype)   # (G, SP, 3D)
     col = jax.lax.broadcasted_iota(jnp.int32, (g, sp, sp), 2)
     keep = col < n_valid
@@ -176,10 +195,17 @@ def _attn_block_kernel(
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).astype(att_ref.dtype)
-    out = jax.lax.dot_general(
-        att_ref[:], wo_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if flat:
+        out = jax.lax.dot_general(
+            att_ref[:].reshape(g * sp, d), wo_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(g, sp, d)
+    else:
+        out = jax.lax.dot_general(
+            att_ref[:], wo_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     o_ref[:] = x + (out + bo_ref[0, :]).astype(x.dtype)
 
 
@@ -230,7 +256,8 @@ def _mlp_group(batch: int, seq_pad: int, width: int):
     """Batch group for the MLP block: fc+proj weights resident (8D^2 bf16)
     + x/out blocks + the (G, SP, 4D) intermediate."""
     cal = _CALIBRATED_MLP.get((seq_pad, width))
-    if cal is not None and cal[0] == "single" and batch % cal[1] == 0:
+    if (cal is not None and cal[0] in ("single", "singleflat")
+            and batch % cal[1] == 0):
         return cal[1]
     wbytes = 8 * width * width * 2
     for g in (8, 4, 2, 1):
@@ -282,20 +309,27 @@ def supports_fused_block(batch: int, seq_pad: int, width: int, heads: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("heads", "n_valid", "causal", "interpret", "group"),
+    static_argnames=(
+        "heads", "n_valid", "causal", "interpret", "group", "flat"
+    ),
 )
 def fused_attn_block(
     x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     wqkv: jax.Array, bqkv: jax.Array, wo: jax.Array, bo: jax.Array,
     heads: int, n_valid: int, causal: bool = False,
     interpret: bool = False, group: int | None = None,
+    flat: bool | None = None,
 ) -> jax.Array:
     """x (B, SP, D) bf16 -> x + out_proj(MHA(LN(x))). Weights bf16
     (wqkv (D, 3D), wo (D, D)); LN params f32. Key columns >= n_valid are
     masked; padded query rows carry garbage the caller never reads (they
-    stay garbage through the residual, exactly like the XLA path)."""
+    stay garbage through the residual, exactly like the XLA path).
+    ``flat`` runs the QKV/out GEMMs on merged (G*SP, D) rows (see
+    _attn_block_kernel); default comes from the calibration table."""
     b, sp, d = x.shape
     group = group or _attn_group(b, sp, d)
+    if flat is None:
+        flat = _CALIBRATED_FLAT_ATTN.get((sp, d)) == group
     assert group is not None, "gate with supports_fused_block() first"
     xspec = pl.BlockSpec((group, sp, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -306,7 +340,7 @@ def fused_attn_block(
     return pl.pallas_call(
         functools.partial(
             _attn_block_kernel, heads=heads, n_valid=n_valid,
-            scale=1.0 / np.sqrt(d // heads), causal=causal,
+            scale=1.0 / np.sqrt(d // heads), causal=causal, flat=flat,
         ),
         grid=(b // group,),
         in_specs=[
@@ -334,36 +368,51 @@ def fused_attn_block(
 
 
 def _mlp_block_kernel(
-    x_ref, ln_ref, wfc_ref, bfc_ref, wproj_ref, bproj_ref, o_ref, *, act: str
+    x_ref, ln_ref, wfc_ref, bfc_ref, wproj_ref, bproj_ref, o_ref,
+    *, act: str, flat: bool = False,
 ):
     x = x_ref[:]                              # (G, SP, D) bf16
+    g, sp, d = x.shape
     y = _ln_f32(
         x.astype(jnp.float32), ln_ref[0, :], ln_ref[1, :]
     ).astype(x.dtype)
+    if flat:                                   # see _attn_block_kernel
+        y = y.reshape(g * sp, d)
+    dims = (((1,), (0,)), ((), ())) if flat else (((2,), (0,)), ((), ()))
     h = jax.lax.dot_general(
-        y, wfc_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        y, wfc_ref[:], dimension_numbers=dims,
         preferred_element_type=jnp.float32,
     )
     h = _gelu_f32(h + bfc_ref[0, :], act).astype(x.dtype)
     out = jax.lax.dot_general(
-        h, wproj_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        h, wproj_ref[:], dimension_numbers=dims,
         preferred_element_type=jnp.float32,
     )
+    if flat:
+        out = out.reshape(g, sp, d)
     o_ref[:] = x + (out + bproj_ref[0, :]).astype(x.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("act", "interpret", "group"))
+@functools.partial(
+    jax.jit, static_argnames=("act", "interpret", "group", "flat")
+)
 def fused_mlp_block(
     x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     wfc: jax.Array, bfc: jax.Array, wproj: jax.Array, bproj: jax.Array,
     act: str = "gelu", interpret: bool = False, group: int | None = None,
+    flat: bool | None = None,
 ) -> jax.Array:
     """x (B, SP, D) bf16 -> x + proj(gelu(fc(LN(x)))). wfc (D, 4D),
     wproj (4D, D) bf16; LN params f32; act in {gelu, quick_gelu,
-    gelu_tanh} (gelu computed in f32 inside the kernel)."""
+    gelu_tanh} (gelu computed in f32 inside the kernel). ``flat`` runs
+    the GEMMs on merged (G*SP, D) rows (see _attn_block_kernel);
+    default comes from the calibration table ("singleflat" variant)."""
     b, sp, d = x.shape
     ff = wfc.shape[1]
     group = group or _mlp_group(b, sp, d)
+    if flat is None:
+        cal = _CALIBRATED_MLP.get((sp, d))
+        flat = cal is not None and cal == ("singleflat", group)
     assert group is not None, "gate with supports_fused_block() first"
     xspec = pl.BlockSpec((group, sp, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -372,7 +421,7 @@ def fused_mlp_block(
     )
     ln = jnp.stack([ln_scale, ln_bias]).astype(jnp.float32)
     return pl.pallas_call(
-        functools.partial(_mlp_block_kernel, act=act),
+        functools.partial(_mlp_block_kernel, act=act, flat=flat),
         grid=(b // group,),
         in_specs=[
             xspec,
@@ -482,30 +531,48 @@ fused_mlp_block_spmd.def_partition(
 # ---------------------------------------------------------------------------
 
 
-def _fc_kernel(x_ref, ln_ref, wfc_ref, bfc_ref, h_ref, *, act: str):
+def _fc_kernel(x_ref, ln_ref, wfc_ref, bfc_ref, h_ref, *, act: str,
+               flat: bool = False):
     x = x_ref[:]
+    g, sp, d = x.shape
+    ff = wfc_ref.shape[1]
     y = _ln_f32(
         x.astype(jnp.float32), ln_ref[0, :], ln_ref[1, :]
     ).astype(x.dtype)
+    if flat:
+        y = y.reshape(g * sp, d)
+    dims = (((1,), (0,)), ((), ())) if flat else (((2,), (0,)), ((), ()))
     h = jax.lax.dot_general(
-        y, wfc_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        y, wfc_ref[:], dimension_numbers=dims,
         preferred_element_type=jnp.float32,
     )
-    h_ref[:] = _gelu_f32(h + bfc_ref[0, :], act).astype(x.dtype)
+    h = _gelu_f32(h + bfc_ref[0, :], act)
+    h_ref[:] = h.reshape(g, sp, ff).astype(x.dtype) if flat else h.astype(
+        x.dtype
+    )
 
 
-def _proj_kernel(x_ref, h_ref, wproj_ref, bproj_ref, o_ref):
+def _proj_kernel(x_ref, h_ref, wproj_ref, bproj_ref, o_ref,
+                 *, flat: bool = False):
     x = x_ref[:]
+    g, sp, d = x.shape
+    h = h_ref[:]
+    if flat:
+        h = h.reshape(g * sp, h.shape[2])
+    dims = (((1,), (0,)), ((), ())) if flat else (((2,), (0,)), ((), ()))
     out = jax.lax.dot_general(
-        h_ref[:], wproj_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        h, wproj_ref[:], dimension_numbers=dims,
         preferred_element_type=jnp.float32,
     )
+    if flat:
+        out = out.reshape(g, sp, d)
     o_ref[:] = x + (out + bproj_ref[0, :]).astype(x.dtype)
 
 
 def _mlp_split_group(batch: int, seq_pad: int, width: int):
     cal = _CALIBRATED_MLP.get((seq_pad, width))
-    if cal is not None and cal[0] == "split" and batch % cal[1] == 0:
+    if (cal is not None and cal[0] in ("split", "splitflat")
+            and batch % cal[1] == 0):
         return cal[1]
     wbytes = 4 * width * width * 2
     for g in (8, 4, 2, 1):
@@ -523,16 +590,22 @@ def _mlp_split_group(batch: int, seq_pad: int, width: int):
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("act", "interpret", "group"))
+@functools.partial(
+    jax.jit, static_argnames=("act", "interpret", "group", "flat")
+)
 def fused_mlp_split(
     x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     wfc: jax.Array, bfc: jax.Array, wproj: jax.Array, bproj: jax.Array,
     act: str = "gelu", interpret: bool = False, group: int | None = None,
+    flat: bool | None = None,
 ) -> jax.Array:
     """Same contract as fused_mlp_block, two-kernel variant."""
     b, sp, d = x.shape
     ff = wfc.shape[1]
     group = group or _mlp_split_group(b, sp, d)
+    if flat is None:
+        cal = _CALIBRATED_MLP.get((sp, d))
+        flat = cal is not None and cal == ("splitflat", group)
     assert group is not None
     xspec = pl.BlockSpec((group, sp, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -547,7 +620,7 @@ def fused_mlp_split(
         vmem_limit_bytes=_VMEM_LIMIT_BYTES,
     )
     h = pl.pallas_call(
-        functools.partial(_fc_kernel, act=act),
+        functools.partial(_fc_kernel, act=act, flat=flat),
         grid=(b // group,),
         in_specs=[xspec, const((2, d)), const((d, ff)), const((1, ff))],
         out_specs=hspec,
@@ -556,7 +629,7 @@ def fused_mlp_split(
         compiler_params=params,
     )(x, ln, wfc, bfc.reshape(1, -1))
     return pl.pallas_call(
-        _proj_kernel,
+        functools.partial(_proj_kernel, flat=flat),
         grid=(b // group,),
         in_specs=[xspec, hspec, const((ff, d)), const((1, d))],
         out_specs=xspec,
