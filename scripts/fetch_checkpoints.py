@@ -47,6 +47,9 @@ MSCLAP = {
     "2023": "https://huggingface.co/microsoft/msclap/resolve/main/CLAP_weights_2023.pth",
 }
 
+#: msclap's caption tokenizer is stock GPT2 (vocab.json + merges.txt)
+GPT2_TOKENIZER_BASE = "https://huggingface.co/gpt2/resolve/main/"
+
 # deterministic parity inputs: fixed seed images + the reference's own query
 # prompts (src/index/feature_search_index.py:24-28) and Kinetics-6 classes
 FIXTURE_SEED = 7
@@ -165,9 +168,18 @@ def main():
         variant = sys.argv[3] if len(sys.argv) > 3 else "four-datasets"
         d = root() / "clap" / version / variant
         fetch(MSCLAP[version], d / f"CLAP_weights_{version}.pth")
+        # GPT2 caption tokenizer assets (models/clap/tokenizer.py looks in
+        # the model dir, then the clap/ root)
+        for name in ("vocab.json", "merges.txt"):
+            fetch(GPT2_TOKENIZER_BASE + name, d / name)
+            if not (root() / "clap" / name).exists():
+                import shutil
+
+                shutil.copy(d / name, root() / "clap" / name)
         print(
-            "note: CLAP torch->flax conversion (HTSAT + GPT2 mapping) is "
-            "pending; the raw weights are staged for it."
+            "staged msclap weights + GPT2 tokenizer; the extractor "
+            "converts the .pth to flax params at first load "
+            "(models/clap/extractor.py + convert.py)."
         )
     else:
         print(__doc__)

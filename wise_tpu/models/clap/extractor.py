@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops.mel import log_mel_spectrogram
-from ..clip.tokenizer import HashTokenizer
 from ..feature_extractor import BucketPolicy, FeatureExtractor
 from .model import CLAP, get_clap_config
 
@@ -107,8 +106,13 @@ class ClapExtractor(FeatureExtractor):
                 rng, dummy_mel, dummy_tok, jnp.ones((1,), jnp.int32)
             )
 
-        self.tokenizer = HashTokenizer(
-            vocab_size=c.vocab_size, context_length=c.context_length
+        from .tokenizer import get_caption_tokenizer
+
+        # GPT2 byte-level BPE (msclap's caption tokenizer) when vocab.json +
+        # merges.txt are staged; deterministic hash fallback otherwise
+        self.tokenizer = get_caption_tokenizer(
+            ckpt_dir if ckpt_dir.exists() else None,
+            vocab_size=c.vocab_size, context_length=c.context_length,
         )
 
         in_rate = PIPELINE_SAMPLE_RATE
@@ -165,8 +169,14 @@ class ClapExtractor(FeatureExtractor):
         return np.asarray(out[:n], dtype=np.float32)
 
     def extract_text_features(self, text_query: List[str]) -> np.ndarray:
-        tokens = self.tokenizer(list(text_query))
-        lengths = (tokens != 0).sum(axis=1).astype(np.int32)
+        enc = self.tokenizer(list(text_query))
+        if isinstance(enc, tuple):
+            # GPT2 path: lengths come from the attention mask (pad id 0 is
+            # also a real token, '!', so counting nonzeros would miscount)
+            tokens, lengths = enc
+        else:
+            tokens = enc
+            lengths = (tokens != 0).sum(axis=1).astype(np.int32)
         n = tokens.shape[0]
         m = self._text_buckets.pick(n)
         if m != n:
