@@ -183,7 +183,11 @@ def _wait_for_tpu(window_s: float = 1800.0, probe_timeout_s: float = 150.0):
     The dev tunnel drops for stretches (CLAUDE.md); an in-process jax init
     during an outage HANGS rather than erroring, which would wedge the
     driver's bench run. Probe in a subprocess (killable), retrying within a
-    bounded window; return True once a trivial jit round-trips."""
+    bounded window. Returns (ok, diagnostic): a probe that HANGS looks like
+    a tunnel outage and retries the full window, but a probe that CRASHES
+    fast with the same error repeatedly is deterministic (jax misconfig,
+    broken install) — bail early and surface its stderr instead of burning
+    30 min to report a misleading 'tunnel down'."""
     import subprocess
     import sys
 
@@ -192,19 +196,29 @@ def _wait_for_tpu(window_s: float = 1800.0, probe_timeout_s: float = 150.0):
         "np.asarray(jax.jit(lambda x: x + 1)(jnp.zeros((1,))))"
     )
     deadline = time.time() + window_s
+    last_err, fast_fails = "", 0
     while True:
+        t0 = time.time()
         try:
             r = subprocess.run(
                 [sys.executable, "-c", probe],
                 timeout=probe_timeout_s,
-                capture_output=True,
+                capture_output=True, text=True,
             )
             if r.returncode == 0:
-                return True
+                return True, ""
+            err = (r.stderr or "").strip()[-500:]
+            if time.time() - t0 < 15 and err and err == last_err:
+                fast_fails += 1
+                if fast_fails >= 2:  # 3 identical fast crashes total
+                    return False, err
+            else:
+                fast_fails = 0
+            last_err = err
         except subprocess.TimeoutExpired:
-            pass
+            fast_fails = 0  # hang pattern: treat as tunnel outage
         if time.time() >= deadline:
-            return False
+            return False, last_err
         time.sleep(60)
 
 
@@ -218,7 +232,8 @@ def main():
     import subprocess
     import sys
 
-    if not _wait_for_tpu():
+    ok, diag = _wait_for_tpu()
+    if not ok:
         print(
             json.dumps(
                 {
@@ -226,12 +241,14 @@ def main():
                     "value": None,
                     "unit": "frames/s",
                     "vs_baseline": None,
-                    "error": "TPU backend unavailable (axon tunnel down; "
-                    "probe retried for 30 min)",
+                    "error": "TPU backend unavailable"
+                    + (f" (probe stderr: {diag})" if diag
+                       else " (axon tunnel down; probe retried for 30 min)"),
                 }
             )
         )
         raise SystemExit(1)
+    last_err = ""
     for attempt in (1, 2):
         try:
             r = subprocess.run(
@@ -239,12 +256,14 @@ def main():
                 timeout=2700, capture_output=True, text=True,
             )
         except subprocess.TimeoutExpired:
+            last_err = last_err or "(attempt timed out with no stderr)"
             continue
         if r.returncode == 0 and r.stdout.strip():
             print(r.stdout.strip().splitlines()[-1])
             return
-        if attempt == 2:
-            sys.stderr.write(r.stderr[-2000:])
+        if (r.stderr or "").strip():
+            last_err = r.stderr.strip()[-2000:]
+            sys.stderr.write(f"[bench attempt {attempt} stderr]\n{last_err}\n")
     print(
         json.dumps(
             {
@@ -253,7 +272,8 @@ def main():
                 "unit": "frames/s",
                 "vs_baseline": None,
                 "error": "bench subprocess failed/hung twice "
-                "(tunnel died mid-run?)",
+                "(tunnel died mid-run?); last stderr: "
+                + (last_err[-500:] or "none captured"),
             }
         )
     )

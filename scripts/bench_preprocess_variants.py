@@ -91,7 +91,9 @@ def main():
         return (x - mean_a) / std_a
 
     def v_gemm_bf16(frames):
-        x = crop(frames).astype(jnp.bfloat16) / np.float32(255.0)
+        # weak-typed scalar: a np.float32 divisor would promote x to f32
+        # and the first einsum would measure an f32xbf16 GEMM
+        x = crop(frames).astype(jnp.bfloat16) / 255.0
         x = jnp.einsum("Hh,bhwc->bHwc", wh.astype(jnp.bfloat16), x,
                        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
         x = jnp.einsum("wW,bHwc->bHWc", ww.astype(jnp.bfloat16), x,

@@ -110,6 +110,8 @@ def main():
         # time; interleave twice to split drift from signal
         import os
 
+        from wise_tpu.ops import swin_attention
+
         ab = []
         for _ in range(2):
             pair = {}
@@ -120,6 +122,14 @@ def main():
         os.environ["WISE_FUSED_SWIN"] = "0"
         out["tower_xla_ms"] = [round(p["0"] * 1e3, 2) for p in ab]
         out["tower_fused_swin_ms"] = [round(p["1"] * 1e3, 2) for p in ab]
+        # supports_fused_swin() falls back to XLA silently — assert the
+        # kernel actually traced, or the A/B above compared XLA to itself
+        out["fused_swin_engaged_traces"] = swin_attention.engaged_traces
+        if not swin_attention.engaged_traces:
+            out["fused_swin_engaged"] = False
+            out["WARNING"] = ("fused Swin kernel never engaged — the gate "
+                              "rejected every WindowAttention shape; the A/B "
+                              "columns are XLA vs XLA")
 
     if not args.skip_stages:
         # per-stage: truncate depths progressively

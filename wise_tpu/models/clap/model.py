@@ -129,11 +129,13 @@ class WindowAttention(nn.Module):
         if os.environ.get("WISE_FUSED_SWIN", "0") == "1":
             from ...ops.swin_attention import (
                 fused_window_attention,
+                note_engaged,
                 supports_fused_swin,
             )
 
             n_win = attn_mask.shape[0] if attn_mask is not None else None
             if supports_fused_swin(n, l, c, h, n_win, jnp.dtype(self.dtype)):
+                note_engaged()
                 from ..clip.model import _DenseParams
 
                 wqkv, bqkv = _DenseParams(c, 3 * c, name="qkv")()

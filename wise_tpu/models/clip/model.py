@@ -566,9 +566,8 @@ class VisionTransformer(nn.Module):
         )
         n_valid = None
         if fused:
-            sp = ((n_tokens + 7) // 8) * 8
-            if sp != n_tokens:
-                x = jnp.pad(x, ((0, 0), (0, sp - n_tokens), (0, 0)))
+            if sp8 != n_tokens:
+                x = jnp.pad(x, ((0, 0), (0, sp8 - n_tokens), (0, 0)))
             n_valid = n_tokens
         x = Transformer(
             c.vision_width, c.vision_layers, c.vision_heads,

@@ -668,6 +668,15 @@ def fused_mlp_split(
 # _CALIBRATED_ATTN. This path is kept as a calibratable fallback for
 # shapes where unaligned slices DO blow up (populate _CALIBRATED_PAD
 # from a probe run to enable it; nothing enables it today).
+#
+# KNOWN INEFFICIENCY baked into that 5.04 ms: the three q/k/v
+# fused_ln_matmul calls each re-read the (B, SP, D) block and re-run the
+# f32 LN (3x LN work + 3x activation reads vs the monolithic kernel's 1x).
+# Fixing it needs a packed-qkv fused_short_attention variant (one
+# (D, 3*H*128) GEMM, in-kernel q/k/v slots) — an XLA split between the
+# kernels would reintroduce the boundary copies this path exists to avoid.
+# Worth building only if a probe ever finds a shape where this path wins
+# DESPITE the triple-LN handicap.
 # ---------------------------------------------------------------------------
 
 #: (seq_pad, width) -> (proj_group, resid_group); populated from hardware
@@ -776,6 +785,8 @@ def supports_fused_block_padded(batch: int, seq_pad: int, width: int,
     reintroduces the boundary relayouts the path exists to avoid."""
     if (seq_pad, width) not in _CALIBRATED_PAD:
         return False
+    from .attention import _pick_group
+
     pg, rg = _CALIBRATED_PAD[(seq_pad, width)]
     return (
         jnp.dtype(dtype) == jnp.bfloat16
@@ -785,6 +796,10 @@ def supports_fused_block_padded(batch: int, seq_pad: int, width: int,
         and seq_pad % 8 == 0
         and batch % pg == 0 and batch % rg == 0
         and mlp_choice(batch, seq_pad, width) is not None
+        # the inner fused_short_attention runs on the PADDED width
+        # (heads * 128 lanes); a calibrated entry whose padded working set
+        # can't tile VMEM must fall back to XLA, not crash at trace
+        and _pick_group(batch, seq_pad, heads * 128) is not None
         and jax.default_backend() == "tpu"
     )
 

@@ -32,6 +32,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 _VMEM_BUDGET = 10_000_000
 
+#: Trace-time engagement counter, bumped by the caller (models/clap/model.py)
+#: each time a WindowAttention trace takes the fused branch. A/B harnesses
+#: (scripts/profile_clap.py --swin-ab) read it to assert the kernel really
+#: engaged — supports_fused_swin() falls back to XLA silently, so without
+#: this a "no win" verdict could be XLA compared against itself.
+engaged_traces = 0
+
+
+def note_engaged() -> None:
+    global engaged_traces
+    engaged_traces += 1
+
 
 def swin_group(batch: int, seq: int, width: int, heads: int,
                n_win: int | None):
