@@ -536,10 +536,7 @@ class FeatureSearchIndex(SearchIndex):
         if self._mesh is not None:
             from ..parallel.sharded_search import sharded_scan_topk
 
-            return sharded_scan_topk(
-                self._mesh, qvec, db, n_valid, k,
-                block_rows=self.config.scan_block_rows,
-            )
+            return sharded_scan_topk(self._mesh, qvec, db, n_valid, k)
         vals, idx = flat_topk(qvec, db, n_valid=n_valid, k=k, group=self.GROUP)
         return np.asarray(vals), np.asarray(idx)
 
@@ -673,7 +670,8 @@ class FeatureSearchIndex(SearchIndex):
         pg = self._pq_sharded
         nlist = centroids.shape[0]
         nprobe = min(int(nprobe), nlist)
-        budget, chunk = self._sharded_paged_plan(pg, nprobe)
+        budget, chunk = self._sharded_paged_plan(
+            pg, nprobe, nq=qvec.shape[0], pq=True)
         vals, rows = sharded_ivfpq_paged_topk(
             self._mesh, qvec.astype(np.float32), centroids, pg,
             pg["codebooks"],
@@ -693,10 +691,14 @@ class FeatureSearchIndex(SearchIndex):
             cast_bf16=cast_bf16 and self.config.storage_dtype == "bfloat16",
         )
 
-    def _sharded_paged_plan(self, pg, nprobe):
+    def _sharded_paged_plan(self, pg, nprobe, nq=1, pq=False):
         from ..parallel.sharded_search import sharded_paged_plan
 
-        return sharded_paged_plan(pg, nprobe, int(self._metadata["dim"]))
+        dim = int(self._metadata["dim"])
+        # the PQ ADC's per-row one-hot is ksub (<=256) f32 wide — budget on
+        # whichever buffer dominates (default_chunk docstring)
+        return sharded_paged_plan(pg, nprobe, max(dim, 256) if pq else dim,
+                                  nq=nq)
 
     def _ensure_paged(self, attr, array_name, lpad, cast_bf16):
         """Device-resident paged layout (ops/ivf_paged.py) over the
@@ -724,12 +726,14 @@ class FeatureSearchIndex(SearchIndex):
             })
         return getattr(self, attr)
 
-    def _paged_plan(self, pg, nprobe):
+    def _paged_plan(self, pg, nprobe, nq=1, pq=False):
         from ..ops.ivf_paged import default_chunk, paged_budget
 
         budget = paged_budget(pg["page_count_host"], nprobe)
         lpad = pg["paged"].shape[1]
-        chunk = default_chunk(lpad, int(self._metadata["dim"]), budget)
+        dim = int(self._metadata["dim"])
+        chunk = default_chunk(lpad, max(dim, 256) if pq else dim, budget,
+                              nq=nq)
         return budget, chunk
 
     def _search_ivfpq_device(self, qvec, topk, nprobe):
@@ -749,7 +753,8 @@ class FeatureSearchIndex(SearchIndex):
             )
         nlist = centroids.shape[0]
         nprobe = min(int(nprobe), nlist)
-        budget, chunk = self._paged_plan(pg, nprobe)
+        budget, chunk = self._paged_plan(pg, nprobe, nq=qvec.shape[0],
+                                         pq=True)
         vals, rows = ivfpq_search_paged(
             qvec.astype(np.float32), centroids,
             pg["page_first"], pg["page_count"], pg["paged"], pg["page_rows"],
@@ -860,7 +865,8 @@ class FeatureSearchIndex(SearchIndex):
         pg = self._ivf_sharded_pg
         nlist = centroids.shape[0]
         nprobe = min(int(nprobe), nlist)
-        budget, chunk = self._sharded_paged_plan(pg, nprobe)
+        budget, chunk = self._sharded_paged_plan(pg, nprobe,
+                                                 nq=qvec.shape[0])
         vals, rows = sharded_ivf_paged_topk(
             self._mesh, qvec.astype(np.float32), centroids, pg,
             nprobe=nprobe, k=int(topk), chunk=chunk, budget=budget,
@@ -876,7 +882,7 @@ class FeatureSearchIndex(SearchIndex):
         )
         nlist = centroids_dev.shape[0]
         nprobe = min(int(nprobe), nlist)
-        budget, chunk = self._paged_plan(pg, nprobe)
+        budget, chunk = self._paged_plan(pg, nprobe, nq=qvec.shape[0])
         vals, rows = ivf_search_paged(
             qvec.astype(np.float32), centroids_dev,
             pg["page_first"], pg["page_count"], pg["paged"], pg["page_rows"],

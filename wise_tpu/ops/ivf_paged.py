@@ -91,11 +91,17 @@ def paged_budget(page_count: np.ndarray, nprobe: int) -> int:
     return max(1, int(c[: int(nprobe)].sum()))
 
 
-def default_chunk(lpad: int, width: int, budget: int,
+def default_chunk(lpad: int, width: int, budget: int, nq: int = 1,
                   target_bytes: int = 32 << 20) -> int:
-    """Pages per scan step such that the per-step f32 score buffer stays
-    around ``target_bytes`` (the gather + matmul still saturate HBM)."""
-    per_page = lpad * max(width, 1) * 4
+    """Pages per scan step such that the per-step f32 working buffer stays
+    around ``target_bytes`` (the gather + matmul still saturate HBM).
+
+    The scan bodies materialise PER-QUERY buffers — flat gathers
+    (Q, chunk, lpad, width) and the PQ ADC builds a (Q, chunk*lpad, ksub)
+    one-hot — so the chunk must shrink with the query batch or a Q=512
+    batch allocates Q x target_bytes per step and OOMs HBM. PQ callers
+    pass width=max(D, ksub) so the one-hot is covered when D < ksub."""
+    per_page = lpad * max(width, 1) * 4 * max(int(nq), 1)
     return max(1, min(budget, target_bytes // per_page))
 
 
@@ -349,7 +355,7 @@ def shard_paged_layout(layout: dict, ndev: int) -> dict:
         first_sh[dev, c0:c1] = (page_first[c0:c1] - base).astype(np.int32)
         npages = int(page_count[c0:c1].sum())
         chip_pages.append((base, npages))
-    t_max = max(np for _, np in chip_pages)
+    t_max = max(cnt for _, cnt in chip_pages)
 
     paged_sh = np.zeros((ndev, t_max + 1, lpad, w), paged.dtype)
     rows_sh = np.full((ndev, t_max + 1, lpad), -1, np.int32)

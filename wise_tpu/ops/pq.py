@@ -37,6 +37,10 @@ def encode_pq(residuals: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     """-> codes (N, M) uint8 (nearest codebook entry per subspace, L2)."""
     n, d = residuals.shape
     m, ksub, dsub = codebooks.shape
+    if ksub > 256:
+        # uint8 codes would wrap indices >= 256 and silently corrupt the
+        # index; 8-bit books are the only storage format (.widx) supports
+        raise ValueError(f"ksub={ksub} > 256 cannot encode as uint8 codes")
     codes = np.empty((n, m), dtype=np.uint8)
     for i in range(m):
         sub = residuals[:, i * dsub : (i + 1) * dsub]

@@ -1,7 +1,7 @@
 """Multi-chip sharded inner-product top-k.
 
 The database rows are sharded over the mesh 'dp' axis (each chip holds an
-HBM-resident shard). Each chip runs the streaming block scan on its shard,
+HBM-resident shard). Each chip runs one fused matmul + top_k over its shard,
 then per-shard top-k candidates are all-gathered over ICI and merged — the
 TPU-native equivalent of faiss's single-node OpenMP scan (see SURVEY.md §2b).
 
@@ -19,10 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.topk import scan_topk
 
-
-def _shard_body(q, db_shard, n_total, k: int, block_rows: int, axis: str):
+def _shard_body(q, db_shard, n_total, k: int, axis: str):
     """Runs per-chip under shard_map; db_shard is this chip's rows. One fused
     matmul + top_k over the shard (HBM-bandwidth-bound; the merge across
     chips happens on the gathered (ndev, Q, k) candidates)."""
@@ -48,30 +46,14 @@ def _shard_body(q, db_shard, n_total, k: int, block_rows: int, axis: str):
     k_local = min(k, shard_rows)
     vals, idx = jax.lax.top_k(scores, k_local)
     idx = idx + my * shard_rows  # local row -> global row
-    all_vals = jax.lax.all_gather(vals, axis)  # (ndev, Q, k)
-    all_idx = jax.lax.all_gather(idx, axis)
-    ndev = all_vals.shape[0]
-    q_n = all_vals.shape[1]
-    flat_vals = jnp.moveaxis(all_vals, 0, 1).reshape(q_n, ndev * k_local)
-    flat_idx = jnp.moveaxis(all_idx, 0, 1).reshape(q_n, ndev * k_local)
-    # sort ties by (score desc, global index asc): top_k prefers first
-    # occurrence, so pre-sort each row by index via stable ordering trick:
-    # shards are concatenated in device order == ascending global index, so
-    # first occurrence already is the lowest index.
-    top_vals, pos = jax.lax.top_k(flat_vals, k)
-    top_idx = jnp.take_along_axis(flat_idx, pos, axis=1)
-    return top_vals, top_idx
+    return _merge_gathered_topk(vals, idx, k, axis)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("mesh", "k", "block_rows", "n_total")
-)
-def _sharded_scan(mesh: Mesh, q, db, n_total: int, k: int, block_rows: int):
+@functools.partial(jax.jit, static_argnames=("mesh", "k", "n_total"))
+def _sharded_scan(mesh: Mesh, q, db, n_total: int, k: int):
     from jax import shard_map
 
-    body = functools.partial(
-        _shard_body, n_total=n_total, k=k, block_rows=block_rows, axis="dp"
-    )
+    body = functools.partial(_shard_body, n_total=n_total, k=k, axis="dp")
     return shard_map(
         body,
         mesh=mesh,
@@ -87,17 +69,13 @@ def sharded_scan_topk(
     db_sharded,
     n_total: int,
     k: int,
-    block_rows: int = 4096,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """queries (Q,D) replicated; db_sharded (N_pad, D) with rows sharded over
     'dp' (N_pad a multiple of mesh dp size; rows >= n_total are padding).
     Returns host numpy (scores, global_row_indices)."""
     q = jnp.asarray(queries, dtype=jnp.float32)
-    ndev = mesh.shape["dp"]
     k_eff = min(k, n_total)
-    vals, idx = _sharded_scan(
-        mesh, q, db_sharded, int(n_total), int(k_eff), int(block_rows)
-    )
+    vals, idx = _sharded_scan(mesh, q, db_sharded, int(n_total), int(k_eff))
     return np.asarray(vals), np.asarray(idx)
 
 
@@ -259,14 +237,14 @@ def build_sharded_paged(mesh: Mesh, data, cell_offsets, lpad: int,
     return shard_paged_to_device(mesh, sh, cast_bf16=cast_bf16)
 
 
-def sharded_paged_plan(pg: dict, nprobe: int, dim: int):
+def sharded_paged_plan(pg: dict, nprobe: int, dim: int, nq: int = 1):
     """Static (budget, chunk) shared by every chip: budget is the worst
     chip's worst case (one static value for SPMD)."""
     from ..ops.ivf_paged import default_chunk, paged_budget
 
     budget = max(paged_budget(row, nprobe) for row in pg["page_count_host"])
     lpad = pg["paged"].shape[1]
-    return budget, default_chunk(lpad, int(dim), budget)
+    return budget, default_chunk(lpad, int(dim), budget, nq=nq)
 
 
 def shard_paged_to_device(mesh: Mesh, sharded_layout: dict,
