@@ -11,6 +11,7 @@ media Range, storyboard, featured, report).
 
 import argparse
 import json
+import shutil
 import sys
 import tempfile
 import threading
@@ -30,12 +31,24 @@ def main():
                    help="defaults to --feature-id, or a random extractor when "
                         "--feature-id is image-only (CLIP)")
     p.add_argument("--keep", default=None, help="keep the project under DIR")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (JAX_PLATFORMS env is "
+                        "overridden by the axon sitecustomize; only "
+                        "jax.config.update before first device use works)")
     args = p.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     t_start = time.time()
 
     from media_fixtures import make_av, make_image, make_video, make_wav
 
     root = Path(args.keep or tempfile.mkdtemp())
+    if args.keep and root.exists():
+        # a stale kept project would resume (checksum skip) and report 0
+        # NEW vectors — wipe it so the smoke always measures a full run
+        shutil.rmtree(root)
     media = root / "media"
     media.mkdir(parents=True, exist_ok=True)
     make_video(media / "frying-vegetables.mp4", seconds=10, fps=10)

@@ -1,0 +1,178 @@
+"""Cross-request query coalescing (api/coalesce.py).
+
+The reference has no serving-side batching at all — every FastAPI request
+runs its own batch-1 text embed + faiss search (routes.py:1395-1442). The
+engine micro-batches both device choke points across concurrent requests;
+these tests pin (a) the leader/follower protocol's correctness under
+concurrency, (b) that batching actually emerges, and (c) that coalesced
+responses are bit-identical to the uncoalesced path, including mixed
+per-request k in one batch.
+"""
+
+import copy
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import pytest
+
+from tests.media_fixtures import make_video
+from wise_tpu.api.coalesce import Coalescer, pad_pow2
+from wise_tpu.api.engine import SearchEngine
+from wise_tpu.cli.create_index import main as create_index_main
+from wise_tpu.data_models import MediaType
+from wise_tpu.pipeline import extract_features
+
+
+# ---------------------------------------------------------------------------
+# Coalescer unit behaviour
+# ---------------------------------------------------------------------------
+
+def test_concurrent_correctness():
+    co = Coalescer(lambda xs: [x * 2 for x in xs], max_batch=8)
+    with ThreadPoolExecutor(16) as pool:
+        results = list(pool.map(co.submit, range(64)))
+    assert results == [x * 2 for x in range(64)]
+    assert co.num_items == 64
+    assert co.num_batches <= 64
+
+
+def test_batching_emerges_under_a_slow_batch_fn():
+    def slow(xs):
+        time.sleep(0.05)
+        return xs
+
+    co = Coalescer(slow, max_batch=16)
+    with ThreadPoolExecutor(16) as pool:
+        list(pool.map(co.submit, range(32)))
+    # 32 sequential dispatches would take 1.6 s; followers queue behind the
+    # first leader's sleep, so far fewer batches run.
+    assert co.num_batches < 32
+    assert co.max_seen_batch > 1
+    assert co.num_items == 32
+
+
+def test_forced_single_batch_and_max_batch_cap():
+    co = Coalescer(lambda xs: xs, max_batch=4)
+    pool = ThreadPoolExecutor(6)
+    co._exec.acquire()  # hold the device: submitters can only queue
+    try:
+        futs = [pool.submit(co.submit, i) for i in range(6)]
+        for _ in range(200):
+            if len(co._queue) == 6:
+                break
+            time.sleep(0.01)
+        assert len(co._queue) == 6
+    finally:
+        co._exec.release()
+    assert sorted(f.result() for f in futs) == list(range(6))
+    pool.shutdown()
+    # 6 queued items with cap 4 -> batches of 4 then 2
+    assert co.num_batches == 2
+    assert co.max_seen_batch == 4
+
+
+def test_exception_propagates_to_every_waiter():
+    def boom(xs):
+        raise ValueError("bad batch")
+
+    co = Coalescer(boom, max_batch=8)
+    with ThreadPoolExecutor(4) as pool:
+        futs = [pool.submit(co.submit, i) for i in range(4)]
+        for f in futs:
+            with pytest.raises(ValueError, match="bad batch"):
+                f.result()
+
+
+def test_result_count_mismatch_is_an_error():
+    co = Coalescer(lambda xs: xs[:-1] if len(xs) > 0 else xs, max_batch=8)
+    with pytest.raises(RuntimeError, match="results"):
+        co.submit(1)
+
+
+def test_pad_pow2():
+    assert [pad_pow2(n, 16) for n in (1, 2, 3, 4, 5, 9, 16, 40)] == [
+        1, 2, 4, 4, 8, 16, 16, 16,
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Engine integration: coalesced == uncoalesced, batching visible in stats
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def project(tmp_path_factory):
+    media = tmp_path_factory.mktemp("comedia")
+    for i in range(3):
+        make_video(media / f"v{i}.mp4", seconds=4, fps=10)
+    pdir = tmp_path_factory.mktemp("coproj") / "proj"
+    fid = "wise/random_features/32/coal"
+    extract_features([media], pdir, image_feature_id=fid,
+                     video_feature_id=fid, audio_feature_id=fid)
+    create_index_main(["--project-dir", str(pdir)])
+    return pdir
+
+
+def _response_key(resp):
+    r = resp.video_results
+    return [
+        (w.vector_id, round(float(w.distance), 6))
+        for w in r.unmerged_windows
+    ]
+
+
+def test_engine_coalesced_matches_uncoalesced(project):
+    on = SearchEngine(project)
+    off = SearchEngine(project)
+    off.config = copy.deepcopy(off.config)
+    off.config.serve.coalesce = False
+
+    queries = [f"query {i % 5}" for i in range(12)]
+    ends = [5 if i % 3 else 10 for i in range(12)]
+
+    def run(engine, q, end):
+        return _response_key(
+            engine.similarity_search(
+                "video", [{"val": q}], MediaType.VIDEO, end=end
+            )
+        )
+
+    expected = [run(off, q, e) for q, e in zip(queries, ends)]
+
+    # warm up (creates the coalescers), then force every request into the
+    # queue by holding the device lock so one leader drains them together.
+    run(on, "warmup", 5)
+    co = on._search_coalescers["video"]
+    pool = ThreadPoolExecutor(12)
+    co._exec.acquire()
+    try:
+        futs = [
+            pool.submit(run, on, q, e)
+            for q, e in zip(queries, ends)
+        ]
+        for _ in range(1000):
+            if len(co._queue) == 12:
+                break
+            time.sleep(0.01)
+        assert len(co._queue) == 12
+    finally:
+        co._exec.release()
+    got = [f.result() for f in futs]
+    pool.shutdown()
+
+    assert got == expected
+    stats = on.coalesce_stats()
+    # 12 queued with default cap 16 -> one mixed-k batch
+    assert stats["search:video"]["max_batch"] == 12
+    assert stats["search:video"]["items"] == 13  # warmup + 12
+    assert stats["text:video"]["items"] == 13
+
+
+def test_engine_coalesce_off_runs_without_coalescers(project):
+    eng = SearchEngine(project)
+    eng.config = copy.deepcopy(eng.config)
+    eng.config.serve.coalesce = False
+    resp = eng.similarity_search("video", [{"val": "hello"}],
+                                 MediaType.VIDEO, end=5)
+    assert resp.video_results is not None
+    assert eng.coalesce_stats() == {}

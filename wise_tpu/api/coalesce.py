@@ -1,0 +1,129 @@
+"""Cross-request query coalescing for the REST server.
+
+The reference serves each request independently: FastAPI handler -> one
+text-tower forward at batch 1 -> one faiss search at batch 1
+(/root/reference/api/routes.py:1395-1442). On TPU both choke points are
+much cheaper per query when batched — the exact scan is HBM-bound, so one
+database sweep amortises across every query in the batch (measured: 1.19 ms
+solo vs ~0.8 ms/query at batch 16, BENCHMARKS.md), and the text tower's
+step time is nearly flat in batch size up to the MXU's fill point.
+
+This module coalesces concurrent requests into single device dispatches
+with a leader/follower protocol (continuous batching, no dedicated worker
+thread and no added latency when idle):
+
+- every submitting thread enqueues its item, then tries to become leader;
+- the leader drains everything currently queued (up to ``max_batch``),
+  runs the batch function once, and publishes per-item results;
+- threads that arrive while a batch is on the device queue up and are
+  drained by the next leader the moment the device frees.
+
+Under no contention a request runs immediately at batch 1 — identical
+behaviour to the uncoalesced path. Under load, batching emerges
+automatically and device dispatches scale ~O(active_batches) instead of
+O(requests).
+
+Batch functions must be pure per-item (item i's result depends only on
+payload i) so coalescing cannot change any response; the engine pads query
+batches to powers of two before jit dispatch to bound the number of
+distinct compiled graphs (remote compiles are expensive — CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import deque
+from typing import Callable, List, Sequence
+
+
+class _Item:
+    __slots__ = ("payload", "event", "result", "error")
+
+    def __init__(self, payload):
+        self.payload = payload
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class Coalescer:
+    """Leader/follower micro-batcher around ``run_batch``.
+
+    ``run_batch(payloads: list) -> list`` must return one result per
+    payload, in order. ``submit`` blocks until this thread's item has been
+    executed (by this thread as leader, or by another leader) and returns
+    its result, re-raising any batch exception.
+    """
+
+    def __init__(self, run_batch: Callable[[List], Sequence], *,
+                 max_batch: int = 16, name: str = ""):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self.run_batch = run_batch
+        self.max_batch = int(max_batch)
+        self.name = name
+        self._queue: deque[_Item] = deque()
+        self._mu = threading.Lock()        # guards _queue and counters
+        self._exec = threading.Lock()      # serialises device execution
+        # stats (read by tests and /info consumers; racy reads are fine)
+        self.num_batches = 0
+        self.num_items = 0
+        self.max_seen_batch = 0
+
+    # ------------------------------------------------------------------
+    def submit(self, payload):
+        item = _Item(payload)
+        with self._mu:
+            self._queue.append(item)
+        while not item.event.is_set():
+            # Try to lead; if another leader holds the device, sleep on our
+            # event (it may execute our item) and retry on timeout.
+            if not self._exec.acquire(blocking=False):
+                item.event.wait(timeout=0.05)
+                continue
+            try:
+                if item.event.is_set():
+                    break
+                self._run_one_batch()
+            finally:
+                self._exec.release()
+        if item.error is not None:
+            raise item.error
+        return item.result
+
+    # ------------------------------------------------------------------
+    def _run_one_batch(self):
+        with self._mu:
+            n = min(len(self._queue), self.max_batch)
+            batch = [self._queue.popleft() for _ in range(n)]
+        if not batch:
+            return
+        try:
+            results = self.run_batch([it.payload for it in batch])
+            if len(results) != len(batch):
+                raise RuntimeError(
+                    f"coalesced batch fn returned {len(results)} results "
+                    f"for {len(batch)} payloads"
+                )
+            for it, res in zip(batch, results):
+                it.result = res
+        except BaseException as exc:  # propagate to every waiter
+            for it in batch:
+                it.error = exc
+        finally:
+            with self._mu:
+                self.num_batches += 1
+                self.num_items += len(batch)
+                self.max_seen_batch = max(self.max_seen_batch, len(batch))
+            for it in batch:
+                it.event.set()
+
+
+def pad_pow2(n: int, cap: int) -> int:
+    """Next power of two >= n, clamped to cap — the query-batch bucket
+    size used before jit dispatch so at most log2(cap)+1 compiled graphs
+    exist per (index, k) pair."""
+    m = 1
+    while m < n and m < cap:
+        m <<= 1
+    return min(m, cap)

@@ -33,6 +33,7 @@ from ..index import SearchIndexFactory
 from ..project import WiseProject
 from ..utils import jpeg_data_uri
 from . import models as M
+from .coalesce import Coalescer, pad_pow2
 
 logger = logging.getLogger(__name__)
 
@@ -74,6 +75,12 @@ class SearchEngine:
         self.featured_ids = [
             int(i) for i in ids[: self.config.serve.featured_max]
         ]
+        # cross-request micro-batching of the two device choke points
+        # (text-tower embed + index search) — see api/coalesce.py. Keyed by
+        # media_type; created lazily on first use.
+        self._text_coalescers: Dict[str, Coalescer] = {}
+        self._search_coalescers: Dict[str, Coalescer] = {}
+        self._coalescer_mu = threading.Lock()
 
     @property
     def conn(self):
@@ -96,6 +103,96 @@ class SearchEngine:
                 self.project.thumbs_db_path, readonly=True
             )
         return self._tls.thumbs
+
+    # ------------------------------------------------------------------
+    # cross-request device-dispatch coalescing
+    # ------------------------------------------------------------------
+    def _get_coalescer(self, table: Dict[str, Coalescer], media_type: str,
+                       make) -> Coalescer:
+        co = table.get(media_type)
+        if co is None:
+            with self._coalescer_mu:
+                co = table.get(media_type)
+                if co is None:
+                    co = table[media_type] = make()
+        return co
+
+    def _embed_texts(self, media_type: str, texts: List[str]) -> np.ndarray:
+        """Text-tower embed, micro-batched across concurrent requests: the
+        tower's step time is ~flat in batch size until the MXU fills, so
+        one forward serves every request queued while the device was busy.
+        The reference embeds per request at batch 1 (routes.py:831-836)."""
+        fe = self.indices[media_type].extractor
+        if not self.config.serve.coalesce:
+            return fe.extract_text_features(texts)
+
+        def run(payloads: List[List[str]]):
+            flat = [t for ts in payloads for t in ts]
+            vecs = fe.extract_text_features(flat)
+            out, pos = [], 0
+            for ts in payloads:
+                out.append(vecs[pos : pos + len(ts)])
+                pos += len(ts)
+            return out
+
+        co = self._get_coalescer(
+            self._text_coalescers, media_type,
+            lambda: Coalescer(
+                run, max_batch=self.config.serve.coalesce_max_batch,
+                name=f"text:{media_type}",
+            ),
+        )
+        return co.submit(list(texts))
+
+    def _coalesced_search(self, media_type: str, qvec: np.ndarray, k: int):
+        """Index search for ONE query row, micro-batched across concurrent
+        requests: the exact scan is HBM-bound, so a single database sweep
+        amortises over the whole batch (~1.19 ms solo vs ~0.8 ms/query at
+        batch 16 on 1M x 512, BENCHMARKS.md). Returns (scores (k',), ids
+        (k',)) for this query. Batches run at max(k) over the members and
+        pad the query rows to a power of two so the number of distinct
+        compiled graphs stays logarithmic in the batch cap."""
+        index = self.indices[media_type]
+        if not self.config.serve.coalesce:
+            dists, ids = index.search_batch(qvec, k)
+            return dists[0], ids[0]
+
+        def run(payloads):
+            qs = np.concatenate([p[0] for p in payloads], axis=0)
+            ks = [p[1] for p in payloads]
+            m = pad_pow2(
+                qs.shape[0], self.config.serve.coalesce_max_batch
+            )
+            if m > qs.shape[0]:
+                qs = np.concatenate(
+                    [qs, np.repeat(qs[:1], m - qs.shape[0], axis=0)]
+                )
+            scores, ids = index.search_batch(qs, max(ks))
+            return [
+                (scores[i][: ks[i]], ids[i][: ks[i]])
+                for i in range(len(payloads))
+            ]
+
+        co = self._get_coalescer(
+            self._search_coalescers, media_type,
+            lambda: Coalescer(
+                run, max_batch=self.config.serve.coalesce_max_batch,
+                name=f"search:{media_type}",
+            ),
+        )
+        return co.submit((np.atleast_2d(np.asarray(qvec, np.float32)), k))
+
+    def coalesce_stats(self) -> Dict[str, Dict[str, int]]:
+        out = {}
+        for kind, table in (("text", self._text_coalescers),
+                            ("search", self._search_coalescers)):
+            for mt, co in table.items():
+                out[f"{kind}:{mt}"] = {
+                    "batches": co.num_batches,
+                    "items": co.num_items,
+                    "max_batch": co.max_seen_batch,
+                }
+        return out
 
     # ------------------------------------------------------------------
     # query fusion
@@ -123,7 +220,7 @@ class SearchEngine:
                 f"{prefix} {str(query_items[i]['val']).strip()}".strip()
                 for i in text_positions
             ]
-            batch = fe.extract_text_features(texts)
+            batch = self._embed_texts(media_type, texts)
             text_vecs = {i: batch[j : j + 1] for j, i in enumerate(text_positions)}
 
         vectors, weights = [], []
@@ -418,9 +515,8 @@ class SearchEngine:
     ) -> M.SearchResponse:
         t0 = time.time()
         features = self.get_query_features(media_type, query_items)
-        index = self.indices[media_type]
-        dists, ids = index.search_batch(features, max(end, 1))
-        dists, ids = list(dists[0])[start:end], list(ids[0])[start:end]
+        drow, irow = self._coalesced_search(media_type, features, max(end, 1))
+        dists, ids = list(drow)[start:end], list(irow)[start:end]
         resp = self.construct_search_response(
             dists, ids, search_in, thumbnails_to_send
         )

@@ -140,6 +140,12 @@ class ServeConfig:
     num_inline_thumbnails: int = 10        # first K thumbnails inlined as base64
     featured_max: int = 10_000
     featured_seed: int = 42
+    # Cross-request micro-batching of text-tower embeds and index searches
+    # (api/coalesce.py): concurrent requests queued while the device is
+    # busy run as ONE dispatch. No added latency when idle; under load the
+    # HBM-bound scan amortises one database sweep over the whole batch.
+    coalesce: bool = True
+    coalesce_max_batch: int = 16
 
 
 @dataclasses.dataclass
