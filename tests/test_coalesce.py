@@ -17,7 +17,7 @@ from concurrent.futures import ThreadPoolExecutor
 import pytest
 
 from tests.media_fixtures import make_video
-from wise_tpu.api.coalesce import Coalescer, pad_pow2
+from wise_tpu.api.coalesce import Coalescer, bucket_k, pad_bucket
 from wise_tpu.api.engine import SearchEngine
 from wise_tpu.cli.create_index import main as create_index_main
 from wise_tpu.data_models import MediaType
@@ -90,9 +90,12 @@ def test_result_count_mismatch_is_an_error():
         co.submit(1)
 
 
-def test_pad_pow2():
-    assert [pad_pow2(n, 16) for n in (1, 2, 3, 4, 5, 9, 16, 40)] == [
-        1, 2, 4, 4, 8, 16, 16, 16,
+def test_buckets():
+    assert [pad_bucket(n, 16) for n in (1, 2, 3, 5, 16, 40)] == [
+        1, 2, 4, 8, 16, 16,
+    ]
+    assert [bucket_k(k) for k in (1, 10, 11, 20, 44, 999, 1000, 5000)] == [
+        10, 10, 20, 20, 50, 1000, 1000, 5000,
     ]
 
 

@@ -76,17 +76,14 @@ class Coalescer:
         with self._mu:
             self._queue.append(item)
         while not item.event.is_set():
-            # Try to lead; if another leader holds the device, sleep on our
-            # event (it may execute our item) and retry on timeout.
-            if not self._exec.acquire(blocking=False):
-                item.event.wait(timeout=0.05)
-                continue
-            try:
+            # Block until we can lead. The moment a leader releases, the OS
+            # hands the lock to a waiter, which either finds its item done
+            # (a previous batch ran it) or immediately drains the queue —
+            # no polling gap between consecutive batches.
+            with self._exec:
                 if item.event.is_set():
                     break
                 self._run_one_batch()
-            finally:
-                self._exec.release()
         if item.error is not None:
             raise item.error
         return item.result
@@ -119,11 +116,27 @@ class Coalescer:
                 it.event.set()
 
 
-def pad_pow2(n: int, cap: int) -> int:
-    """Next power of two >= n, clamped to cap — the query-batch bucket
-    size used before jit dispatch so at most log2(cap)+1 compiled graphs
-    exist per (index, k) pair."""
+def pad_bucket(n: int, cap: int) -> int:
+    """Query-batch bucket before jit dispatch: next power of two >= n,
+    clamped to cap. The scan's matmul is HBM-bound (Q-independent) but the
+    top-k selection over (Q, N) scores scales with Q, so padding to the
+    nearest bucket — not the full cap — keeps small batches cheap while
+    bounding compiled graphs to log2(cap)+1 per (index, k-tier)."""
     m = 1
     while m < n and m < cap:
         m <<= 1
     return min(m, cap)
+
+
+_K_TIERS = (10, 20, 50, 100, 200, 500, 1000)
+
+
+def bucket_k(k: int) -> int:
+    """Round a per-request top-k up to a fixed tier so arbitrary page
+    sizes from the frontend don't each compile a fresh graph; callers
+    slice the rows back to their own k (top-k results are prefix-stable
+    in k)."""
+    for t in _K_TIERS:
+        if k <= t:
+            return t
+    return k

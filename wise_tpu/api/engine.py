@@ -33,7 +33,7 @@ from ..index import SearchIndexFactory
 from ..project import WiseProject
 from ..utils import jpeg_data_uri
 from . import models as M
-from .coalesce import Coalescer, pad_pow2
+from .coalesce import Coalescer, bucket_k, pad_bucket
 
 logger = logging.getLogger(__name__)
 
@@ -160,14 +160,14 @@ class SearchEngine:
         def run(payloads):
             qs = np.concatenate([p[0] for p in payloads], axis=0)
             ks = [p[1] for p in payloads]
-            m = pad_pow2(
+            m = pad_bucket(
                 qs.shape[0], self.config.serve.coalesce_max_batch
             )
             if m > qs.shape[0]:
                 qs = np.concatenate(
                     [qs, np.repeat(qs[:1], m - qs.shape[0], axis=0)]
                 )
-            scores, ids = index.search_batch(qs, max(ks))
+            scores, ids = index.search_batch(qs, bucket_k(max(ks)))
             return [
                 (scores[i][: ks[i]], ids[i][: ks[i]])
                 for i in range(len(payloads))
