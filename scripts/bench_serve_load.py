@@ -116,9 +116,11 @@ def main():
     index._metadata["count"] = args.rows
     real_ids = np.asarray(index._arrays["ids"])
     index._arrays = dict(index._arrays)
-    index._arrays["ids"] = np.arange(args.rows, dtype=np.int64) % max(
-        len(real_ids), 1
-    ) + int(real_ids.min() if len(real_ids) else 1)
+    # cycle over the ACTUAL ids (they may be non-contiguous) so every hit
+    # hydrates a real metadata row
+    index._arrays["ids"] = real_ids[
+        np.arange(args.rows, dtype=np.int64) % len(real_ids)
+    ]
     np.asarray(jnp.sum(db[:1]))  # materialise before timing
 
     # compile the exact graphs both modes will hit (staggered warmup

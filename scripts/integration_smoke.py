@@ -47,8 +47,15 @@ def main():
     root = Path(args.keep or tempfile.mkdtemp())
     if args.keep and root.exists():
         # a stale kept project would resume (checksum skip) and report 0
-        # NEW vectors — wipe it so the smoke always measures a full run
-        shutil.rmtree(root)
+        # NEW vectors — wipe the entries the smoke owns (never the whole
+        # user-supplied dir, which may hold unrelated data)
+        for name in ("media", "proj", "ann.csv", "queries.csv",
+                     "results.csv"):
+            p = root / name
+            if p.is_dir():
+                shutil.rmtree(p)
+            elif p.exists():
+                p.unlink()
     media = root / "media"
     media.mkdir(parents=True, exist_ok=True)
     make_video(media / "frying-vegetables.mp4", seconds=10, fps=10)

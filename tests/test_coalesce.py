@@ -145,7 +145,8 @@ def test_engine_coalesced_matches_uncoalesced(project):
     # warm up (creates the coalescers), then force every request into the
     # queue by holding the device lock so one leader drains them together.
     run(on, "warmup", 5)
-    co = on._search_coalescers["video"]
+    # end=5 and end=10 both round to k-tier 10, so one queue serves all
+    co = on._search_coalescers["video:k10"]
     pool = ThreadPoolExecutor(12)
     co._exec.acquire()
     try:
@@ -166,9 +167,21 @@ def test_engine_coalesced_matches_uncoalesced(project):
     assert got == expected
     stats = on.coalesce_stats()
     # 12 queued with default cap 16 -> one mixed-k batch
-    assert stats["search:video"]["max_batch"] == 12
-    assert stats["search:video"]["items"] == 13  # warmup + 12
+    assert stats["search:video:k10"]["max_batch"] == 12
+    assert stats["search:video:k10"]["items"] == 13  # warmup + 12
     assert stats["text:video"]["items"] == 13
+
+
+def test_tier_keyed_queues(project):
+    """Different k-tiers use different queues, so a request's effective
+    search k can never depend on its batch-mates (the approximate index
+    paths size their candidate budgets from k — load-dependent k would
+    mean load-dependent results)."""
+    eng = SearchEngine(project)
+    eng.similarity_search("video", [{"val": "a"}], MediaType.VIDEO, end=5)
+    eng.similarity_search("video", [{"val": "a"}], MediaType.VIDEO, end=15)
+    keys = set(eng._search_coalescers)
+    assert keys == {"video:k10", "video:k20"}
 
 
 def test_engine_coalesce_off_runs_without_coalescers(project):

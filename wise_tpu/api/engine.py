@@ -149,17 +149,27 @@ class SearchEngine:
         requests: the exact scan is HBM-bound, so a single database sweep
         amortises over the whole batch (~1.19 ms solo vs ~0.8 ms/query at
         batch 16 on 1M x 512, BENCHMARKS.md). Returns (scores (k',), ids
-        (k',)) for this query. Batches run at max(k) over the members and
-        pad the query rows to a power of two so the number of distinct
-        compiled graphs stays logarithmic in the batch cap."""
+        (k',)) for this query.
+
+        Determinism: every request searches at bucket_k(k) — in BOTH
+        coalesced and solo modes — and coalescer queues are keyed by that
+        tier, so a request's effective k never depends on which batch-mates
+        it happened to ride with. This matters for the approximate paths
+        (int8 candidates, IVF-PQ exact rerank) whose candidate budgets
+        scale with k: a load-dependent k would return load-dependent
+        results. Query rows pad to power-of-two buckets so compiled graphs
+        stay logarithmic in the batch cap."""
         index = self.indices[media_type]
+        qvec = np.atleast_2d(np.asarray(qvec, np.float32))
+        if qvec.shape[0] != 1:
+            raise ValueError("one query row per request")
+        tier = bucket_k(k)
         if not self.config.serve.coalesce:
-            dists, ids = index.search_batch(qvec, k)
-            return dists[0], ids[0]
+            dists, ids = index.search_batch(qvec, tier)
+            return dists[0][:k], ids[0][:k]
 
         def run(payloads):
             qs = np.concatenate([p[0] for p in payloads], axis=0)
-            ks = [p[1] for p in payloads]
             m = pad_bucket(
                 qs.shape[0], self.config.serve.coalesce_max_batch
             )
@@ -167,26 +177,31 @@ class SearchEngine:
                 qs = np.concatenate(
                     [qs, np.repeat(qs[:1], m - qs.shape[0], axis=0)]
                 )
-            scores, ids = index.search_batch(qs, bucket_k(max(ks)))
+            scores, ids = index.search_batch(qs, tier)
             return [
-                (scores[i][: ks[i]], ids[i][: ks[i]])
-                for i in range(len(payloads))
+                (scores[i][: p[1]], ids[i][: p[1]])
+                for i, p in enumerate(payloads)
             ]
 
         co = self._get_coalescer(
-            self._search_coalescers, media_type,
+            self._search_coalescers, f"{media_type}:k{tier}",
             lambda: Coalescer(
                 run, max_batch=self.config.serve.coalesce_max_batch,
-                name=f"search:{media_type}",
+                name=f"search:{media_type}:k{tier}",
             ),
         )
-        return co.submit((np.atleast_2d(np.asarray(qvec, np.float32)), k))
+        return co.submit((qvec, k))
 
     def coalesce_stats(self) -> Dict[str, Dict[str, int]]:
         out = {}
-        for kind, table in (("text", self._text_coalescers),
-                            ("search", self._search_coalescers)):
-            for mt, co in table.items():
+        with self._coalescer_mu:
+            snapshot = [
+                (kind, list(table.items()))
+                for kind, table in (("text", self._text_coalescers),
+                                    ("search", self._search_coalescers))
+            ]
+        for kind, items in snapshot:
+            for mt, co in items:
                 out[f"{kind}:{mt}"] = {
                     "batches": co.num_batches,
                     "items": co.num_items,

@@ -34,7 +34,6 @@ activations — same lever as parallel/train.py's remat.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable
 
 import jax
