@@ -115,6 +115,54 @@ def test_stack_sharding_is_pp(setup):
     assert rest_leaf.sharding.spec == jax.sharding.PartitionSpec()
 
 
+def test_checkpoint_roundtrip(setup, tmp_path):
+    model, params, images, tokens = setup
+    trainer = PipelinedCLIPTrainer(CFG, _mesh(2, 2), n_microbatches=2)
+    pp_params, opt_state = trainer.prepare(params)
+    step = trainer.make_train_step()
+    pp_params, opt_state, _ = step(pp_params, opt_state, images, tokens)
+    trainer.save_checkpoint(tmp_path, 1, pp_params, opt_state)
+
+    trainer2 = PipelinedCLIPTrainer(CFG, _mesh(2, 2), n_microbatches=2)
+    fresh, fresh_opt = trainer2.init(jax.random.PRNGKey(9))
+    got_step, restored, r_opt = trainer2.restore_checkpoint(
+        tmp_path, fresh, fresh_opt
+    )
+    assert got_step == 1
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        jax.device_get(pp_params), jax.device_get(restored),
+    )
+    # restored sharding matches the pipeline layout
+    leaf = jax.tree_util.tree_leaves(restored["visual"]["stack"])[0]
+    assert leaf.sharding.spec == jax.sharding.PartitionSpec("pp")
+    # and training continues from it
+    _, _, loss = trainer2.make_train_step()(
+        restored, r_opt, images, tokens
+    )
+    assert np.isfinite(float(loss))
+
+
+def test_bf16_training(setup):
+    import dataclasses
+
+    model, params, images, tokens = setup
+    cfg = dataclasses.replace(CFG, dtype=jnp.bfloat16)
+    trainer = PipelinedCLIPTrainer(cfg, _mesh(2, 2), n_microbatches=2,
+                                   learning_rate=1e-3)
+    pp_params, opt_state = trainer.prepare(params)
+    step = trainer.make_train_step()
+    losses = []
+    for _ in range(3):
+        pp_params, opt_state, loss = step(
+            pp_params, opt_state, images, tokens
+        )
+        losses.append(float(loss))
+    assert all(np.isfinite(losses)) and losses[-1] < losses[0], losses
+
+
 def test_unsupported_configs_rejected():
     mesh = _mesh(2, 2)
     import dataclasses

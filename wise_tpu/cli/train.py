@@ -37,6 +37,12 @@ def build_parser():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--dp", type=int, default=-1)
     p.add_argument("--mp", type=int, default=1)
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel stages (GPipe over a 'pp' mesh "
+                        "axis; excludes --mp, needs layer counts divisible "
+                        "by it)")
+    p.add_argument("--microbatches", type=int, default=2,
+                   help="GPipe microbatches per step (only with --pp > 1)")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     return p
 
@@ -70,12 +76,34 @@ def main(argv=None) -> int:
         config,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
     )
-    mesh = get_mesh(dp=args.dp, mp=args.mp)
-    trainer = CLIPTrainer(
-        config, mesh, learning_rate=args.learning_rate,
-        warmup_steps=args.warmup_steps, total_steps=args.steps,
-        grad_clip=args.grad_clip,
-    )
+    if args.pp > 1:
+        if args.mp != 1:
+            log.error("--pp and --mp are mutually exclusive")
+            return 1
+        from ..parallel.mesh import get_pp_mesh
+        from ..parallel.pp_train import PipelinedCLIPTrainer
+
+        mesh = get_pp_mesh(pp=args.pp, dp=args.dp)
+        denom = mesh.shape["dp"] * args.microbatches
+        if args.batch_size % denom:
+            log.error(
+                f"--batch-size {args.batch_size} must divide by "
+                f"dp*microbatches = {mesh.shape['dp']}*{args.microbatches}"
+            )
+            return 1
+        trainer = PipelinedCLIPTrainer(
+            config, mesh, n_microbatches=args.microbatches,
+            learning_rate=args.learning_rate,
+            warmup_steps=args.warmup_steps, total_steps=args.steps,
+            grad_clip=args.grad_clip,
+        )
+    else:
+        mesh = get_mesh(dp=args.dp, mp=args.mp)
+        trainer = CLIPTrainer(
+            config, mesh, learning_rate=args.learning_rate,
+            warmup_steps=args.warmup_steps, total_steps=args.steps,
+            grad_clip=args.grad_clip,
+        )
     params, opt_state = trainer.init(jax.random.PRNGKey(0))
     start_step = 0
     ckpt_dir = args.checkpoint_dir or str(
@@ -115,6 +143,12 @@ def main(argv=None) -> int:
             )
         if args.checkpoint_every and step % args.checkpoint_every == 0:
             trainer.save_checkpoint(ckpt_dir, step, params, opt_state)
+    if step == start_step:
+        log.error(
+            "no training steps ran — not enough decodable caption "
+            "segments to fill a batch?"
+        )
+        return 1
     trainer.save_checkpoint(ckpt_dir, step, params, opt_state)
     log.info(f"saved final checkpoint at step {step} to {ckpt_dir}")
     return 0

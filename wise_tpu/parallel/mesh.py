@@ -25,6 +25,23 @@ def get_mesh(dp: int = -1, mp: int = 1, devices=None) -> Mesh:
     return Mesh(dev_array, axis_names=("dp", "mp"))
 
 
+def get_pp_mesh(pp: int, dp: int = -1, devices=None) -> Mesh:
+    """('pp', 'dp') mesh for pipeline-parallel training
+    (parallel/pipeline.py): successive pipeline stages along 'pp', batch
+    along 'dp'."""
+    devices = list(devices if devices is not None else jax.devices())
+    if dp == -1:
+        dp = len(devices) // pp
+    if pp * dp > len(devices):
+        raise ValueError(
+            f"mesh {pp}x{dp} needs {pp * dp} devices, have {len(devices)}"
+        )
+    return Mesh(
+        np.array(devices[: pp * dp]).reshape(pp, dp),
+        axis_names=("pp", "dp"),
+    )
+
+
 def shard_rows(mesh: Mesh, arr, axis: int = 0):
     """Place an array with its leading axis sharded over 'dp'."""
     spec = [None] * arr.ndim

@@ -43,7 +43,12 @@ from .pipeline import (
     stack_layer_params,
     unstack_layer_params,
 )
-from .train import clip_loss
+from .train import (
+    build_optimizer,
+    clip_loss,
+    restore_train_checkpoint,
+    save_train_checkpoint,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -100,7 +105,9 @@ class PipelinedCLIPTrainer:
 
     def __init__(self, config: CLIPConfig, mesh: Mesh, *,
                  n_microbatches: int = 2, learning_rate: float = 1e-4,
-                 weight_decay: float = 0.01, remat: bool = False):
+                 weight_decay: float = 0.01, warmup_steps: int = 0,
+                 total_steps: int = 0, grad_clip: float = 0.0,
+                 remat: bool = False):
         if config.vision_pool != "cls" or not config.text_causal \
                 or config.text_pool != "argmax":
             raise ValueError(
@@ -113,8 +120,10 @@ class PipelinedCLIPTrainer:
         self.config = config
         self.mesh = mesh
         self.model = CLIP(config)
-        self.optimizer = optax.adamw(learning_rate,
-                                     weight_decay=weight_decay)
+        self.optimizer = build_optimizer(
+            learning_rate, weight_decay, warmup_steps, total_steps,
+            grad_clip,
+        )
 
         c = config
 
@@ -271,3 +280,15 @@ class PipelinedCLIPTrainer:
             return pp_params, opt_state, loss
 
         return jax.jit(train_step, donate_argnums=(0, 1))
+
+    # -- checkpoint / resume (same orbax layout as CLIPTrainer; the
+    # params inside the checkpoint are the PIPELINE tree — export a
+    # standard CLIP tree for serving with restore_clip_params) ----------
+    def save_checkpoint(self, ckpt_dir, step: int, pp_params, opt_state):
+        return save_train_checkpoint(ckpt_dir, step, pp_params, opt_state)
+
+    def restore_checkpoint(self, ckpt_dir, params_like, opt_state_like,
+                           step: int = -1):
+        return restore_train_checkpoint(
+            ckpt_dir, params_like, opt_state_like, step
+        )

@@ -46,6 +46,76 @@ def clip_param_shardings(params, mesh: Mesh):
     )
 
 
+def build_optimizer(learning_rate: float, weight_decay: float,
+                    warmup_steps: int = 0, total_steps: int = 0,
+                    grad_clip: float = 0.0):
+    """adamw with optional warmup-cosine schedule and global-norm clipping
+    — shared by the dp/mp trainer and the pipeline-parallel trainer."""
+    if warmup_steps or total_steps:
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=learning_rate,
+            warmup_steps=max(warmup_steps, 1),
+            decay_steps=max(total_steps, warmup_steps + 1),
+            end_value=learning_rate * 0.01,
+        )
+    else:
+        schedule = learning_rate
+    tx = optax.adamw(schedule, weight_decay=weight_decay)
+    if grad_clip and grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    return tx
+
+
+def save_train_checkpoint(ckpt_dir, step: int, params, opt_state):
+    """orbax save of {params, opt_state} under step_<N> (works for any
+    param layout — dp/mp trees and pipeline-stacked trees alike)."""
+    import orbax.checkpoint as ocp
+
+    from pathlib import Path
+
+    path = Path(ckpt_dir).absolute() / f"step_{step:08d}"
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, {"params": params, "opt_state": opt_state})
+    return path
+
+
+def restore_train_checkpoint(ckpt_dir, params_like, opt_state_like,
+                             step: int = -1):
+    """Restore latest (or given) step; shapes/shardings come from the
+    provided abstract targets. Returns (step, params, opt_state)."""
+    import orbax.checkpoint as ocp
+
+    from pathlib import Path
+
+    d = Path(ckpt_dir).absolute()
+    if step < 0:
+        steps = sorted(
+            int(p.name.split("_")[1])
+            for p in d.glob("step_*")
+            if p.is_dir()
+        )
+        if not steps:
+            raise FileNotFoundError(f"no checkpoints under {d}")
+        step = steps[-1]
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            d / f"step_{step:08d}",
+            {"params": params_like, "opt_state": opt_state_like},
+        )
+    # re-establish the template's shardings (restore may place arrays on
+    # a single device)
+    params = jax.tree_util.tree_map(
+        lambda t, r: jax.device_put(r, t.sharding),
+        params_like, restored["params"],
+    )
+    opt_state = jax.tree_util.tree_map(
+        lambda t, r: jax.device_put(r, t.sharding),
+        opt_state_like, restored["opt_state"],
+    )
+    return step, params, opt_state
+
+
 def clip_loss(img_feats, txt_feats, logit_scale):
     """Symmetric InfoNCE over the global batch. Feature matrices are
     replicated post-encoder (XLA all-gathers dp-sharded activations as
@@ -70,20 +140,10 @@ class CLIPTrainer:
         self.config = config
         self.mesh = mesh
         self.model = CLIP(config)
-        if warmup_steps or total_steps:
-            schedule = optax.warmup_cosine_decay_schedule(
-                init_value=0.0,
-                peak_value=learning_rate,
-                warmup_steps=max(warmup_steps, 1),
-                decay_steps=max(total_steps, warmup_steps + 1),
-                end_value=learning_rate * 0.01,
-            )
-        else:
-            schedule = learning_rate
-        tx = optax.adamw(schedule, weight_decay=weight_decay)
-        if grad_clip and grad_clip > 0:
-            tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
-        self.optimizer = tx
+        self.optimizer = build_optimizer(
+            learning_rate, weight_decay, warmup_steps, total_steps,
+            grad_clip,
+        )
 
         self.batch_sharding = NamedSharding(mesh, P("dp"))
         self.replicated = NamedSharding(mesh, P())
@@ -153,46 +213,10 @@ class CLIPTrainer:
     # entirely (SURVEY.md §5: no checkpoint/resume anywhere)
     # ------------------------------------------------------------------
     def save_checkpoint(self, ckpt_dir, step: int, params, opt_state):
-        import orbax.checkpoint as ocp
-
-        from pathlib import Path
-
-        path = Path(ckpt_dir).absolute() / f"step_{step:08d}"
-        with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(path, {"params": params, "opt_state": opt_state})
-        return path
+        return save_train_checkpoint(ckpt_dir, step, params, opt_state)
 
     def restore_checkpoint(self, ckpt_dir, params_like, opt_state_like,
                            step: int = -1):
-        """Restore latest (or given) step; shapes/shardings come from the
-        provided abstract targets."""
-        import orbax.checkpoint as ocp
-
-        from pathlib import Path
-
-        d = Path(ckpt_dir).absolute()
-        if step < 0:
-            steps = sorted(
-                int(p.name.split("_")[1])
-                for p in d.glob("step_*")
-                if p.is_dir()
-            )
-            if not steps:
-                raise FileNotFoundError(f"no checkpoints under {d}")
-            step = steps[-1]
-        with ocp.StandardCheckpointer() as ckptr:
-            restored = ckptr.restore(
-                d / f"step_{step:08d}",
-                {"params": params_like, "opt_state": opt_state_like},
-            )
-        # re-establish the template's shardings (restore may place arrays on
-        # a single device)
-        params = jax.tree_util.tree_map(
-            lambda t, r: jax.device_put(r, t.sharding),
-            params_like, restored["params"],
+        return restore_train_checkpoint(
+            ckpt_dir, params_like, opt_state_like, step
         )
-        opt_state = jax.tree_util.tree_map(
-            lambda t, r: jax.device_put(r, t.sharding),
-            opt_state_like, restored["opt_state"],
-        )
-        return step, params, opt_state

@@ -82,9 +82,13 @@ def caption_batches(
     (B, ctx) int32). Frames are decoded lazily and cached per segment."""
     rng = np.random.default_rng(seed)
     cache = {}
+    # the partial batch carries ACROSS epochs: with fewer segments than
+    # batch_size, per-epoch resets would discard every partial batch and
+    # the generator would yield nothing (observed as a train CLI run
+    # finishing at step 0 on a 2-segment project)
+    batch_imgs, batch_txts = [], []
     for _ in range(epochs):
         order = rng.permutation(len(segments))
-        batch_imgs, batch_txts = [], []
         for i in order:
             path, mid, cap = segments[i]
             if i not in cache:
