@@ -172,6 +172,32 @@ def test_engine_coalesced_matches_uncoalesced(project):
     assert stats["text:video"]["items"] == 13
 
 
+def test_image_query_embed_coalesces(project):
+    """Multipart image queries route their device embed through the
+    coalescer too; results match the uncoalesced path."""
+    import cv2
+    import numpy as np
+
+    rgb = np.random.default_rng(3).integers(
+        0, 255, (40, 60, 3), np.uint8
+    )
+    png = cv2.imencode(".png", rgb[..., ::-1])[1].tobytes()
+    items = [{"modality": "image", "val": png}]
+
+    on = SearchEngine(project)
+    off = SearchEngine(project)
+    off.config = copy.deepcopy(off.config)
+    off.config.serve.coalesce = False
+    want = _response_key(
+        off.similarity_search("video", items, MediaType.VIDEO, end=5)
+    )
+    got = _response_key(
+        on.similarity_search("video", items, MediaType.VIDEO, end=5)
+    )
+    assert got == want
+    assert any(k.startswith("image:video:") for k in on.coalesce_stats())
+
+
 def test_tier_keyed_queues(project):
     """Different k-tiers use different queues, so a request's effective
     search k can never depend on its batch-mates (the approximate index

@@ -75,10 +75,11 @@ class SearchEngine:
         self.featured_ids = [
             int(i) for i in ids[: self.config.serve.featured_max]
         ]
-        # cross-request micro-batching of the two device choke points
-        # (text-tower embed + index search) — see api/coalesce.py. Keyed by
-        # media_type; created lazily on first use.
-        self._text_coalescers: Dict[str, Coalescer] = {}
+        # cross-request micro-batching of the device choke points
+        # (text/image/audio query embeds + index search) — see
+        # api/coalesce.py. Keyed per modality (and shape/k-tier where that
+        # affects results); created lazily on first use.
+        self._embed_coalescers: Dict[str, Coalescer] = {}
         self._search_coalescers: Dict[str, Coalescer] = {}
         self._coalescer_mu = threading.Lock()
 
@@ -136,13 +137,44 @@ class SearchEngine:
             return out
 
         co = self._get_coalescer(
-            self._text_coalescers, media_type,
+            self._embed_coalescers, f"text:{media_type}",
             lambda: Coalescer(
                 run, max_batch=self.config.serve.coalesce_max_batch,
                 name=f"text:{media_type}",
             ),
         )
         return co.submit(list(texts))
+
+    def _embed_arrays(self, kind: str, media_type: str, method: str,
+                      arr: np.ndarray) -> np.ndarray:
+        """Image/audio query embeds, micro-batched like _embed_texts.
+        Queues are keyed by the per-item shape (image sizes are canonical
+        after preprocess; audio segment lengths can differ for short
+        clips), so payloads in one batch always concatenate cleanly."""
+        fe = self.indices[media_type].extractor
+        fn = getattr(fe, method)
+        arr = np.asarray(arr)
+        if not self.config.serve.coalesce:
+            return fn(arr)
+
+        def run(payloads: List[np.ndarray]):
+            counts = [p.shape[0] for p in payloads]
+            vecs = fn(np.concatenate(payloads, axis=0))
+            out, pos = [], 0
+            for n in counts:
+                out.append(vecs[pos : pos + n])
+                pos += n
+            return out
+
+        key = f"{kind}:{media_type}:{'x'.join(map(str, arr.shape[1:]))}"
+        co = self._get_coalescer(
+            self._embed_coalescers, key,
+            lambda: Coalescer(
+                run, max_batch=self.config.serve.coalesce_max_batch,
+                name=key,
+            ),
+        )
+        return co.submit(arr)
 
     def _coalesced_search(self, media_type: str, qvec: np.ndarray, k: int):
         """Index search for ONE query row, micro-batched across concurrent
@@ -195,18 +227,16 @@ class SearchEngine:
     def coalesce_stats(self) -> Dict[str, Dict[str, int]]:
         out = {}
         with self._coalescer_mu:
-            snapshot = [
-                (kind, list(table.items()))
-                for kind, table in (("text", self._text_coalescers),
-                                    ("search", self._search_coalescers))
+            snapshot = list(self._embed_coalescers.items()) + [
+                (f"search:{key}", co)
+                for key, co in self._search_coalescers.items()
             ]
-        for kind, items in snapshot:
-            for mt, co in items:
-                out[f"{kind}:{mt}"] = {
-                    "batches": co.num_batches,
-                    "items": co.num_items,
-                    "max_batch": co.max_seen_batch,
-                }
+        for key, co in snapshot:
+            out[key] = {
+                "batches": co.num_batches,
+                "items": co.num_items,
+                "max_batch": co.max_seen_batch,
+            }
         return out
 
     # ------------------------------------------------------------------
@@ -259,7 +289,10 @@ class SearchEngine:
                     if arr is None:
                         raise ValueError("cannot decode image query")
                     rgb = cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
-                    vec = fe.extract_image_features(fe.preprocess_image([rgb]))
+                    vec = self._embed_arrays(
+                        "image", media_type, "extract_image_features",
+                        fe.preprocess_image([rgb]),
+                    )
                 else:
                     vec = np.atleast_2d(np.asarray(val, np.float32))
                 w = s.negative_queries_weight if neg else 1.0
@@ -280,8 +313,9 @@ class SearchEngine:
                         ]
                     if not segs:
                         raise ValueError("cannot decode audio query")
-                    vec = fe.extract_audio_features(
-                        fe.preprocess_audio(segs[0])
+                    vec = self._embed_arrays(
+                        "audio", media_type, "extract_audio_features",
+                        fe.preprocess_audio(segs[0]),
                     )
                 else:
                     vec = np.atleast_2d(np.asarray(val, np.float32))
