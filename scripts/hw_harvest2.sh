@@ -28,3 +28,8 @@ timeout 3600 python scripts/bench_serve_load.py \
   --rows 1000000 --dim 512 --clients 16 --requests 256 \
   > "$OUT/serve_load.json.log" 2>&1
 log "phase 4 exit=$? (see serve_load.json.log)"
+
+log "phase 5: batched top-k selection A/B at serving shapes"
+timeout 3600 python scripts/bench_batched_topk.py \
+  > "$OUT/batched_topk.json.log" 2>&1
+log "phase 5 exit=$? (see batched_topk.json.log)"
