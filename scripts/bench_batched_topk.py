@@ -86,16 +86,18 @@ def main():
                     if aname == "scan" and (qn > 1 or K > 20):
                         continue  # scan is the streaming reference only
                     # chain iterations through a data dependency so the
-                    # host loop can't run ahead
-                    def step(c, q):
-                        v, i = fn(q + c * 0, d)
+                    # host loop can't run ahead; db rides as an ARGUMENT —
+                    # a closure capture would embed the 2 GB database as a
+                    # lowering constant in every one of the ~36 graphs
+                    def step(c, q, db):
+                        v, i = fn(q + c * 0, db)
                         return v[0, 0] * 0
                     jstep = jax.jit(step)
                     c = jnp.float32(0)
-                    np.asarray(jstep(c, qs))  # compile
+                    np.asarray(jstep(c, qs, d))  # compile
                     t0 = time.perf_counter()
                     for _ in range(args.iters):
-                        c = jstep(c, qs)
+                        c = jstep(c, qs, d)
                     np.asarray(c)
                     ms = (
                         (time.perf_counter() - t0 - roundtrip)

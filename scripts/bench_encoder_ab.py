@@ -26,6 +26,7 @@ CONFIGS = {
     "xla": dict(),
     "attn": dict(fused_attention=True),
     "block": dict(fused_block=True),
+    "blockflat": dict(fused_block=True),  # + flat attn-block GEMMs (below)
     "block+patch": dict(fused_block=True, patch_embed_matmul=True),
     "attn+patch": dict(fused_attention=True, patch_embed_matmul=True),
 }
@@ -57,6 +58,8 @@ def main():
     out = {"batch": B, "model": args.model,
            "tunnel_roundtrip_ms": round(roundtrip * 1e3, 1)}
 
+    from wise_tpu.ops import block as blockmod
+
     steps = {}
     ref_out = None
     for name in names:
@@ -64,6 +67,12 @@ def main():
             get_clip_config(args.model), dtype=jnp.bfloat16,
             **CONFIGS[name],
         )
+        # "blockflat": mark every calibrated attn shape as flat-preferred
+        # for the duration of this config's trace/compile (the flat gate
+        # reads _CALIBRATED_FLAT_ATTN at trace time)
+        saved_flat = dict(blockmod._CALIBRATED_FLAT_ATTN)
+        if name == "blockflat":
+            blockmod._CALIBRATED_FLAT_ATTN.update(blockmod._CALIBRATED_ATTN)
         model = CLIP(cfg)
         params = model.init(
             jax.random.PRNGKey(0),
@@ -89,6 +98,9 @@ def main():
                 p, preprocess_images(f[:8], cfg.image_size),
                 method=CLIP.encode_image)
         )(params, frames))
+        if name == "blockflat":
+            blockmod._CALIBRATED_FLAT_ATTN.clear()
+            blockmod._CALIBRATED_FLAT_ATTN.update(saved_flat)
         emb = emb / np.linalg.norm(emb, axis=-1, keepdims=True)
         if ref_out is None:
             ref_out = emb

@@ -119,6 +119,20 @@ def main():
                 os.environ["WISE_FUSED_SWIN"] = flag
                 pair[flag] = tower_time(base)
             ab.append(pair)
+        # numerics: full-tower embeddings fused vs XLA on the same input
+        def tower_out(flag):
+            os.environ["WISE_FUSED_SWIN"] = flag
+            enc = HTSATEncoder(base)
+            params = enc.init(jax.random.PRNGKey(0), mel[:1])
+            return np.asarray(
+                jax.jit(lambda m: enc.apply(params, m))(mel)
+            ).astype(np.float64)
+
+        e0, e1 = tower_out("0"), tower_out("1")
+        cos = (e0 * e1).sum(1) / (
+            np.linalg.norm(e0, axis=1) * np.linalg.norm(e1, axis=1)
+        )
+        out["fused_swin_cos_min"] = round(float(cos.min()), 6)
         os.environ["WISE_FUSED_SWIN"] = "0"
         out["tower_xla_ms"] = [round(p["0"] * 1e3, 2) for p in ab]
         out["tower_fused_swin_ms"] = [round(p["1"] * 1e3, 2) for p in ab]
