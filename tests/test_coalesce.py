@@ -90,6 +90,86 @@ def test_result_count_mismatch_is_an_error():
         co.submit(1)
 
 
+def test_two_phase_correctness():
+    """finalize mode: run_batch dispatches a handle, each waiter realises
+    its own row — results identical to the sync mode."""
+    co = Coalescer(
+        lambda xs: [x * 2 for x in xs],  # "handle" = realised list
+        finalize=lambda handle, i, payload: handle[i] + payload,
+        max_batch=8,
+    )
+    with ThreadPoolExecutor(16) as pool:
+        results = list(pool.map(co.submit, range(64)))
+    assert results == [x * 3 for x in range(64)]
+    assert co.num_items == 64
+
+
+def test_two_phase_finalize_does_not_hold_the_execution_lock():
+    """The point of two-phase mode: a blocked finalize (e.g. a slow device
+    readback) must not prevent the next batch from dispatching."""
+    release = threading.Event()
+    dispatched = []
+
+    def run(xs):
+        dispatched.append(list(xs))
+        return xs
+
+    def finalize(handle, i, payload):
+        if payload == 0:
+            assert release.wait(5), "never released"
+        return handle[i]
+
+    co = Coalescer(run, finalize=finalize, max_batch=8)
+    pool = ThreadPoolExecutor(2)
+    f0 = pool.submit(co.submit, 0)
+    for _ in range(200):
+        if dispatched:
+            break
+        time.sleep(0.01)
+    assert dispatched == [[0]]
+    # item 0's finalize is now blocked OUTSIDE _exec; item 1 must dispatch
+    # and complete while it waits
+    f1 = pool.submit(co.submit, 1)
+    assert f1.result(timeout=5) == 1
+    assert f0.done() is False
+    release.set()
+    assert f0.result(timeout=5) == 0
+    pool.shutdown()
+
+
+def test_two_phase_finalize_exception_hits_only_its_owner():
+    def finalize(handle, i, payload):
+        if payload == 3:
+            raise ValueError("bad row")
+        return handle[i]
+
+    co = Coalescer(lambda xs: xs, finalize=finalize, max_batch=8)
+    co._exec.acquire()  # force one batch
+    pool = ThreadPoolExecutor(4)
+    futs = [pool.submit(co.submit, i) for i in range(4)]
+    for _ in range(200):
+        if len(co._queue) == 4:
+            break
+        time.sleep(0.01)
+    co._exec.release()
+    assert futs[0].result(timeout=5) == 0
+    with pytest.raises(ValueError, match="bad row"):
+        futs[3].result(timeout=5)
+    pool.shutdown()
+
+
+def test_two_phase_dispatch_exception_propagates_to_every_waiter():
+    def boom(xs):
+        raise ValueError("bad dispatch")
+
+    co = Coalescer(boom, finalize=lambda h, i, p: h[i], max_batch=8)
+    with ThreadPoolExecutor(4) as pool:
+        futs = [pool.submit(co.submit, i) for i in range(4)]
+        for f in futs:
+            with pytest.raises(ValueError, match="bad dispatch"):
+                f.result()
+
+
 def test_buckets():
     assert [pad_bucket(n, 16) for n in (1, 2, 3, 5, 16, 40)] == [
         1, 2, 4, 8, 16, 16,
@@ -126,6 +206,8 @@ def _response_key(resp):
 
 def test_engine_coalesced_matches_uncoalesced(project):
     on = SearchEngine(project)
+    on.config = copy.deepcopy(on.config)
+    on.config.serve.coalesce = True  # default-off (measured); opt in here
     off = SearchEngine(project)
     off.config = copy.deepcopy(off.config)
     off.config.serve.coalesce = False
@@ -185,6 +267,8 @@ def test_image_query_embed_coalesces(project):
     items = [{"modality": "image", "val": png}]
 
     on = SearchEngine(project)
+    on.config = copy.deepcopy(on.config)
+    on.config.serve.coalesce = True
     off = SearchEngine(project)
     off.config = copy.deepcopy(off.config)
     off.config.serve.coalesce = False
@@ -204,6 +288,8 @@ def test_tier_keyed_queues(project):
     paths size their candidate budgets from k — load-dependent k would
     mean load-dependent results)."""
     eng = SearchEngine(project)
+    eng.config = copy.deepcopy(eng.config)
+    eng.config.serve.coalesce = True
     eng.similarity_search("video", [{"val": "a"}], MediaType.VIDEO, end=5)
     eng.similarity_search("video", [{"val": "a"}], MediaType.VIDEO, end=15)
     keys = set(eng._search_coalescers)
@@ -211,9 +297,7 @@ def test_tier_keyed_queues(project):
 
 
 def test_engine_coalesce_off_runs_without_coalescers(project):
-    eng = SearchEngine(project)
-    eng.config = copy.deepcopy(eng.config)
-    eng.config.serve.coalesce = False
+    eng = SearchEngine(project)  # off is the measured default
     resp = eng.similarity_search("video", [{"val": "hello"}],
                                  MediaType.VIDEO, end=5)
     assert resp.video_results is not None

@@ -56,12 +56,23 @@ class Coalescer:
     """
 
     def __init__(self, run_batch: Callable[[List], Sequence], *,
-                 max_batch: int = 16, name: str = ""):
+                 max_batch: int = 16, name: str = "",
+                 finalize: Callable | None = None):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self.run_batch = run_batch
         self.max_batch = int(max_batch)
         self.name = name
+        #: two-phase mode: ``run_batch`` only DISPATCHES (returns an opaque
+        #: batch handle, e.g. unrealised jax arrays) and each waiter calls
+        #: ``finalize(handle, i, payload)`` in its own thread OUTSIDE the
+        #: execution lock. This keeps the leader's critical section at
+        #: dispatch cost so device work pipelines across batches and result
+        #: readbacks overlap — measured on the tunnelled v5e, holding the
+        #: lock through a synchronous readback serialised the server to
+        #: ~1 batch per host<->device roundtrip and HALVED throughput vs
+        #: uncoalesced (scripts/bench_serve_load.py, BENCHMARKS.md).
+        self.finalize = finalize
         self._queue: deque[_Item] = deque()
         self._mu = threading.Lock()        # guards _queue and counters
         self._exec = threading.Lock()      # serialises device execution
@@ -86,6 +97,10 @@ class Coalescer:
                 self._run_one_batch()
         if item.error is not None:
             raise item.error
+        if self.finalize is not None:
+            # outside _exec: concurrent finalizers overlap their readbacks
+            handle, i = item.result
+            return self.finalize(handle, i, item.payload)
         return item.result
 
     # ------------------------------------------------------------------
@@ -96,14 +111,19 @@ class Coalescer:
         if not batch:
             return
         try:
-            results = self.run_batch([it.payload for it in batch])
-            if len(results) != len(batch):
-                raise RuntimeError(
-                    f"coalesced batch fn returned {len(results)} results "
-                    f"for {len(batch)} payloads"
-                )
-            for it, res in zip(batch, results):
-                it.result = res
+            if self.finalize is not None:
+                handle = self.run_batch([it.payload for it in batch])
+                for i, it in enumerate(batch):
+                    it.result = (handle, i)
+            else:
+                results = self.run_batch([it.payload for it in batch])
+                if len(results) != len(batch):
+                    raise RuntimeError(
+                        f"coalesced batch fn returned {len(results)} results "
+                        f"for {len(batch)} payloads"
+                    )
+                for it, res in zip(batch, results):
+                    it.result = res
         except BaseException as exc:  # propagate to every waiter
             for it in batch:
                 it.error = exc

@@ -127,20 +127,31 @@ class SearchEngine:
         if not self.config.serve.coalesce:
             return fe.extract_text_features(texts)
 
+        # two-phase when the extractor exposes a dispatch half (device
+        # towers): the leader enqueues ONE forward, each request realises
+        # its own rows outside the execution lock. Host-side extractors
+        # (RandomFeatures) compute in run; finalize's np.asarray is free.
+        dispatch = getattr(fe, "extract_text_features_dispatch", None)
+
         def run(payloads: List[List[str]]):
             flat = [t for ts in payloads for t in ts]
-            vecs = fe.extract_text_features(flat)
-            out, pos = [], 0
+            vecs = dispatch(flat) if dispatch else fe.extract_text_features(
+                flat
+            )
+            offs = [0]
             for ts in payloads:
-                out.append(vecs[pos : pos + len(ts)])
-                pos += len(ts)
-            return out
+                offs.append(offs[-1] + len(ts))
+            return vecs, offs
+
+        def finalize(handle, i, payload):
+            vecs, offs = handle
+            return np.asarray(vecs[offs[i] : offs[i + 1]], dtype=np.float32)
 
         co = self._get_coalescer(
             self._embed_coalescers, f"text:{media_type}",
             lambda: Coalescer(
                 run, max_batch=self.config.serve.coalesce_max_batch,
-                name=f"text:{media_type}",
+                name=f"text:{media_type}", finalize=finalize,
             ),
         )
         return co.submit(list(texts))
@@ -157,21 +168,26 @@ class SearchEngine:
         if not self.config.serve.coalesce:
             return fn(arr)
 
+        dispatch = getattr(fe, f"{method}_dispatch", None)
+
         def run(payloads: List[np.ndarray]):
-            counts = [p.shape[0] for p in payloads]
-            vecs = fn(np.concatenate(payloads, axis=0))
-            out, pos = [], 0
-            for n in counts:
-                out.append(vecs[pos : pos + n])
-                pos += n
-            return out
+            batch = np.concatenate(payloads, axis=0)
+            vecs = dispatch(batch) if dispatch else fn(batch)
+            offs = [0]
+            for p in payloads:
+                offs.append(offs[-1] + p.shape[0])
+            return vecs, offs
+
+        def finalize(handle, i, payload):
+            vecs, offs = handle
+            return np.asarray(vecs[offs[i] : offs[i + 1]], dtype=np.float32)
 
         key = f"{kind}:{media_type}:{'x'.join(map(str, arr.shape[1:]))}"
         co = self._get_coalescer(
             self._embed_coalescers, key,
             lambda: Coalescer(
                 run, max_batch=self.config.serve.coalesce_max_batch,
-                name=key,
+                name=key, finalize=finalize,
             ),
         )
         return co.submit(arr)
@@ -201,6 +217,11 @@ class SearchEngine:
             return dists[0][:k], ids[0][:k]
 
         def run(payloads):
+            # dispatch only — the handle's device arrays are realised by
+            # each waiter in finalize, outside the coalescer's execution
+            # lock (two-phase mode, api/coalesce.py): a synchronous
+            # readback here serialised the server to one batch per
+            # host<->device roundtrip under load
             qs = np.concatenate([p[0] for p in payloads], axis=0)
             m = pad_bucket(
                 qs.shape[0], self.config.serve.coalesce_max_batch
@@ -209,17 +230,17 @@ class SearchEngine:
                 qs = np.concatenate(
                     [qs, np.repeat(qs[:1], m - qs.shape[0], axis=0)]
                 )
-            scores, ids = index.search_batch(qs, tier)
-            return [
-                (scores[i][: p[1]], ids[i][: p[1]])
-                for i, p in enumerate(payloads)
-            ]
+            return index.search_batch_dispatch(qs, tier)
+
+        def finalize(handle, i, payload):
+            scores_i, ids_i = index.search_batch_finalize(handle, i)
+            return scores_i[: payload[1]], ids_i[: payload[1]]
 
         co = self._get_coalescer(
             self._search_coalescers, f"{media_type}:k{tier}",
             lambda: Coalescer(
                 run, max_batch=self.config.serve.coalesce_max_batch,
-                name=f"search:{media_type}:k{tier}",
+                name=f"search:{media_type}:k{tier}", finalize=finalize,
             ),
         )
         return co.submit((qvec, k))

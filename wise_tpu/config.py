@@ -142,9 +142,15 @@ class ServeConfig:
     featured_seed: int = 42
     # Cross-request micro-batching of text-tower embeds and index searches
     # (api/coalesce.py): concurrent requests queued while the device is
-    # busy run as ONE dispatch. No added latency when idle; under load the
-    # HBM-bound scan amortises one database sweep over the whole batch.
-    coalesce: bool = True
+    # busy run as ONE dispatch, amortising one HBM database sweep over the
+    # whole batch. OFF by default on measurement: the serve-load A/B
+    # (scripts/bench_serve_load.py, BENCHMARKS.md "Coalescing under load")
+    # showed 0.82x qps on the dev host, whose single CPU core — not the
+    # device (~15% duty) — is the bottleneck, so added coordination can't
+    # pay. Opt in (WISE_SERVE_COALESCE=1 or wise.json serve.coalesce) on
+    # device-bound deployments: many-core host, local PCIe chip, large
+    # corpora/towers where the per-request device time dominates.
+    coalesce: bool = False
     coalesce_max_batch: int = 16
 
 
@@ -221,6 +227,8 @@ class WiseConfig:
             self.index.nprobe = int(env["NPROBE"])
         if env.get("INDEX_TYPE"):
             self.index.index_type = env["INDEX_TYPE"]
+        if env.get("WISE_SERVE_COALESCE"):
+            s.coalesce = env["WISE_SERVE_COALESCE"] not in ("0", "false", "")
         return self
 
     def save(self, path: Path) -> None:

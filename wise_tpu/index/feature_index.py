@@ -454,6 +454,42 @@ class FeatureSearchIndex(SearchIndex):
         scores, rows = self._dispatch_search(qvec, topk)
         return scores, self._rows_to_ids(scores, rows)
 
+    def search_batch_dispatch(self, query_vectors: np.ndarray, topk: int):
+        """Dispatch-only half of ``search_batch`` for the serving coalescer
+        (api/coalesce.py two-phase mode): returns an opaque handle whose
+        rows are realised by ``search_batch_finalize``. On the async-capable
+        path (single-chip flat f32/bf16 — the serve default) the handle
+        carries UNREALISED jax arrays, so the caller's critical section
+        costs one jit enqueue instead of a device->host roundtrip and
+        readbacks overlap across requester threads. Other paths (int8
+        rerank, IVF/IVF-PQ, sharded) fall back to computing here; their
+        handle is already-realised numpy and finalize is a cheap slice."""
+        qvec = np.atleast_2d(np.asarray(query_vectors, dtype=np.float32))
+        if (
+            self._index_type == "IndexFlatIP"
+            and self.config.storage_dtype != "int8"
+            and self._mesh is None
+        ):
+            from ..ops.topk import flat_topk
+
+            n_valid = int(self._metadata["count"])
+            k = min(int(topk), n_valid)
+            db = self._ensure_device_db()
+            vals, rows = flat_topk(
+                qvec, db, n_valid=n_valid, k=k, group=self.GROUP
+            )
+            return (vals, rows)  # unrealised device arrays
+        return self._dispatch_search(qvec, topk)
+
+    def search_batch_finalize(self, handle, i: int):
+        """Realise row ``i`` of a ``search_batch_dispatch`` handle ->
+        (scores (k,), ids (k,)). np.asarray on the device arrays blocks
+        until the batch's computation lands; on numpy handles it's free."""
+        vals, rows = handle
+        v = np.asarray(vals[i : i + 1])
+        r = np.asarray(rows[i : i + 1])
+        return v[0], self._rows_to_ids(v, r)[0]
+
     def _ensure_int8_db(self):
         """int8 HBM copy: (codes (N_pad, D) int8, per-row scales (N_pad,)).
 

@@ -157,7 +157,10 @@ class ClapExtractor(FeatureExtractor):
             a = a[None]
         return a
 
-    def extract_audio_features(self, preprocessed_audio: np.ndarray) -> np.ndarray:
+    def extract_audio_features_dispatch(self, preprocessed_audio: np.ndarray):
+        """Device-dispatch half of ``extract_audio_features`` — returns the
+        UNREALISED (n, D) embedding device array so the serving coalescer
+        can overlap readbacks across request batches (api/engine.py)."""
         a = np.asarray(preprocessed_audio, dtype=np.float32)
         if a.ndim == 1:
             a = a[None]
@@ -166,9 +169,16 @@ class ClapExtractor(FeatureExtractor):
         if m != n:
             a = np.concatenate([a, np.zeros((m - n, a.shape[1]), np.float32)])
         out = self._encode_audio(self.params, jnp.asarray(a))
-        return np.asarray(out[:n], dtype=np.float32)
+        return out[:n]
 
-    def extract_text_features(self, text_query: List[str]) -> np.ndarray:
+    def extract_audio_features(self, preprocessed_audio: np.ndarray) -> np.ndarray:
+        return np.asarray(
+            self.extract_audio_features_dispatch(preprocessed_audio),
+            dtype=np.float32,
+        )
+
+    def extract_text_features_dispatch(self, text_query: List[str]):
+        """Dispatch-only caption-tower embed (see audio variant above)."""
         enc = self.tokenizer(list(text_query))
         if isinstance(enc, tuple):
             # GPT2 path: lengths come from the attention mask (pad id 0 is
@@ -187,4 +197,9 @@ class ClapExtractor(FeatureExtractor):
         out = self._encode_text(
             self.params, jnp.asarray(tokens), jnp.asarray(lengths)
         )
-        return np.asarray(out[:n], dtype=np.float32)
+        return out[:n]
+
+    def extract_text_features(self, text_query: List[str]) -> np.ndarray:
+        return np.asarray(
+            self.extract_text_features_dispatch(text_query), dtype=np.float32
+        )

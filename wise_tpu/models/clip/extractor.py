@@ -204,7 +204,13 @@ class OpenClipExtractor(FeatureExtractor):
             out.append(im)
         return np.stack(out)
 
-    def extract_image_features(self, images: np.ndarray) -> np.ndarray:
+    def extract_image_features_dispatch(self, images: np.ndarray):
+        """Device-dispatch half of ``extract_image_features``: returns the
+        UNREALISED (n, D) embedding as a jax array. The serving coalescer
+        (api/engine.py two-phase mode) dispatches batches under its lock
+        and realises per-request slices outside it, so tower forwards
+        pipeline across request batches instead of serialising on each
+        device->host readback."""
         images = np.asarray(images)
         if images.ndim == 3:
             images = images[None]
@@ -235,9 +241,15 @@ class OpenClipExtractor(FeatureExtractor):
             out = self._encode_preprocessed(
                 self.params, jnp.asarray(images, dtype=jnp.float32)
             )
-        return np.asarray(out[:n], dtype=np.float32)
+        return out[:n]
 
-    def extract_text_features(self, text_query: List[str]) -> np.ndarray:
+    def extract_image_features(self, images: np.ndarray) -> np.ndarray:
+        return np.asarray(
+            self.extract_image_features_dispatch(images), dtype=np.float32
+        )
+
+    def extract_text_features_dispatch(self, text_query: List[str]):
+        """Dispatch-only text embed (see extract_image_features_dispatch)."""
         tokens = self.tokenizer(list(text_query))
         n = tokens.shape[0]
         m = self._text_buckets.pick(n)
@@ -250,4 +262,9 @@ class OpenClipExtractor(FeatureExtractor):
             pad[:, 0] = getattr(self.tokenizer, "eot", 0)
             tokens = np.concatenate([tokens, pad])
         out = self._encode_text(self.params, jnp.asarray(tokens))
-        return np.asarray(out[:n], dtype=np.float32)
+        return out[:n]
+
+    def extract_text_features(self, text_query: List[str]) -> np.ndarray:
+        return np.asarray(
+            self.extract_text_features_dispatch(text_query), dtype=np.float32
+        )
