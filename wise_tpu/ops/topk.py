@@ -220,11 +220,16 @@ def flat_topk(
     k: int,
     group: int = 4096,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Exact top-k dispatcher: small query batches use block-max candidate
-    selection (two_stage_topk, ~1.4 ms bf16 / 2.9 ms f32 at 1M x 512 on a
-    v5e); larger batches use the group-parallel sort (hier_topk) whose cost
-    amortises better across queries."""
-    if queries.shape[0] <= 4:
+    """Exact top-k dispatcher, calibrated on v5e at serving batch shapes
+    (scripts/bench_batched_topk.py; table in BENCHMARKS.md): at small k
+    the block-max candidate set stays tiny so two_stage wins at every
+    measured Q (3x at Q=16, k=20 — the round-1 "Q<=4" rule penalised the
+    coalesced-serving shape); at k=100 the Q*kb candidate gather grows and
+    hier takes over from Q>=4 (1.4-1.7x at Q=4, converged by Q=16). The
+    Q<=128 small-k cap hands unmeasured very-large batches (offline eval)
+    to hier, whose per-group sort amortises predictably."""
+    q = queries.shape[0]
+    if q <= 1 or (k <= 50 and q <= 128):
         return two_stage_topk(queries, db_padded, n_valid, k, group)
     return hier_topk(queries, db_padded, n_valid, k, group)
 
