@@ -40,7 +40,12 @@ def main():
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--swin-ab", action="store_true",
-                   help="A/B the fused Swin kernel on the full tower")
+                   help="A/B the fused Swin ATTENTION kernel on the full "
+                        "tower (whole-block kernel pinned off)")
+    p.add_argument("--block-ab", action="store_true",
+                   help="3-way A/B: whole-Swin-block kernel "
+                        "(ops/swin_block.py) vs attention-kernel-only vs "
+                        "pure XLA, interleaved")
     p.add_argument("--skip-stages", action="store_true",
                    help="skip the per-stage truncation runs (4 compiles)")
     args = p.parse_args()
@@ -112,6 +117,7 @@ def main():
 
         from wise_tpu.ops import swin_attention
 
+        os.environ["WISE_FUSED_SWIN_BLOCK"] = "0"  # isolate the attn kernel
         ab = []
         for _ in range(2):
             pair = {}
@@ -144,6 +150,44 @@ def main():
             out["WARNING"] = ("fused Swin kernel never engaged — the gate "
                               "rejected every WindowAttention shape; the A/B "
                               "columns are XLA vs XLA")
+
+    if args.block_ab:
+        import os
+
+        from wise_tpu.ops import swin_block as SBK
+
+        variants = {
+            "block": {"WISE_FUSED_SWIN_BLOCK": "1", "WISE_FUSED_SWIN": "0"},
+            "attn": {"WISE_FUSED_SWIN_BLOCK": "0", "WISE_FUSED_SWIN": "1"},
+            "xla": {"WISE_FUSED_SWIN_BLOCK": "0", "WISE_FUSED_SWIN": "0"},
+        }
+        times = {k: [] for k in variants}
+        for _ in range(2):                      # interleaved vs drift
+            for k, env in variants.items():
+                os.environ.update(env)
+                times[k].append(round(tower_time(base) * 1e3, 2))
+        out["block_ab_tower_ms"] = times
+        out["fused_block_engaged_traces"] = SBK.engaged_traces
+        if not SBK.engaged_traces:
+            out["WARNING_block"] = ("whole-block kernel never engaged — "
+                                    "'block' column is a fallback path")
+
+        def tower_out_env(env):
+            os.environ.update(env)
+            enc = HTSATEncoder(base)
+            params = enc.init(jax.random.PRNGKey(0), mel[:1])
+            return np.asarray(
+                jax.jit(lambda m: enc.apply(params, m))(mel)
+            ).astype(np.float64)
+
+        e0 = tower_out_env(variants["xla"])
+        e1 = tower_out_env(variants["block"])
+        cos = (e0 * e1).sum(1) / (
+            np.linalg.norm(e0, axis=1) * np.linalg.norm(e1, axis=1)
+        )
+        out["fused_block_cos_min"] = round(float(cos.min()), 6)
+        os.environ["WISE_FUSED_SWIN_BLOCK"] = "1"
+        os.environ["WISE_FUSED_SWIN"] = "1"
 
     if not args.skip_stages:
         # per-stage: truncate depths progressively

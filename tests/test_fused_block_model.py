@@ -231,3 +231,36 @@ def test_vith_class_padded_block(force_fused_block_padded):
     got = CLIP(cfg_f).apply(params, imgs, method="encode_image")
     cos = (np.asarray(got) * np.asarray(want)).sum(-1)
     assert cos.min() > 0.999, cos.min()
+
+
+def test_clap_caption_tower_fused_matches(force_fused_block, monkeypatch):
+    """CLAP's GPT2-layout caption tower pads 77->80 and runs the same
+    block kernels as the CLIP text tower; last-real-token pooling never
+    reads the pad rows, so fused == XLA. Param tree shared."""
+    import dataclasses
+
+    from wise_tpu.models.clap.model import CLAPConfig, CaptionEncoder
+
+    cfg = dataclasses.replace(
+        CLAPConfig(), vocab_size=128, context_length=13,
+        text_width=128, text_heads=2, text_layers=2, dtype=jnp.bfloat16,
+    )
+    toks = jax.random.randint(jax.random.PRNGKey(0), (4, 13), 1, 127)
+    lengths = jnp.array([3, 13, 7, 1])
+    enc = CaptionEncoder(cfg)
+
+    monkeypatch.setenv("WISE_FUSED_CLAP_TEXT", "0")
+    params = enc.init(jax.random.PRNGKey(1), toks, lengths)
+    want = enc.apply(params, toks, lengths)
+
+    monkeypatch.setenv("WISE_FUSED_CLAP_TEXT", "1")
+    params_f = enc.init(jax.random.PRNGKey(1), toks, lengths)
+    assert jax.tree_util.tree_structure(
+        params_f
+    ) == jax.tree_util.tree_structure(params)
+    got = enc.apply(params, toks, lengths)  # same params: ckpt interop
+    want, got = np.asarray(want), np.asarray(got)
+    cos = (want * got).sum(-1) / (
+        np.linalg.norm(want, axis=-1) * np.linalg.norm(got, axis=-1)
+    )
+    assert cos.min() > 0.999, cos.min()

@@ -106,3 +106,96 @@ def test_model_env_gated_path(monkeypatch):
     want = wa.apply(params_xla, x, mask)
     cos = _cos_rows(got, want)
     assert cos.min() > 0.999, cos.min()
+
+
+# ---------------------------------------------------------------------------
+# Whole-Swin-block kernel (ops/swin_block.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shift", [0, 2])
+def test_swin_block_kernel_matches_module(shift, monkeypatch):
+    """fused_swin_block (interpret mode) == the XLA SwinBlock, including
+    the layout round-trip (roll/partition/reverse), the relative-position
+    bias, the shift mask, and both residuals. Same param tree."""
+    import functools
+
+    import wise_tpu.ops.swin_block as SB
+    from wise_tpu.models.clap.model import SwinBlock
+
+    window, c, heads = 4, 96, 4
+    hres = wres = 16
+    b, l = 2, hres * wres
+    x = (0.5 * jax.random.normal(jax.random.PRNGKey(0), (b, l, c))).astype(
+        jnp.bfloat16
+    )
+
+    monkeypatch.setenv("WISE_FUSED_SWIN_BLOCK", "0")
+    monkeypatch.setenv("WISE_FUSED_SWIN", "0")
+    blk = SwinBlock(c, heads, window, shift, (hres, wres),
+                    dtype=jnp.bfloat16)
+    params = blk.init(jax.random.PRNGKey(1), x)
+    want = blk.apply(params, x)
+
+    monkeypatch.setenv("WISE_FUSED_SWIN_BLOCK", "1")
+    monkeypatch.setattr(
+        SB, "supports_fused_swin_block", lambda *a: True
+    )
+    monkeypatch.setattr(
+        SB, "fused_swin_block",
+        functools.partial(SB.fused_swin_block, interpret=True),
+    )
+    params_fused = blk.init(jax.random.PRNGKey(1), x)
+    assert jax.tree_util.tree_structure(
+        params_fused
+    ) == jax.tree_util.tree_structure(params)
+    engaged = SB.engaged_traces
+    got = blk.apply(params_fused, x)
+    assert SB.engaged_traces > engaged
+    cos = _cos_rows(got, want)
+    assert cos.min() > 0.999, cos.min()
+
+
+def test_swin_block_group_respects_mask_period():
+    """The group must divide the window batch and be compatible with the
+    mask period so the grid-blocked mask lands on the right windows."""
+    from wise_tpu.ops.swin_block import swin_block_group
+
+    g = swin_block_group(2048, 64, 96, 4, 64, 384)
+    assert g is not None and 2048 % g == 0 and (64 % g == 0 or g % 64 == 0)
+    # unmasked: only batch divisibility constrains
+    g = swin_block_group(96, 64, 96, 4, None, 384)
+    assert g is not None and 96 % g == 0
+
+
+def test_htsat_tower_fused_block_parity(monkeypatch):
+    """Tiny HTSAT config end-to-end: fused whole-block path (interpret)
+    vs the pure-XLA tower; embeddings match and checkpoints interop."""
+    import dataclasses
+    import functools
+
+    import wise_tpu.ops.swin_block as SB
+    from wise_tpu.models.clap.model import CLAPConfig, HTSATEncoder
+
+    cfg = dataclasses.replace(
+        CLAPConfig(), spec_frames=128, freq_ratio=4, n_mels=16,
+        embed_dim=16, depths=(2, 1), num_heads=(2, 2), window_size=4,
+        dtype=jnp.bfloat16,
+    )
+    mel = 0.5 * jax.random.normal(jax.random.PRNGKey(0), (2, 128, 16))
+
+    monkeypatch.setenv("WISE_FUSED_SWIN_BLOCK", "0")
+    monkeypatch.setenv("WISE_FUSED_SWIN", "0")
+    enc = HTSATEncoder(cfg)
+    params = enc.init(jax.random.PRNGKey(1), mel)
+    want = enc.apply(params, mel)
+
+    monkeypatch.setenv("WISE_FUSED_SWIN_BLOCK", "1")
+    monkeypatch.setattr(SB, "supports_fused_swin_block", lambda *a: True)
+    monkeypatch.setattr(
+        SB, "fused_swin_block",
+        functools.partial(SB.fused_swin_block, interpret=True),
+    )
+    got = enc.apply(params, mel)  # SAME params: checkpoint interop
+    cos = _cos_rows(got, want)
+    assert cos.min() > 0.999, cos.min()

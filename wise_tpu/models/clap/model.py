@@ -126,7 +126,7 @@ class WindowAttention(nn.Module):
         n, l, c = x.shape
         h = self.heads
         head_dim = c // h
-        if os.environ.get("WISE_FUSED_SWIN", "0") == "1":
+        if os.environ.get("WISE_FUSED_SWIN", "1") == "1":
             from ...ops.swin_attention import (
                 fused_window_attention,
                 note_engaged,
@@ -197,6 +197,29 @@ def _shift_attn_mask(h: int, w: int, window: int, shift: int) -> np.ndarray:
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
+class _WinAttnParams(nn.Module):
+    """WindowAttention's parameter tree (qkv, proj, bias table) without
+    computing — the whole-block fused path reads them directly so both
+    paths share one checkpoint layout."""
+
+    dim: int
+    heads: int
+    window: int
+
+    @nn.compact
+    def __call__(self):
+        from ..clip.model import _DenseParams
+
+        wqkv, bqkv = _DenseParams(self.dim, 3 * self.dim, name="qkv")()
+        wo, bo = _DenseParams(self.dim, self.dim, name="proj")()
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * self.window - 1) ** 2, self.heads),
+        )
+        return (wqkv, bqkv), (wo, bo), table
+
+
 class SwinBlock(nn.Module):
     dim: int
     heads: int
@@ -209,8 +232,74 @@ class SwinBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         """x: (B, H*W, C)"""
+        import os
+
         hres, wres = self.input_resolution
         b, l, c = x.shape
+        if os.environ.get("WISE_FUSED_SWIN_BLOCK", "1") == "1":
+            from ...ops.swin_block import (
+                fused_swin_block,
+                note_engaged,
+                supports_fused_swin_block,
+            )
+
+            n_windows = (hres // self.window) * (wres // self.window)
+            l_win = self.window * self.window
+            ff = int(c * self.mlp_ratio)
+            n_win_mask = n_windows if self.shift > 0 else None
+            if supports_fused_swin_block(
+                b * n_windows, l_win, c, self.heads, n_win_mask, ff,
+                jnp.dtype(self.dtype),
+            ):
+                # Whole residual block (LN1+window-MHA+residual+LN2+MLP+
+                # residual) in one VMEM program (ops/swin_block.py) on
+                # window-layout activations; only the pure layout ops
+                # (reshape/roll/partition/reverse) stay in XLA. LN, MLP,
+                # and the residual adds are permutation-equivariant, so
+                # computing them in window layout is exact.
+                note_engaged()
+                from ..clip.model import _DenseParams, _LNParams
+
+                ln1_s, ln1_b = _LNParams(c, name="norm1")()
+                (wqkv, bqkv), (wo, bo), table = _WinAttnParams(
+                    self.dim, self.heads, self.window, name="attn"
+                )()
+                ln2_s, ln2_b = _LNParams(c, name="norm2")()
+                wfc, bfc = _DenseParams(c, ff, name="mlp_fc1")()
+                wproj, bproj = _DenseParams(ff, c, name="mlp_fc2")()
+                idx = _relative_position_index(self.window)
+                bias = jnp.transpose(
+                    table[idx.reshape(-1)].reshape(l_win, l_win, self.heads),
+                    (2, 0, 1),
+                )
+                xs = x.astype(self.dtype).reshape(b, hres, wres, c)
+                if self.shift > 0:
+                    xs = jnp.roll(
+                        xs, shift=(-self.shift, -self.shift), axis=(1, 2)
+                    )
+                    mask = jnp.asarray(
+                        _shift_attn_mask(hres, wres, self.window, self.shift)
+                    )
+                else:
+                    mask = None
+                dt = self.dtype
+                out = fused_swin_block(
+                    window_partition(xs, self.window),
+                    ln1_s, ln1_b,
+                    wqkv.astype(dt), bqkv.astype(dt),
+                    wo.astype(dt), bo.astype(dt),
+                    bias, mask,
+                    ln2_s, ln2_b,
+                    wfc.astype(dt), bfc.astype(dt),
+                    wproj.astype(dt), bproj.astype(dt),
+                    heads=self.heads,
+                )
+                xs = window_reverse(out, self.window, hres, wres)
+                if self.shift > 0:
+                    xs = jnp.roll(
+                        xs, shift=(self.shift, self.shift), axis=(1, 2)
+                    )
+                return xs.reshape(b, l, c)
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         x = x.reshape(b, hres, wres, c)
@@ -332,6 +421,8 @@ class CaptionEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, tokens, lengths):
+        import os
+
         c = self.config
         emb = self.param(
             "token_embedding",
@@ -345,13 +436,32 @@ class CaptionEncoder(nn.Module):
             (c.context_length, c.text_width),
         )
         x = x + pos.astype(c.dtype)
-        mask = jnp.triu(
-            jnp.full((c.context_length, c.context_length), -jnp.inf), k=1
-        )[None, None]
+        # fused-kernel candidacy, mirroring the CLIP text tower
+        # (models/clip/model.py TextTransformer): causal + pooled at each
+        # caption's LAST REAL token, so the rows a padded sequence adds are
+        # never read and causal masking keeps real rows independent of the
+        # pad keys beyond n_valid. GPT2-small is head_dim 64, so the same
+        # block kernels (ops/block.py) apply; the real gate stays
+        # supports_fused_block (backend/VMEM), this only marks candidacy.
+        fused = (
+            jnp.dtype(c.dtype) == jnp.bfloat16
+            and c.text_width % c.text_heads == 0
+            and c.text_width // c.text_heads == 64
+            and os.environ.get("WISE_FUSED_CLAP_TEXT", "1") == "1"
+        )
+        n_tok = c.context_length
+        sp = ((n_tok + 7) // 8) * 8 if fused else n_tok
+        if sp != n_tok:
+            x = jnp.pad(x, ((0, 0), (0, sp - n_tok), (0, 0)))
+        mask = jnp.triu(jnp.full((sp, sp), -jnp.inf), k=1)[None, None]
         x = Transformer(
             c.text_width, c.text_layers, c.text_heads, quick_gelu=c.text_act,
-            dtype=c.dtype, name="transformer",
+            dtype=c.dtype, fused=fused, fused_block=fused,
+            n_valid=n_tok if fused else None, causal_fused=fused,
+            name="transformer",
         )(x, mask)
+        if sp != n_tok:
+            x = x[:, :n_tok]
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_f")(x)
         idx = jnp.clip(lengths - 1, 0, c.context_length - 1)
         return x[jnp.arange(x.shape[0]), idx].astype(jnp.float32)
