@@ -199,3 +199,67 @@ def test_htsat_tower_fused_block_parity(monkeypatch):
     got = enc.apply(params, mel)  # SAME params: checkpoint interop
     cos = _cos_rows(got, want)
     assert cos.min() > 0.999, cos.min()
+
+
+@pytest.mark.parametrize("group,n_win", [(8, 4), (3, 9)])
+def test_swin_block_kernel_mask_group_interplay(group, n_win):
+    """The shift mask varies within the window batch with period n_win.
+    Exercise BOTH plumbing branches of fused_swin_block: group > n_win
+    (mask tiled up to the group) and n_win > group (mask riding the grid
+    via the i % period index map), against a direct jnp reference."""
+    from wise_tpu.models.clap.model import (
+        _relative_position_index,
+        _shift_attn_mask,
+    )
+    from wise_tpu.ops.swin_block import fused_swin_block
+
+    window, c, heads = 4, 32, 2
+    L = window * window
+    res = {4: 8, 9: 12}[n_win]          # (res/window)^2 == n_win
+    assert (res // window) ** 2 == n_win
+    b = 2
+    n = b * n_win
+    ff = 2 * c
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 6)
+    x = (0.5 * jax.random.normal(ks[0], (n, L, c))).astype(jnp.bfloat16)
+    wqkv = (0.1 * jax.random.normal(ks[1], (c, 3 * c))).astype(jnp.bfloat16)
+    wo = (0.1 * jax.random.normal(ks[2], (c, c))).astype(jnp.bfloat16)
+    wfc = (0.1 * jax.random.normal(ks[3], (c, ff))).astype(jnp.bfloat16)
+    wproj = (0.1 * jax.random.normal(ks[4], (ff, c))).astype(jnp.bfloat16)
+    table = 0.1 * jax.random.normal(ks[5], ((2 * window - 1) ** 2, heads))
+    idx = _relative_position_index(window)
+    bias = jnp.transpose(table[idx.reshape(-1)].reshape(L, L, heads),
+                         (2, 0, 1))
+    mask = jnp.asarray(_shift_attn_mask(res, res, window, window // 2))
+    assert mask.shape[0] == n_win
+    ones, zeros = jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32)
+
+    got = fused_swin_block(
+        x, ones, zeros, wqkv, jnp.zeros((3 * c,)), wo, zeros, bias, mask,
+        ones, zeros, wfc, jnp.zeros((ff,)), wproj, zeros,
+        heads=heads, group=group, interpret=True,
+    )
+
+    # direct jnp reference on the same window-layout tensors
+    def ln(v):
+        m = v.mean(-1, keepdims=True)
+        return (v - m) / jnp.sqrt(v.var(-1, keepdims=True) + 1e-5)
+
+    xf = x.astype(jnp.float32)
+    y = ln(xf)
+    qkv = y @ wqkv.astype(jnp.float32)
+    q, k, v = jnp.split(qkv.reshape(n, L, 3, heads, c // heads)
+                        .transpose(2, 0, 3, 1, 4), 3)
+    q, k, v = q[0], k[0], v[0]          # (n, heads, L, hd)
+    logits = q @ k.transpose(0, 1, 3, 2) / np.sqrt(c // heads)
+    logits = logits + bias[None]
+    logits = logits + jnp.tile(mask[:, None], (b, 1, 1, 1))
+    p = jax.nn.softmax(logits, axis=-1)
+    att = (p @ v).transpose(0, 2, 1, 3).reshape(n, L, c)
+    o = xf + att @ wo.astype(jnp.float32)
+    h = jax.nn.gelu(ln(o) @ wfc.astype(jnp.float32), approximate=False)
+    want = o + h @ wproj.astype(jnp.float32)
+
+    cos = _cos_rows(got, want)
+    assert cos.min() > 0.999, cos.min()
