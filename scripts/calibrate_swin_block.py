@@ -34,6 +34,9 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--groups", type=int, nargs="*", default=None,
                    help="override candidate groups (default 128..1)")
+    p.add_argument("--flat", action="store_true",
+                   help="also probe the flat (merged-rows GEMM) variant "
+                        "of each candidate group")
     args = p.parse_args()
 
     import jax
@@ -105,22 +108,25 @@ def main():
             for g in cands:
                 if masked and (n_win % g and g % n_win):
                     continue
+                for flat in ((False, True) if args.flat else (False,)):
 
-                def f(xx, cc, g=g, mask=mask):
-                    return jnp.sum(
-                        fused_swin_block(
-                            xx + cc.astype(xx.dtype) * 0,
-                            ones_c, zer_c, wqkv,
-                            jnp.zeros((3 * c,)), wo, zer_c, bias, mask,
-                            ones_c, zer_c, wfc, jnp.zeros((ff,)),
-                            wproj, zer_c, heads=heads, group=g,
-                        )[:, 0, 0].astype(jnp.float32)
-                    )
+                    def f(xx, cc, g=g, mask=mask, flat=flat):
+                        return jnp.sum(
+                            fused_swin_block(
+                                xx + cc.astype(xx.dtype) * 0,
+                                ones_c, zer_c, wqkv,
+                                jnp.zeros((3 * c,)), wo, zer_c, bias, mask,
+                                ones_c, zer_c, wfc, jnp.zeros((ff,)),
+                                wproj, zer_c, heads=heads, group=g,
+                                flat=flat,
+                            )[:, 0, 0].astype(jnp.float32)
+                        )
 
-                try:
-                    rows[g] = round(timed(f, x) * 1e3, 3)
-                except Exception as e:  # Mosaic VMEM OOM etc.
-                    rows[g] = f"fail: {str(e)[:80]}"
+                    label = f"{g}flat" if flat else g
+                    try:
+                        rows[label] = round(timed(f, x) * 1e3, 3)
+                    except Exception as e:  # Mosaic VMEM OOM etc.
+                        rows[label] = f"fail: {str(e)[:80]}"
             numeric = {g: t for g, t in rows.items()
                        if isinstance(t, float)}
             results[shape_key] = {

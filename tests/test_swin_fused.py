@@ -201,8 +201,9 @@ def test_htsat_tower_fused_block_parity(monkeypatch):
     assert cos.min() > 0.999, cos.min()
 
 
+@pytest.mark.parametrize("flat", [False, True])
 @pytest.mark.parametrize("group,n_win", [(8, 4), (3, 9)])
-def test_swin_block_kernel_mask_group_interplay(group, n_win):
+def test_swin_block_kernel_mask_group_interplay(group, n_win, flat):
     """The shift mask varies within the window batch with period n_win.
     Exercise BOTH plumbing branches of fused_swin_block: group > n_win
     (mask tiled up to the group) and n_win > group (mask riding the grid
@@ -238,7 +239,7 @@ def test_swin_block_kernel_mask_group_interplay(group, n_win):
     got = fused_swin_block(
         x, ones, zeros, wqkv, jnp.zeros((3 * c,)), wo, zeros, bias, mask,
         ones, zeros, wfc, jnp.zeros((ff,)), wproj, zeros,
-        heads=heads, group=group, interpret=True,
+        heads=heads, group=group, interpret=True, flat=flat,
     )
 
     # direct jnp reference on the same window-layout tensors

@@ -49,9 +49,14 @@ _VMEM_BUDGET = 11_500_000
 _VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 
 #: (seq, width) -> group measured fastest on hardware
-#: (scripts/profile_clap.py --block-ab + probe runs); analytic fallback
+#: (scripts/calibrate_swin_block.py); analytic fallback
 #: below for unprobed shapes.
 _CALIBRATED_SWIN_BLOCK: dict = {}
+
+#: (seq, width) -> group at which the FLAT variant (merged (G*L, C) rows
+#: for the position-wise GEMMs) beat the batched 3-D GEMMs on hardware.
+#: When a shape's entry equals the group in use, production runs flat.
+_CALIBRATED_FLAT_SWIN: dict = {}
 
 #: Trace-time engagement counter (see ops/swin_attention.py engaged_traces)
 #: so A/B harnesses can assert the kernel really traced.
@@ -112,17 +117,29 @@ def supports_fused_swin_block(batch: int, seq: int, width: int, heads: int,
 def _kernel(x_ref, ln1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, bias_ref,
             mask_ref, ln2_ref, wfc_ref, bfc_ref, wproj_ref, bproj_ref,
             o_ref, att_ref, *, heads: int, scale: float, act: str,
-            has_mask: bool):
+            has_mask: bool, flat: bool):
     x = x_ref[:]                               # (G, L, C) bf16
     g, l, c = x.shape
     hd = c // heads
     y = _ln_f32(
         x.astype(jnp.float32), ln1_ref[0, :], ln1_ref[1, :]
     ).astype(x.dtype)
-    qkv = jax.lax.dot_general(
-        y, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if flat:
+        # Merged (G*L, C) rows for every position-wise GEMM (qkv, out-proj,
+        # fc1, fc2): HTSAT's narrow stages (C=96..384 under the 128-lane
+        # MXU width) waste most of each batched (L=64, C) GEMM; one big
+        # 2-D GEMM keeps the systolic array streaming (same trick as
+        # ops/block.py flat variants). Attention stays per-window.
+        qkv = jax.lax.dot_general(
+            y.reshape(g * l, c), wqkv_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(g, l, 3 * c)
+    else:
+        qkv = jax.lax.dot_general(
+            y, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     qkv = (qkv + bqkv_ref[0, :]).astype(x.dtype)
     for h in range(heads):
         q = qkv[:, :, h * hd:(h + 1) * hd]
@@ -143,6 +160,29 @@ def _kernel(x_ref, ln1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, bias_ref,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).astype(att_ref.dtype)
+    if flat:
+        out = jax.lax.dot_general(
+            att_ref[:].reshape(g * l, c), wo_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o = x.reshape(g * l, c) + (out + bo_ref[0, :]).astype(x.dtype)
+        y2 = _ln_f32(
+            o.astype(jnp.float32), ln2_ref[0, :], ln2_ref[1, :]
+        ).astype(x.dtype)
+        h2 = jax.lax.dot_general(
+            y2, wfc_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        h2 = _gelu_f32(h2 + bfc_ref[0, :], act).astype(x.dtype)
+        mlp = jax.lax.dot_general(
+            h2, wproj_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:] = (o + (mlp + bproj_ref[0, :]).astype(x.dtype)).reshape(
+            g, l, c
+        )
+        return
     out = jax.lax.dot_general(
         att_ref[:], wo_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -164,7 +204,7 @@ def _kernel(x_ref, ln1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, bias_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("heads", "act", "interpret", "group")
+    jax.jit, static_argnames=("heads", "act", "interpret", "group", "flat")
 )
 def fused_swin_block(
     x: jax.Array,          # (N, L, C) bf16 window batch (raw, pre-LN)
@@ -184,6 +224,7 @@ def fused_swin_block(
     act: str = "gelu",
     interpret: bool = False,
     group: int | None = None,
+    flat: bool | None = None,
 ) -> jax.Array:
     """Whole Swin residual block on window-layout activations:
     out = o + MLP(LN2(o)) where o = x + proj(MHA(LN1(x), bias [, mask])).
@@ -194,6 +235,8 @@ def fused_swin_block(
     n_win = mask.shape[0] if mask is not None else None
     group = group or swin_block_group(n, l, c, heads, n_win, ff)
     assert group is not None, "gate with supports_fused_swin_block() first"
+    if flat is None:
+        flat = _CALIBRATED_FLAT_SWIN.get((l, c)) == group
     xspec = pl.BlockSpec((group, l, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(  # noqa: E731
@@ -219,7 +262,7 @@ def fused_swin_block(
     return pl.pallas_call(
         functools.partial(
             _kernel, heads=heads, scale=1.0 / np.sqrt(c // heads),
-            act=act, has_mask=has_mask,
+            act=act, has_mask=has_mask, flat=flat,
         ),
         grid=(n // group,),
         in_specs=[
