@@ -123,6 +123,53 @@ def bench_torch_cpu_vit():
         return None
 
 
+def bench_clap_audio(roundtrip: float):
+    """CLAP audio segments/s/chip on the production path (GEMM log-mel +
+    HTSAT tower with the whole-Swin-block kernels, bf16). One jitted
+    graph, host-chained iterations. Optional extra metric — callers
+    guard with try/except so a failure can't hurt the headline."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from wise_tpu.models.clap.model import HTSATEncoder, get_clap_config
+    from wise_tpu.ops.mel import log_mel_spectrogram
+
+    b = 32
+    cfg = dataclasses.replace(get_clap_config("2023"), dtype=jnp.bfloat16)
+    enc = HTSATEncoder(cfg)
+    wav = jax.random.normal(
+        jax.random.PRNGKey(0), (b, int(cfg.sample_rate * cfg.duration))
+    )
+    mel0 = log_mel_spectrogram(
+        wav[:1], sr=cfg.sample_rate, n_fft=cfg.n_fft,
+        hop_length=cfg.hop_length, n_mels=cfg.n_mels,
+        fmin=cfg.fmin, fmax=cfg.fmax,
+    )
+    params = enc.init(jax.random.PRNGKey(1), mel0)
+
+    n_iter = 10
+
+    @jax.jit
+    def step(carry, w):
+        mel = log_mel_spectrogram(
+            w + carry * 0, sr=cfg.sample_rate, n_fft=cfg.n_fft,
+            hop_length=cfg.hop_length, n_mels=cfg.n_mels,
+            fmin=cfg.fmin, fmax=cfg.fmax,
+        )
+        return jnp.sum(enc.apply(params, mel)[:, 0])
+
+    carry = step(jnp.float32(0), wav)
+    np.asarray(carry)  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        carry = step(carry, wav)
+    np.asarray(carry)
+    dt = time.perf_counter() - t0 - roundtrip
+    return b * n_iter / dt
+
+
 def bench_query_latency(roundtrip: float):
     import jax
     import jax.numpy as jnp
@@ -285,6 +332,10 @@ def _run():
     fps = bench_tpu_vit(roundtrip, "bfloat16")
     torch_fps = bench_torch_cpu_vit()
     p50, p50_bf16, cpu_scan = bench_query_latency(roundtrip)
+    try:
+        clap_sps = bench_clap_audio(roundtrip)
+    except Exception:
+        clap_sps = None
     vs = (fps / torch_fps) if torch_fps else None
     print(
         json.dumps(
@@ -299,6 +350,9 @@ def _run():
                 "query_p50_latency_s_at_1M": round(p50, 5),
                 "query_p50_latency_bf16_s_at_1M": round(p50_bf16, 5),
                 "cpu_numpy_scan_s_at_1M": round(cpu_scan, 4),
+                "clap_audio_segments_per_s": round(clap_sps, 1)
+                if clap_sps
+                else None,
                 "tunnel_roundtrip_s": round(roundtrip, 4),
             }
         )
