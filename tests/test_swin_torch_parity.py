@@ -105,6 +105,28 @@ def test_patch_merging_matches_torch():
     np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=1e-3)
 
 
+def test_swin_block_window_equals_resolution_clamps_shift():
+    """When one window covers the whole resolution, torch Swin/HTSAT clamp
+    shift to 0 (HF SwinLayer.set_shift_and_window_size, HTS-AT
+    SwinTransformerBlock.__init__) — HTSAT stage 3 (res 8, window 8) hits
+    this. Our SwinBlock must degrade its shifted blocks identically or
+    published CLAP checkpoints diverge at stage 3 (regression: we used to
+    run a shift-4 mask there)."""
+    res = (WINDOW, WINDOW)
+    block = SwinBlock(
+        dim=DIM, heads=HEADS, window=WINDOW, shift=WINDOW // 2,
+        input_resolution=res,
+    )
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, WINDOW * WINDOW, DIM)).astype(np.float32)
+    params = block.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    layer = build_torch_layer(params, WINDOW // 2)
+    ours = np.asarray(block.apply(params, jnp.asarray(x)))
+    with torch.inference_mode():
+        theirs = layer(torch.tensor(x), input_dimensions=res)[0].numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=1e-3)
+
+
 @pytest.mark.parametrize("shift", [0, WINDOW // 2])
 def test_swin_block_matches_torch(shift):
     block = SwinBlock(

@@ -236,6 +236,13 @@ class SwinBlock(nn.Module):
 
         hres, wres = self.input_resolution
         b, l, c = x.shape
+        # torch-Swin/HTSAT clamp (HF SwinLayer.set_shift_and_window_size,
+        # HTS-AT SwinTransformerBlock.__init__): when ONE window covers the
+        # whole resolution there is nothing to shift across, so shifted
+        # blocks degrade to plain window attention. HTSAT stage 3 (res 8,
+        # window 8) hits this — without the clamp its odd blocks would run
+        # a shift-4 mask the published checkpoints never trained with.
+        shift = self.shift if min(hres, wres) > self.window else 0
         if os.environ.get("WISE_FUSED_SWIN_BLOCK", "1") == "1":
             from ...ops.swin_block import (
                 fused_swin_block,
@@ -246,7 +253,7 @@ class SwinBlock(nn.Module):
             n_windows = (hres // self.window) * (wres // self.window)
             l_win = self.window * self.window
             ff = int(c * self.mlp_ratio)
-            n_win_mask = n_windows if self.shift > 0 else None
+            n_win_mask = n_windows if shift > 0 else None
             if supports_fused_swin_block(
                 b * n_windows, l_win, c, self.heads, n_win_mask, ff,
                 jnp.dtype(self.dtype),
@@ -273,12 +280,12 @@ class SwinBlock(nn.Module):
                     (2, 0, 1),
                 )
                 xs = x.astype(self.dtype).reshape(b, hres, wres, c)
-                if self.shift > 0:
+                if shift > 0:
                     xs = jnp.roll(
-                        xs, shift=(-self.shift, -self.shift), axis=(1, 2)
+                        xs, shift=(-shift, -shift), axis=(1, 2)
                     )
                     mask = jnp.asarray(
-                        _shift_attn_mask(hres, wres, self.window, self.shift)
+                        _shift_attn_mask(hres, wres, self.window, shift)
                     )
                 else:
                     mask = None
@@ -295,18 +302,18 @@ class SwinBlock(nn.Module):
                     heads=self.heads,
                 )
                 xs = window_reverse(out, self.window, hres, wres)
-                if self.shift > 0:
+                if shift > 0:
                     xs = jnp.roll(
-                        xs, shift=(self.shift, self.shift), axis=(1, 2)
+                        xs, shift=(shift, shift), axis=(1, 2)
                     )
                 return xs.reshape(b, l, c)
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         x = x.reshape(b, hres, wres, c)
-        if self.shift > 0:
-            x = jnp.roll(x, shift=(-self.shift, -self.shift), axis=(1, 2))
+        if shift > 0:
+            x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
             mask = jnp.asarray(
-                _shift_attn_mask(hres, wres, self.window, self.shift)
+                _shift_attn_mask(hres, wres, self.window, shift)
             )
         else:
             mask = None
@@ -315,8 +322,8 @@ class SwinBlock(nn.Module):
             self.dim, self.heads, self.window, dtype=self.dtype, name="attn"
         )(windows, mask)
         x = window_reverse(attn, self.window, hres, wres)
-        if self.shift > 0:
-            x = jnp.roll(x, shift=(self.shift, self.shift), axis=(1, 2))
+        if shift > 0:
+            x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
         x = shortcut + x.reshape(b, l, c)
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
         h = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)

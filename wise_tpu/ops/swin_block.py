@@ -49,14 +49,32 @@ _VMEM_BUDGET = 11_500_000
 _VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 
 #: (seq, width) -> group measured fastest on hardware
-#: (scripts/calibrate_swin_block.py); analytic fallback
-#: below for unprobed shapes.
-_CALIBRATED_SWIN_BLOCK: dict = {}
+#: (scripts/calibrate_swin_block.py --flat --groups 64 32 16 8, v5e,
+#: batch 32, 50-iter chains; one group serves both the shifted and
+#: unshifted block of a stage, so the winner minimises the PAIR):
+#:   C=96  (n=2048, n_win=64): 32flat 1.555+1.612 ms (analytic-16 pair
+#:          1.701+1.674; 64flat 1.718+1.570)
+#:   C=192 (n=512, n_win=16):  32flat 0.657+0.643 (analytic-8 non-flat
+#:          was the round-3 default)
+#:   C=384 (n=128, n_win=4):   32flat 0.645+0.304
+#:   C=768 (n=32, single window, no shifted block after the torch clamp):
+#:          16flat 0.269 — the analytic formula REJECTS this stage
+#:          (weights alone est. 14.2 MB > budget) but Mosaic compiles and
+#:          runs it ~2.4x faster than the 0.65 ms XLA stage, the same ~3x
+#:          formula-vs-reality gap ops/block.py measured.
+#: Analytic fallback below for unprobed shapes/batches.
+_CALIBRATED_SWIN_BLOCK: dict = {
+    (64, 96): 32, (64, 192): 32, (64, 384): 32, (64, 768): 16,
+}
 
 #: (seq, width) -> group at which the FLAT variant (merged (G*L, C) rows
 #: for the position-wise GEMMs) beat the batched 3-D GEMMs on hardware.
 #: When a shape's entry equals the group in use, production runs flat.
-_CALIBRATED_FLAT_SWIN: dict = {}
+#: Flat won at EVERY HTSAT stage (narrow C under the 128-lane MXU width —
+#: the merged rows keep the systolic array streaming).
+_CALIBRATED_FLAT_SWIN: dict = {
+    (64, 96): 32, (64, 192): 32, (64, 384): 32, (64, 768): 16,
+}
 
 #: Trace-time engagement counter (see ops/swin_attention.py engaged_traces)
 #: so A/B harnesses can assert the kernel really traced.
