@@ -51,13 +51,21 @@ def bench_tpu_vit(roundtrip: float, dtype_name: str = "bfloat16"):
 
     from wise_tpu.models.clip.extractor import production_clip_config
     from wise_tpu.models.clip.model import CLIP
-    from wise_tpu.models.clip.preprocess import preprocess_images
+    from wise_tpu.models.clip.preprocess import (
+        preprocess_images,
+        preprocess_images_gemm,
+    )
 
     # the production inference config (extractor.py) — env gates included,
     # so the headline measures exactly what serving runs
     os.environ["WISE_CLIP_DTYPE"] = dtype_name
     config = production_clip_config("ViT-B-32")
     model = CLIP(config)
+    # same preprocess selection as the extractor: bf16 towers take the
+    # GEMM resize (WISE_PREPROCESS_GEMM=0 opts out)
+    if (dtype_name == "bfloat16"
+            and os.environ.get("WISE_PREPROCESS_GEMM", "1") == "1"):
+        preprocess_images = preprocess_images_gemm
     params = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, config.image_size, config.image_size, 3), jnp.float32),

@@ -52,6 +52,58 @@ def test_resize_first_semantics():
     assert np.corrcoef(exact.ravel(), fast.ravel())[0, 1] > 0.999
 
 
+def test_preprocess_gemm_matches_resize_within_bf16():
+    """The GEMM resize (production bf16 ingest path) applies the EXACT
+    extracted jax.image bicubic weights, so its only delta vs
+    preprocess_images is the bf16 operand rounding — bounded at a few
+    bf16 ulps in normalised units."""
+    import jax.numpy as jnp
+
+    from wise_tpu.models.clip.preprocess import preprocess_images_gemm
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (2, 48, 64, 3), dtype=np.uint8)
+    want = preprocess_numpy(img, 32)
+    got = np.asarray(preprocess_images_gemm(jnp.asarray(img), 32),
+                     np.float32)
+    assert got.shape == (2, 32, 32, 3)
+    assert float(np.max(np.abs(got - want))) < 0.08      # ~bf16 band
+    assert float(np.mean(np.abs(got - want))) < 0.01
+
+
+def test_preprocess_gemm_square_input_falls_back_exact():
+    """square == target skips the resize entirely, so the GEMM path must
+    match preprocess_images to f32 rounding (no bf16 cast anywhere)."""
+    import jax.numpy as jnp
+
+    from wise_tpu.models.clip.preprocess import preprocess_images_gemm
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 255, (1, 32, 32, 3), dtype=np.uint8)
+    want = preprocess_numpy(img, 32)
+    got = np.asarray(preprocess_images_gemm(jnp.asarray(img), 32))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_resize_weights_exact_by_linearity():
+    """_resize_weights is jax.image.resize applied to identity, so
+    W @ x must equal resize(x) for any x (linearity), and bicubic
+    preserves constants (rows sum to 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wise_tpu.models.clip.preprocess import _resize_weights
+
+    w = _resize_weights(48, 32)
+    assert w.shape == (32, 48)
+    np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-5)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((48, 7)).astype(np.float32)
+    want = np.asarray(jax.image.resize(
+        jnp.asarray(x), (32, 7), method="bicubic", antialias=True))
+    np.testing.assert_allclose(w @ x, want, atol=1e-5)
+
+
 def test_extractor_exact_mode(monkeypatch):
     """WISE_PREPROCESS=exact routes uint8 frames through the PIL path."""
     monkeypatch.setenv("WISE_PREPROCESS", "exact")

@@ -29,7 +29,7 @@ import numpy as np
 
 from ..feature_extractor import BucketPolicy, FeatureExtractor
 from .model import CLIP, get_clip_config
-from .preprocess import preprocess_images
+from .preprocess import preprocess_images, preprocess_images_gemm
 from .tokenizer import get_tokenizer
 
 logger = logging.getLogger(__name__)
@@ -156,9 +156,19 @@ class OpenClipExtractor(FeatureExtractor):
                 context_length=self.config.context_length,
             )
 
+        # bf16 towers take the GEMM resize (2.5x faster preprocess,
+        # ~bf16-ulp pixel delta — measured embedding impact in
+        # BENCHMARKS.md); parity/f32 towers keep the HIGHEST-precision
+        # jax.image path.
+        use_gemm_pre = (
+            jnp.dtype(self.config.dtype) == jnp.bfloat16
+            and os.environ.get("WISE_PREPROCESS_GEMM", "1") == "1"
+        )
+        pre_fn = preprocess_images_gemm if use_gemm_pre else preprocess_images
+
         @functools.partial(jax.jit, static_argnames=())
         def _encode_image(params, frames_u8):
-            x = preprocess_images(frames_u8, self.config.image_size)
+            x = pre_fn(frames_u8, self.config.image_size)
             return self.model.apply(params, x, method=CLIP.encode_image)
 
         @jax.jit

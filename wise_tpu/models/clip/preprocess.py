@@ -59,6 +59,64 @@ def preprocess_numpy(frames: np.ndarray, target_size: int = 224) -> np.ndarray:
     return np.asarray(preprocess_images(jnp.asarray(frames), target_size))
 
 
+@functools.lru_cache(maxsize=16)
+def _resize_weights(src: int, dst: int) -> np.ndarray:
+    """Exact separable weights of jax.image's antialiased bicubic resize:
+    the resize is LINEAR per axis, so resizing an identity matrix yields
+    that axis's full (dst, src) weight matrix — the GEMM path below is the
+    same map by construction, not a reimplementation of the kernel math.
+    ensure_compile_time_eval keeps the one-time extraction eager even when
+    the caller is being traced under an outer jit."""
+    with jax.ensure_compile_time_eval():
+        eye = jnp.eye(src, dtype=jnp.float32)
+        w = jax.image.resize(eye, (dst, src), method="bicubic",
+                             antialias=True)
+        return np.asarray(w)
+
+
+def preprocess_images_gemm(
+    frames: jax.Array,
+    target_size: int = 224,
+    mean: Tuple[float, ...] = OPENAI_DATASET_MEAN,
+    std: Tuple[float, ...] = OPENAI_DATASET_STD,
+) -> jax.Array:
+    """preprocess_images with the bicubic resize applied as two bf16
+    GEMMs (Wh @ x @ Ww, exact extracted weights — see _resize_weights).
+
+    Measured on the v5e (scripts/bench_preprocess_variants.py, batch 512
+    256x320 -> 224): 1.14 ms vs 2.87 ms for jax.image.resize — the
+    general scale-and-translate lowering never reaches the MXU, the
+    einsums do. The bf16 operands bound the pixel delta at ~bf16 ulp
+    (max|d| 4.5e-2 in normalised units ≈ 1.2e-2 raw, i.e. ~3/255 grey
+    levels); production bf16 towers quantise activations to bf16 anyway,
+    and the embedding delta is measured on hardware (BENCHMARKS.md,
+    round 3) — this is the production ingest path for bf16 towers
+    (extractor.py; WISE_PREPROCESS_GEMM=0 opts out). Parity/f32 paths
+    keep preprocess_images."""
+    b, h, w, c = frames.shape
+    square = min(h, w)
+    if square == target_size:
+        return preprocess_images(frames, target_size, mean, std)
+    top = (h - square) // 2
+    left = (w - square) // 2
+    x = jax.lax.dynamic_slice(
+        frames, (0, top, left, 0), (b, square, square, c)
+    )
+    # weak-typed 255.0 keeps the division in bf16 (a np scalar would
+    # promote to f32 and the first einsum would run mixed-precision)
+    x = x.astype(jnp.bfloat16) / 255.0
+    wh = jnp.asarray(_resize_weights(square, target_size), jnp.bfloat16)
+    x = jnp.einsum(
+        "Hh,bhwc->bHwc", wh, x, preferred_element_type=jnp.float32
+    ).astype(jnp.bfloat16)
+    x = jnp.einsum(
+        "wW,bHwc->bHWc", wh.T, x, preferred_element_type=jnp.float32
+    )
+    mean_a = jnp.asarray(mean, dtype=jnp.float32)
+    std_a = jnp.asarray(std, dtype=jnp.float32)
+    return (x - mean_a) / std_a
+
+
 def preprocess_images_exact(
     frames: np.ndarray,
     target_size: int = 224,
