@@ -29,6 +29,11 @@ CONFIGS = {
     "blockflat": dict(fused_block=True),  # + flat attn-block GEMMs (below)
     "block+patch": dict(fused_block=True, patch_embed_matmul=True),
     "attn+patch": dict(fused_attention=True, patch_embed_matmul=True),
+    # pooled last layer (CLIPConfig.pool_last_block): the final layer
+    # computes only the cls row — candidate production default
+    "block+pool": dict(fused_block=True, pool_last_block=True),
+    "block+pool+patch": dict(fused_block=True, pool_last_block=True,
+                             patch_embed_matmul=True),
 }
 
 

@@ -94,6 +94,73 @@ def test_attn_block_matches_xla(causal, flat):
     assert cos.min() > 0.999, cos.min()
 
 
+@pytest.mark.parametrize("pool_row", [0, 5])
+@pytest.mark.parametrize("causal", [False, True])
+def test_attn_block_pooled_matches_xla(causal, pool_row):
+    """Pooled last-layer variant: its (B, D) output must equal the full
+    block's output at the pooled row (q/out-proj restricted to that row,
+    k/v full — same contractions for the surviving row)."""
+    from wise_tpu.ops.block import fused_attn_block_pooled
+
+    b, sp, d, heads, n_valid = 8, 56, 256, 4, 50
+    x = _mk((b, sp, d), 60, 1.0).astype(jnp.bfloat16)
+    ln_s = 1.0 + _mk((d,), 61)
+    ln_b = _mk((d,), 62)
+    wqkv, bqkv = _mk((d, 3 * d), 63), _mk((3 * d,), 64)
+    wo, bo = _mk((d, d), 65), _mk((d,), 66)
+    got = fused_attn_block_pooled(
+        x, ln_s, ln_b, wqkv.astype(jnp.bfloat16), bqkv.astype(jnp.bfloat16),
+        wo.astype(jnp.bfloat16), bo.astype(jnp.bfloat16),
+        heads=heads, n_valid=n_valid, pool_row=pool_row, causal=causal,
+        interpret=True,
+    )
+    want = xla_attn_block(x, ln_s, ln_b, wqkv, bqkv, wo, bo, heads,
+                          n_valid, causal)[:, pool_row]
+    assert got.shape == (b, d) and got.dtype == want.dtype
+    cos = _cos_rows(got, want)
+    assert cos.min() > 0.999, cos.min()
+
+
+@pytest.mark.parametrize("b", [16, 64])
+def test_pooled_spmd_rule_no_collectives(monkeypatch, b):
+    """dp-sharded x through the pooled block: collective-free, (B, D) out.
+    b=16 -> per-shard batch 2 exercises the plain-ops fallback (below the
+    kernel's 8-sublane output minimum); b=64 -> per-shard 8 runs the
+    interpret-mode kernel."""
+    import functools
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wise_tpu.ops import block as Bk
+    from wise_tpu.parallel.mesh import get_mesh
+
+    monkeypatch.setattr(
+        Bk, "fused_attn_block_pooled",
+        functools.partial(Bk.fused_attn_block_pooled, interpret=True),
+    )
+    mesh = get_mesh(dp=8)
+    sp, d, heads, n_valid = 16, 256, 4, 13
+    x = _mk((b, sp, d), 70, 1.0).astype(jnp.bfloat16)
+    ln_s = 1.0 + _mk((d,), 71)
+    ln_b = _mk((d,), 72)
+    wqkv, bqkv = _mk((d, 3 * d), 73), _mk((3 * d,), 74)
+    wo, bo = _mk((d, d), 75), _mk((d,), 76)
+    bf = jnp.bfloat16
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp", None, None)))
+    jf = jax.jit(lambda x: Bk.fused_attn_block_pooled_spmd(
+        x, ln_s, ln_b, wqkv.astype(bf), bqkv.astype(bf),
+        wo.astype(bf), bo.astype(bf), heads, n_valid, 0, False,
+    ))
+    hlo = jf.lower(xs).compile().as_text()
+    assert "all-gather" not in hlo and "all-reduce" not in hlo
+    got = jf(xs)
+    want = xla_attn_block(x, ln_s, ln_b, wqkv, bqkv, wo, bo, heads,
+                          n_valid, False)[:, 0]
+    cos = _cos_rows(got, want)
+    assert cos.min() > 0.999, cos.min()
+
+
 @pytest.mark.parametrize("flat", [False, True])
 @pytest.mark.parametrize("act", ["gelu", "quick_gelu", "gelu_tanh"])
 def test_mlp_block_matches_xla(act, flat):

@@ -42,6 +42,11 @@ def force_fused_block(monkeypatch):
         and w // h == 64 and sp % 8 == 0,
     )
     monkeypatch.setattr(
+        block, "supports_fused_block_pooled",
+        lambda b, sp, w, h, dt: jnp.dtype(dt) == jnp.bfloat16
+        and w // h == 64 and sp % 8 == 0,
+    )
+    monkeypatch.setattr(
         block, "fused_attn_block",
         functools.partial(block.fused_attn_block, interpret=True),
     )
@@ -112,6 +117,86 @@ def test_text_embeddings_match_causal(force_fused_block):
     got = CLIP(cfg_f).apply(params, toks, method="encode_text")
     cos = (np.asarray(got) * np.asarray(want)).sum(-1)
     assert cos.min() > 0.999, cos.min()
+
+
+@pytest.mark.parametrize("dtype_name", ["float32", "bfloat16"])
+def test_pool_last_block_matches_full(dtype_name):
+    """pool_last_block=True (plain-ops pooled path on CPU) must reproduce
+    the full tower's cls embedding — identical math, ~1 layer saved."""
+    from wise_tpu.models.clip.model import CLIP
+
+    dt = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
+    cfg_full = _tiny_cfg(dtype=dt)
+    cfg_pool = _tiny_cfg(dtype=dt, pool_last_block=True)
+    imgs = jax.random.normal(jax.random.PRNGKey(9), (8, 64, 64, 3))
+    toks = jnp.zeros((1, 16), jnp.int32)
+    params = CLIP(cfg_full).init(jax.random.PRNGKey(0), imgs[:1], toks)
+    want = CLIP(cfg_full).apply(params, imgs, method="encode_image")
+    got = CLIP(cfg_pool).apply(params, imgs, method="encode_image")
+    if dtype_name == "float32":
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+        )
+    else:
+        cos = (np.asarray(got) * np.asarray(want)).sum(-1)
+        assert cos.min() > 0.999, cos.min()
+    # init under the pooled path declares the same parameter tree
+    p2 = CLIP(cfg_pool).init(jax.random.PRNGKey(0), imgs[:1], toks)
+    assert _paths(p2["params"]) == _paths(params["params"])
+
+
+def test_pool_last_block_fused_kernel(force_fused_block, monkeypatch):
+    """With the fused-block gate open, the pooled last layer runs the
+    fused_attn_block_pooled kernel (spied) and matches the full XLA tower."""
+    import functools as ft
+
+    from wise_tpu.models.clip.model import CLIP
+    from wise_tpu.ops import block
+
+    monkeypatch.setattr(
+        block, "fused_attn_block_pooled",
+        ft.partial(block.fused_attn_block_pooled, interpret=True),
+    )
+    calls = []
+    orig = block.fused_attn_block_pooled_spmd
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(block, "fused_attn_block_pooled_spmd", spy)
+    cfg_x = _tiny_cfg(dtype=jnp.bfloat16)
+    cfg_f = _tiny_cfg(dtype=jnp.bfloat16, fused_block=True,
+                      pool_last_block=True)
+    imgs = jax.random.normal(jax.random.PRNGKey(11), (8, 64, 64, 3))
+    toks = jnp.zeros((1, 16), jnp.int32)
+    params = CLIP(cfg_x).init(jax.random.PRNGKey(0), imgs[:1], toks)
+    want = CLIP(cfg_x).apply(params, imgs, method="encode_image")
+    got = CLIP(cfg_f).apply(params, imgs, method="encode_image")
+    assert calls, "fused_attn_block_pooled_spmd was not selected"
+    cos = (np.asarray(got) * np.asarray(want)).sum(-1)
+    assert cos.min() > 0.999, cos.min()
+
+
+def test_pool_last_block_siglip_text():
+    """SigLIP 'last'-pooled text tower: the pooled-row last layer must
+    reproduce the full tower (static row n_tok-1, non-causal)."""
+    from wise_tpu.models.clip.model import CLIP
+
+    kw = dict(
+        vision_pool="map", text_causal=False, text_pool="last",
+        act="gelu_tanh", text_proj_bias=True,
+    )
+    cfg_full = _tiny_cfg(**kw)
+    cfg_pool = _tiny_cfg(pool_last_block=True, **kw)
+    imgs = jnp.zeros((1, 64, 64, 3))
+    toks = jax.random.randint(jax.random.PRNGKey(13), (8, 16), 1, 127)
+    params = CLIP(cfg_full).init(jax.random.PRNGKey(0), imgs, toks[:1])
+    want = CLIP(cfg_full).apply(params, toks, method="encode_text")
+    got = CLIP(cfg_pool).apply(params, toks, method="encode_text")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
 
 
 def test_patch_embed_matmul_matches_conv():

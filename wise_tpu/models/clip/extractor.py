@@ -85,6 +85,10 @@ def production_clip_config(model_name: str):
         # patchify+GEMM patch embed (WISE_PATCH_MATMUL=1 to try; pending
         # the hardware A/B)
         patch_embed_matmul=os.environ.get("WISE_PATCH_MATMUL", "0") == "1",
+        # last-layer pooled-row computation for cls towers (identical
+        # math; ~1 layer saved per image pass — see CLIPConfig docstring;
+        # WISE_POOL_LAST=0 to disable)
+        pool_last_block=os.environ.get("WISE_POOL_LAST", "1") != "0",
     )
 
 

@@ -88,6 +88,15 @@ class CLIPConfig:
     #: for the big GEMM instead of the convolution path. Measured effect:
     #: BENCHMARKS.md embed/head section.
     patch_embed_matmul: bool = False
+    #: compute the LAST transformer layer only for the pooled row: a
+    #: cls-pooled vision tower reads x[:, 0] after the transformer, so the
+    #: final layer's attention output and MLP for every other (and padded)
+    #: token are dead compute (~1 layer of the tower, ~2.9 ms of a 36 ms
+    #: ViT-B/32 step). Identical math for the surviving row (k/v still
+    #: cover all tokens). Applies to "cls" pooling only (MAP pooling
+    #: consumes every token); inference default via
+    #: production_clip_config (WISE_POOL_LAST=0 opts out).
+    pool_last_block: bool = False
     dtype: Any = jnp.float32
 
 
@@ -285,6 +294,13 @@ class ResidualAttentionBlock(nn.Module):
     fused_block: bool = False
     n_valid: Optional[int] = None
     causal_fused: bool = False
+    #: when set, this block is the LAST layer of a statically-pooled tower
+    #: and only the pooled row's output is consumed (cls pooling reads row
+    #: 0; CLAP's caption tower reads the last real token). The block then
+    #: computes attention q / out-proj / MLP for that single row (k/v stay
+    #: full) and returns (B, D) instead of (B, S, D) — identical math for
+    #: the surviving row, ~one layer of compute saved per tower pass.
+    pool_row: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -296,6 +312,8 @@ class ResidualAttentionBlock(nn.Module):
             supports_fused_block_padded,
         )
 
+        if self.pool_row is not None:
+            return self._pooled(x, mask)
         b, s = x.shape[0], x.shape[1]
         attn_impl = None
         if self.fused_block and (mask is None or self.causal_fused):
@@ -384,6 +402,77 @@ class ResidualAttentionBlock(nn.Module):
         x = x + nn.Dense(self.width, dtype=self.dtype, name="mlp_proj")(h)
         return x
 
+    def _pooled(self, x, mask):
+        """Last-layer pooled-row path (see ``pool_row``): returns (B, D).
+        Reads the exact same parameter tree as the full paths (_LNParams/
+        _MHAParams/_DenseParams declare nn.Dense/nn.LayerNorm's variables),
+        so checkpoints are interchangeable between pooled and full blocks."""
+        from ...ops.block import (
+            fused_attn_block_pooled_spmd,
+            supports_fused_block_pooled,
+        )
+
+        b, s = x.shape[0], x.shape[1]
+        pr = self.pool_row
+        dt = self.dtype
+        nv = self.n_valid or s
+        ln1_s, ln1_b = _LNParams(self.width, name="ln_1")()
+        (wqkv, bqkv), (wo, bo) = _MHAParams(self.width, name="attn")()
+        if (
+            self.fused_block
+            and (mask is None or self.causal_fused)
+            and supports_fused_block_pooled(b, s, self.width, self.heads,
+                                            jnp.dtype(dt))
+        ):
+            x0 = fused_attn_block_pooled_spmd(
+                x, ln1_s, ln1_b, wqkv.astype(dt), bqkv.astype(dt),
+                wo.astype(dt), bo.astype(dt),
+                self.heads, nv, pr, self.causal_fused,
+            )
+        else:
+            # plain-ops pooled path (f32 / CPU / unadmitted shapes):
+            # q and out-proj restricted to the pooled row, k/v full —
+            # element-for-element the math of the full XLA block at row pr
+            D, H = self.width, self.heads
+            hd = D // H
+            xf = x.astype(jnp.float32)
+            mean = xf.mean(-1, keepdims=True)
+            var = jnp.maximum(
+                (xf * xf).mean(-1, keepdims=True) - mean * mean, 0.0
+            )
+            y = ((xf - mean) * jax.lax.rsqrt(var + 1e-5) * ln1_s
+                 + ln1_b).astype(dt)
+            kv = y @ wqkv[:, D:].astype(dt) + bqkv[D:].astype(dt)
+            q = y[:, pr, :] @ wqkv[:, :D].astype(dt) + bqkv[:D].astype(dt)
+            qh = q.reshape(b, H, hd)
+            kh = kv[..., :D].reshape(b, s, H, hd)
+            vh = kv[..., D:].reshape(b, s, H, hd)
+            logits = jnp.einsum("bhd,bkhd->bhk", qh, kh) * (
+                1.0 / np.sqrt(hd)
+            )
+            if mask is not None:
+                # the pooled row sees exactly its row of the mask
+                logits = logits + mask[..., pr, :].astype(logits.dtype)
+            if nv < s:
+                col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s), 2)
+                logits = logits + jnp.where(col < nv, 0.0, -jnp.inf)
+            if self.softmax_f32:
+                p = jax.nn.softmax(
+                    logits.astype(jnp.float32), axis=-1
+                ).astype(dt)
+            else:
+                p = jax.nn.softmax(logits, axis=-1)
+            att = jnp.einsum("bhk,bkhd->bhd", p, vh).reshape(b, D)
+            x0 = x[:, pr, :] + (att @ wo.astype(dt) + bo.astype(dt))
+        # last-layer MLP on the pooled row only: (B, D) ops are a
+        # ~0.03 ms GEMM at ViT-B/32 shapes (vs ~1.7 ms for all rows) and
+        # 2-D tensors stay out of the Pallas<->XLA relayout story
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(x0)
+        h = nn.Dense(self.width * 4, dtype=self.dtype, name="mlp_fc")(y)
+        h = _gelu(h, self.quick_gelu)
+        return x0 + nn.Dense(self.width, dtype=self.dtype,
+                             name="mlp_proj")(h)
+
 
 class Transformer(nn.Module):
     width: int
@@ -397,6 +486,10 @@ class Transformer(nn.Module):
     fused_block: bool = False
     n_valid: Optional[int] = None
     causal_fused: bool = False
+    #: statically-pooled towers set this: the LAST layer computes only the
+    #: pooled row (ResidualAttentionBlock.pool_row) and the transformer
+    #: returns (B, D) instead of (B, S, D)
+    pool_row: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -411,6 +504,9 @@ class Transformer(nn.Module):
                 softmax_f32=self.softmax_f32, fused=self.fused,
                 fused_block=self.fused_block,
                 n_valid=self.n_valid, causal_fused=self.causal_fused,
+                pool_row=(
+                    self.pool_row if i == self.layers - 1 else None
+                ),
                 name=f"resblocks_{i}",
             )(x, mask)
         return x
@@ -569,6 +665,7 @@ class VisionTransformer(nn.Module):
             if sp8 != n_tokens:
                 x = jnp.pad(x, ((0, 0), (0, sp8 - n_tokens), (0, 0)))
             n_valid = n_tokens
+        pool_row = 0 if (use_cls and c.pool_last_block) else None
         x = Transformer(
             c.vision_width, c.vision_layers, c.vision_heads,
             c.act or c.quick_gelu,
@@ -576,15 +673,21 @@ class VisionTransformer(nn.Module):
             softmax_f32=c.attn_softmax_f32,
             fused=fused and c.fused_attention,
             fused_block=fused and c.fused_block,
-            n_valid=n_valid, name="transformer",
+            n_valid=n_valid, pool_row=pool_row, name="transformer",
         )(x)
-        if n_valid is not None:
-            x = x[:, :n_tokens]
-        if use_cls:
+        if pool_row is not None:
+            # the transformer already returned the pooled (B, D) cls row
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                             name="ln_post")(x)
+        elif use_cls:
+            if n_valid is not None:
+                x = x[:, :n_tokens]
             x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(
                 x[:, 0, :]
             )
         else:
+            if n_valid is not None:
+                x = x[:, :n_tokens]
             x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(x)
             x = MAPHead(
                 c.vision_width, c.vision_heads,
@@ -638,6 +741,13 @@ class TextTransformer(nn.Module):
             mask = jnp.triu(mask, k=1)[None, None]
         else:
             mask = None  # SigLIP text attends bidirectionally
+        # "last"-pooled (SigLIP) towers read the STATIC row n_tok-1, so the
+        # final layer qualifies for the pooled-row path (pool_last_block);
+        # argmax/EOT pooling is data-dependent per sample and stays full.
+        pool_row = (
+            n_tok - 1
+            if (c.text_pool == "last" and c.pool_last_block) else None
+        )
         x = Transformer(
             c.text_width, c.text_layers, c.text_heads,
             c.act or c.quick_gelu,
@@ -646,16 +756,21 @@ class TextTransformer(nn.Module):
             fused=fused and c.fused_attention,
             fused_block=fused and c.fused_block,
             n_valid=n_tok if fused else None, causal_fused=fused,
-            name="transformer",
+            pool_row=pool_row, name="transformer",
         )(x, mask)
-        if sp != n_tok:
-            x = x[:, :n_tok]
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_final")(x)
-        if c.text_pool == "last":
-            pooled = x[:, -1, :]
+        if pool_row is not None:
+            pooled = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                  name="ln_final")(x)
         else:
-            eot = jnp.argmax(tokens, axis=-1)
-            pooled = x[jnp.arange(x.shape[0]), eot]
+            if sp != n_tok:
+                x = x[:, :n_tok]
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                             name="ln_final")(x)
+            if c.text_pool == "last":
+                pooled = x[:, -1, :]
+            else:
+                eot = jnp.argmax(tokens, axis=-1)
+                pooled = x[jnp.arange(x.shape[0]), eot]
         proj = self.param(
             "text_projection",
             nn.initializers.normal(0.02),

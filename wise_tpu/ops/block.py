@@ -236,6 +236,77 @@ def _attn_group(batch: int, seq_pad: int, width: int):
     return None
 
 
+#: (seq_pad, width) -> group for the POOLED last-layer attention block,
+#: measured on the v5e (scripts/probe_pooled_block.py). Groups must be
+#: multiples of 8: Mosaic requires the (group, D) OUTPUT block's sublane
+#: dim divisible by 8, so the full kernel's measured-best g=2 is
+#: inadmissible here. The pooled kernel's working set is smaller than the
+#: full block's (no (G, SP, SP) attention matrix, no (G, SP, D) output or
+#: qkv q-third), so larger groups fit where the full kernel's wouldn't.
+#: Winners below from scripts/calibrate_pooled_block.py (v5e, 50-iter
+#: chains, best group vs the full fused block at each tower's production
+#: step shape):
+#:   (56, 768)   ViT-B/32 vision  g=32: 0.665 ms vs 1.285 full block
+#:   (200, 768)  ViT-B/16 vision  g=16: 1.199 ms vs 2.335
+#:   (264, 1024) ViT-L/14 vision  g=16: 1.269 ms vs 2.634
+#:   (264, 1280) ViT-H/14 vision  g=8 : 1.855 ms vs 3.607
+#:   (64, 1024)  SigLIP text      g=64: 0.590 ms vs 0.749 XLA pooled
+#:   (80, 512)   causal last-row  g=32: 0.455 ms vs 0.725 (shape kept for
+#:               future static-row causal towers; CLAP captions pool at a
+#:               per-sample data-dependent row and stay on the full path)
+_CALIBRATED_POOLED: dict = {
+    (56, 768): 32,
+    (200, 768): 16,
+    (264, 1024): 16,
+    (264, 1280): 8,
+    (64, 1024): 64,
+    (80, 512): 32,
+}
+
+
+def _pooled_group(batch: int, seq_pad: int, width: int):
+    """Batch group for the pooled attention block (multiple of 8 or the
+    whole batch; see _CALIBRATED_POOLED). Analytic fallback mirrors
+    _attn_group's conservative style with the pooled kernel's smaller
+    working set (kv is 2/3 of qkv; no attention matrix)."""
+    cal = _CALIBRATED_POOLED.get((seq_pad, width))
+    if cal is not None and batch % cal == 0:
+        return cal
+    wbytes = 4 * width * width * 2
+    for g in (8, 16):
+        if batch % g:
+            continue
+        blk = g * seq_pad * width
+        est = (
+            wbytes
+            + 2 * blk * 2           # x: double-buffered bf16
+            + blk * 4               # LN f32 temps
+            + 2 * blk * (4 + 2) * 2 // 3  # kv f32 + bf16 (2/3 of qkv)
+            + g * width * (2 + 2 + 2)     # q, att scratch, out
+        )
+        if est <= _VMEM_BUDGET:
+            return g
+    return None
+
+
+def supports_fused_block_pooled(batch: int, seq_pad: int, width: int,
+                                heads: int, dtype) -> bool:
+    """Static gate for the pooled last-layer kernel: same admission rules
+    as supports_fused_block, but keyed on _pooled_group (the pooled
+    kernel's output-block constraint forces groups >= 8)."""
+    hd = width // heads if width % heads == 0 else 0
+    if hd == 0 or (hd != 64 and (seq_pad, width) not in _CALIBRATED_ATTN):
+        return False
+    return (
+        jnp.dtype(dtype) == jnp.bfloat16
+        and width % 128 == 0
+        and seq_pad % 8 == 0
+        and batch > 0
+        and _pooled_group(batch, seq_pad, width) is not None
+        and jax.default_backend() == "tpu"
+    )
+
+
 def mlp_choice(batch: int, seq_pad: int, width: int):
     """Production MLP-kernel selection: ("single"|"split", group) or None.
     Calibrated shapes take their measured winner; others fall back to the
@@ -363,6 +434,177 @@ def fused_attn_block(
             flops=2 * b * sp * (4 * d * d + 2 * sp * d) + 4 * b * sp * sp * d,
             bytes_accessed=4 * b * sp * d * 2 + 8 * d * d * 2,
             transcendentals=b * heads * sp * sp,
+        ),
+    )(x, ln, wqkv, bqkv.reshape(1, -1), wo, bo.reshape(1, -1))
+
+
+# ---------------------------------------------------------------------------
+# pooled attention block: the LAST layer of a cls-pooled tower only needs
+# its output at the pooled row (VisionTransformer reads x[:, 0] and the
+# CLAP caption tower reads the last real token), yet the full block
+# computes attention output + MLP for every padded row. This variant
+# computes k/v for all rows but q/out-proj for the single pooled row —
+# identical math for that row (same contractions, same f32 accumulation) —
+# and returns (B, D). The caller runs the last MLP on the pooled row as
+# plain (B, D) XLA ops (a ~0.03 ms GEMM; 2-D tensors don't participate in
+# the {2,0,1} relayout tax). Saves ~1 layer of compute per tower pass:
+# at ViT-B/32 step shapes the full last layer costs 2.86 ms where the
+# pooled path needs ~0.7 ms (kv GEMM) + noise.
+# ---------------------------------------------------------------------------
+
+
+def _attn_block_pooled_kernel(
+    x_ref, ln_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref, att_ref,
+    *, heads: int, n_valid: int, scale: float, pool_row: int, causal: bool,
+):
+    x = x_ref[:]                              # (G, SP, D) bf16
+    g, sp, d = x.shape
+    hd = d // heads
+    y = _ln_f32(
+        x.astype(jnp.float32), ln_ref[0, :], ln_ref[1, :]
+    ).astype(x.dtype)
+    # k/v for every row (one (G*SP, D) x (D, 2D) GEMM-equivalent)...
+    kv = jax.lax.dot_general(
+        y, wqkv_ref[:, d:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    kv = (kv + bqkv_ref[0, d:]).astype(x.dtype)   # (G, SP, 2D)
+    # ...but q only for an 8-row aligned WINDOW around the pooled row.
+    # A single-row q would make the logits dot (G, hd) x (G, SP, hd),
+    # whose empty lhs-non-contracting dim Mosaic's dot attr cannot
+    # express, and the VPU alternatives need a (G, 1, hd) middle-dim
+    # expand that tpu.reshape rejects (both probed on hardware). Static
+    # middle-index SLICING lowers fine, so: attend 8 query rows on the
+    # MXU (a sublane-tile-exact M=8 matmul) and slice out the pooled
+    # row's result — still 1/7th the attention work of the full block at
+    # SP=56, and the q GEMM stays 8 rows instead of SP.
+    w0 = min(pool_row - pool_row % 8, sp - 8)
+    roff = pool_row - w0
+    q8 = jax.lax.dot_general(
+        y[:, w0:w0 + 8, :], wqkv_ref[:, :d],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    q8 = (q8 + bqkv_ref[0, :d]).astype(x.dtype)   # (G, 8, D)
+    col = jax.lax.broadcasted_iota(jnp.int32, (g, 8, sp), 2)
+    keep = col < n_valid
+    if causal:
+        # only row `roff` of the window survives, so every window row
+        # gets the POOLED row's causal mask (column 0 is always kept —
+        # no all-masked softmax rows)
+        keep = keep & (col <= pool_row)
+    for h in range(heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        k = kv[:, :, sl]
+        v = kv[:, :, d + h * hd:d + (h + 1) * hd]
+        logits = jax.lax.dot_general(
+            q8[:, :, sl], k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                          # (G, 8, SP)
+        logits = jnp.where(keep, logits * scale, -jnp.inf)
+        m = jnp.max(logits, axis=2, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=2, keepdims=True)
+        att8 = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                          # (G, 8, hd)
+        att_ref[:, sl] = att8[:, roff, :].astype(att_ref.dtype)
+    out = jax.lax.dot_general(
+        att_ref[:], wo_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = x[:, pool_row, :] + (out + bo_ref[0, :]).astype(x.dtype)
+
+
+def _pooled_block_xla(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
+                      heads, n_valid, pool_row, causal):
+    """Plain-ops pooled attention block — the same math as the Pallas
+    kernel (q/out-proj restricted to the pooled row, k/v full, f32
+    softmax). Used when _pooled_group admits no group, e.g. a dp shard
+    whose per-chip batch is below the kernel's 8-sublane output minimum."""
+    b, sp, d = x.shape
+    hd = d // heads
+    xf = x.astype(jnp.float32)
+    y = _ln_f32(xf, ln_scale, ln_bias).astype(x.dtype)
+    kv = y @ wqkv[:, d:] + bqkv[d:]
+    q = y[:, pool_row, :] @ wqkv[:, :d] + bqkv[:d]
+    qh = q.reshape(b, heads, hd)
+    kh = kv[..., :d].reshape(b, sp, heads, hd)
+    vh = kv[..., d:].reshape(b, sp, heads, hd)
+    logits = jnp.einsum(
+        "bhd,bkhd->bhk", qh.astype(jnp.float32), kh.astype(jnp.float32)
+    ) * (1.0 / np.sqrt(hd))
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sp), 2)
+    keep = col < n_valid
+    if causal:
+        keep = keep & (col <= pool_row)
+    logits = jnp.where(keep, logits, -jnp.inf)
+    p = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    att = jnp.einsum("bhk,bkhd->bhd", p, vh).reshape(b, d)
+    return x[:, pool_row, :] + (att @ wo + bo).astype(x.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "n_valid", "pool_row", "causal", "interpret",
+                     "group"),
+)
+def fused_attn_block_pooled(
+    x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
+    wqkv: jax.Array, bqkv: jax.Array, wo: jax.Array, bo: jax.Array,
+    heads: int, n_valid: int, pool_row: int = 0, causal: bool = False,
+    interpret: bool = False, group: int | None = None,
+) -> jax.Array:
+    """x (B, SP, D) bf16 -> (x + out_proj(MHA(LN(x))))[:, pool_row] as
+    (B, D). Same contract as fused_attn_block restricted to one query row;
+    key columns >= n_valid are masked, causal additionally masks columns
+    > pool_row (the causal row-pool case: CLAP's caption tower pools the
+    last real token)."""
+    b, sp, d = x.shape
+    group = group or _pooled_group(b, sp, d)
+    if group is None:
+        # inadmissible shape (e.g. per-shard batch < 8 under dp
+        # partitioning): same math, plain ops
+        return _pooled_block_xla(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
+                                 heads, n_valid, pool_row, causal)
+    xspec = pl.BlockSpec((group, sp, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((group, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    ln = jnp.stack([ln_scale, ln_bias]).astype(jnp.float32)
+    return pl.pallas_call(
+        functools.partial(
+            _attn_block_pooled_kernel, heads=heads, n_valid=n_valid,
+            scale=1.0 / np.sqrt(d // heads), pool_row=pool_row,
+            causal=causal,
+        ),
+        grid=(b // group,),
+        in_specs=[
+            xspec,
+            const((2, d)),
+            const((d, 3 * d)),
+            const((1, 3 * d)),
+            const((d, d)),
+            const((1, d)),
+        ],
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((b, d), x.dtype),
+        scratch_shapes=[pltpu.VMEM((group, d), x.dtype)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * sp * d * 2 * d + 4 * b * d * d + 4 * b * sp * d,
+            bytes_accessed=b * sp * d * 2 + b * d * 2 + 8 * d * d * 2,
+            transcendentals=b * heads * sp,
         ),
     )(x, ln, wqkv, bqkv.reshape(1, -1), wo, bo.reshape(1, -1))
 
@@ -502,6 +744,48 @@ fused_attn_block_spmd.def_partition(
         ("heads", "n_valid", "causal"),
     ),
     sharding_rule="b s d, e, f, g h, i, j k, l -> b s d",
+)
+
+
+@functools.partial(custom_partitioning, static_argnums=(7, 8, 9, 10))
+def fused_attn_block_pooled_spmd(x, ln_s, ln_b, wqkv, bqkv, wo, bo,
+                                 heads, n_valid, pool_row, causal):
+    return fused_attn_block_pooled(x, ln_s, ln_b, wqkv, bqkv, wo, bo,
+                                   heads=heads, n_valid=n_valid,
+                                   pool_row=pool_row, causal=causal)
+
+
+def _pooled_infer(*args):
+    arg_shapes = args[-2]
+    spec = getattr(arg_shapes[0].sharding, "spec", None)
+    batch = spec[0] if spec is not None and len(spec) > 0 else None
+    return NamedSharding(arg_shapes[0].sharding.mesh, P(batch, None))
+
+
+def _pooled_partition(*args):
+    statics = args[:-3]
+    mesh, arg_shapes, _result_shape = args[-3:]
+    spec = getattr(arg_shapes[0].sharding, "spec", None)
+    batch = spec[0] if spec is not None and len(spec) > 0 else None
+    xsh = NamedSharding(mesh, P(batch, None, None))
+    osh = NamedSharding(mesh, P(batch, None))
+    arg_shardings = (xsh,) + tuple(
+        _replicated_like(mesh, a) for a in arg_shapes[1:]
+    )
+    names = ("heads", "n_valid", "pool_row", "causal")
+
+    def lower_fn(x, *weights):
+        return fused_attn_block_pooled(
+            x, *weights, **dict(zip(names, statics))
+        )
+
+    return mesh, lower_fn, osh, arg_shardings
+
+
+fused_attn_block_pooled_spmd.def_partition(
+    infer_sharding_from_operands=_pooled_infer,
+    partition=_pooled_partition,
+    sharding_rule="b s d, e, f, g h, i, j k, l -> b d",
 )
 
 
