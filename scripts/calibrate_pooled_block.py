@@ -23,8 +23,18 @@ SHAPES = [
     ("vit_b16 vision", 256, 200, 768, 12, 197, 0, False),
     ("vit_l14 vision", 128, 264, 1024, 16, 257, 0, False),
     ("vit_h14 vision", 128, 264, 1280, 16, 257, 0, False),
-    ("clap caption", 256, 80, 512, 8, 77, 76, True),
+    ("clip text b", 512, 80, 512, 8, 77, 76, True),
     ("siglip text", 256, 64, 1024, 16, 64, 63, False),
+]
+
+# dynamic-row (per-example pooled row) shapes: CLIP text pools at the
+# argmax/EOT token, the CLAP caption tower (GPT2-small width 768) at each
+# caption's last real token. Same harness with rows drawn uniformly.
+DYN_SHAPES = [
+    ("clip text b dyn", 512, 80, 512, 8, 77, True),
+    ("clip text b dyn q64", 64, 80, 512, 8, 77, True),
+    ("clap caption dyn", 256, 80, 768, 12, 77, True),
+    ("clap caption dyn q64", 64, 80, 768, 12, 77, True),
 ]
 
 
@@ -33,6 +43,8 @@ def main():
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--groups", default="8,16,32,64")
     p.add_argument("--only", default="", help="substring filter on labels")
+    p.add_argument("--dyn", action="store_true",
+                   help="also calibrate the dynamic-row pooled kernel")
     args = p.parse_args()
 
     import jax
@@ -100,6 +112,53 @@ def main():
             except Exception as e:  # noqa: BLE001 - scoped-vmem OOM etc.
                 msg = str(e).split("\n")[0][:90]
                 print(f"  pooled g={g:<3d}     : FAIL {msg}")
+
+    if not args.dyn:
+        return
+
+    from wise_tpu.ops.block import (
+        _pooled_block_xla_dyn,
+        fused_attn_block_pooled_dyn,
+    )
+
+    for label, B, SP, D, H, nv, causal in DYN_SHAPES:
+        if args.only and args.only not in label:
+            continue
+        ks = jax.random.split(jax.random.PRNGKey(1), 8)
+        x = (jax.random.normal(ks[0], (B, SP, D)) * 0.5).astype(bf)
+        rows = jax.random.randint(ks[7], (B,), 0, nv).astype(jnp.int32)
+        ln_s = 1.0 + 0.02 * jax.random.normal(ks[1], (D,))
+        ln_b = 0.02 * jax.random.normal(ks[2], (D,))
+        wqkv = (0.02 * jax.random.normal(ks[3], (D, 3 * D))).astype(bf)
+        bqkv = (0.02 * jax.random.normal(ks[4], (3 * D,))).astype(bf)
+        wo = (0.02 * jax.random.normal(ks[5], (D, D))).astype(bf)
+        bo = (0.02 * jax.random.normal(ks[6], (D,))).astype(bf)
+        print(f"\n== {label}: B={B} SP={SP} D={D} H={H} "
+              f"n_valid={nv} causal={causal} (dynamic rows)")
+
+        try:
+            t = timed(lambda xx: fused_attn_block(
+                xx, ln_s, ln_b, wqkv, bqkv, wo, bo, heads=H, n_valid=nv,
+                causal=causal), x)
+            print(f"  full fused block : {t*1e3:8.3f} ms")
+        except Exception as e:  # noqa: BLE001 - shape not admitted
+            print(f"  full fused block : n/a ({str(e).splitlines()[0][:70]})")
+
+        t = timed(lambda xx: _pooled_block_xla_dyn(
+            xx, rows, ln_s, ln_b, wqkv, bqkv, wo, bo, H, nv, causal), x)
+        print(f"  xla pooled dyn   : {t*1e3:8.3f} ms")
+
+        for g in [int(s) for s in args.groups.split(",")]:
+            if B % g:
+                continue
+            try:
+                t = timed(lambda xx, g=g: fused_attn_block_pooled_dyn(
+                    xx, rows, ln_s, ln_b, wqkv, bqkv, wo, bo, heads=H,
+                    n_valid=nv, causal=causal, group=g), x)
+                print(f"  pooled dyn g={g:<3d} : {t*1e3:8.3f} ms")
+            except Exception as e:  # noqa: BLE001 - scoped-vmem OOM etc.
+                msg = str(e).split("\n")[0][:90]
+                print(f"  pooled dyn g={g:<3d} : FAIL {msg}")
 
 
 if __name__ == "__main__":

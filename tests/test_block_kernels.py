@@ -161,6 +161,104 @@ def test_pooled_spmd_rule_no_collectives(monkeypatch, b):
     assert cos.min() > 0.999, cos.min()
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_attn_block_pooled_dyn_matches_xla(causal):
+    """Dynamic-row pooled variant: each example's (B, D) output must equal
+    the full block's output at that example's own row (the one-hot MXU
+    gather + additive mask path, interpret mode)."""
+    from wise_tpu.ops.block import fused_attn_block_pooled_dyn
+
+    b, sp, d, heads, n_valid = 8, 56, 256, 4, 50
+    x = _mk((b, sp, d), 80, 1.0).astype(jnp.bfloat16)
+    ln_s = 1.0 + _mk((d,), 81)
+    ln_b = _mk((d,), 82)
+    wqkv, bqkv = _mk((d, 3 * d), 83), _mk((3 * d,), 84)
+    wo, bo = _mk((d, d), 85), _mk((d,), 86)
+    rows = jnp.array([0, 5, 49, 12, 1, 33, 49, 7], jnp.int32)
+    got = fused_attn_block_pooled_dyn(
+        x, rows, ln_s, ln_b,
+        wqkv.astype(jnp.bfloat16), bqkv.astype(jnp.bfloat16),
+        wo.astype(jnp.bfloat16), bo.astype(jnp.bfloat16),
+        heads=heads, n_valid=n_valid, causal=causal,
+        interpret=True, group=8,
+    )
+    full = xla_attn_block(x, ln_s, ln_b, wqkv, bqkv, wo, bo, heads,
+                          n_valid, causal)
+    want = jnp.take_along_axis(full, rows[:, None, None], axis=1)[:, 0]
+    assert got.shape == (b, d) and got.dtype == want.dtype
+    cos = _cos_rows(got, want)
+    assert cos.min() > 0.999, cos.min()
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_pooled_dyn_xla_fallback_matches_full(causal):
+    """The plain-ops dynamic-row fallback (group=None shapes) must also
+    reproduce the full block at each example's row."""
+    from wise_tpu.ops.block import _pooled_block_xla_dyn
+
+    b, sp, d, heads, n_valid = 6, 24, 128, 2, 20
+    x = _mk((b, sp, d), 87, 1.0).astype(jnp.bfloat16)
+    ln_s = 1.0 + _mk((d,), 88)
+    ln_b = _mk((d,), 89)
+    wqkv, bqkv = _mk((d, 3 * d), 90), _mk((3 * d,), 91)
+    wo, bo = _mk((d, d), 92), _mk((d,), 93)
+    rows = jnp.array([3, 0, 19, 11, 7, 19], jnp.int32)
+    got = _pooled_block_xla_dyn(
+        x, rows, ln_s, ln_b,
+        wqkv.astype(jnp.bfloat16), bqkv.astype(jnp.bfloat16),
+        wo.astype(jnp.bfloat16), bo.astype(jnp.bfloat16),
+        heads, n_valid, causal,
+    )
+    full = xla_attn_block(x, ln_s, ln_b, wqkv, bqkv, wo, bo, heads,
+                          n_valid, causal)
+    want = jnp.take_along_axis(full, rows[:, None, None], axis=1)[:, 0]
+    cos = _cos_rows(got, want)
+    assert cos.min() > 0.999, cos.min()
+
+
+@pytest.mark.parametrize("b", [16, 64])
+def test_pooled_dyn_spmd_rule_no_collectives(monkeypatch, b):
+    """dp-sharded x + rows through the dynamic pooled block: collective-
+    free, (B, D) out. b=16 -> per-shard 2 exercises the plain-ops
+    fallback; b=64 -> per-shard 8 runs the interpret-mode kernel."""
+    import functools
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wise_tpu.ops import block as Bk
+    from wise_tpu.parallel.mesh import get_mesh
+
+    monkeypatch.setattr(
+        Bk, "fused_attn_block_pooled_dyn",
+        functools.partial(Bk.fused_attn_block_pooled_dyn, interpret=True),
+    )
+    mesh = get_mesh(dp=8)
+    sp, d, heads, n_valid = 16, 256, 4, 13
+    x = _mk((b, sp, d), 94, 1.0).astype(jnp.bfloat16)
+    rows = jax.random.randint(jax.random.PRNGKey(95), (b,), 0, n_valid)
+    ln_s = 1.0 + _mk((d,), 96)
+    ln_b = _mk((d,), 97)
+    wqkv, bqkv = _mk((d, 3 * d), 98), _mk((3 * d,), 99)
+    wo, bo = _mk((d, d), 100), _mk((d,), 101)
+    bf = jnp.bfloat16
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp", None, None)))
+    rs = jax.device_put(rows.astype(jnp.int32),
+                        NamedSharding(mesh, P("dp")))
+    jf = jax.jit(lambda x, r: Bk.fused_attn_block_pooled_dyn_spmd(
+        x, r, ln_s, ln_b, wqkv.astype(bf), bqkv.astype(bf),
+        wo.astype(bf), bo.astype(bf), heads, n_valid, True,
+    ))
+    hlo = jf.lower(xs, rs).compile().as_text()
+    assert "all-gather" not in hlo and "all-reduce" not in hlo
+    got = jf(xs, rs)
+    full = xla_attn_block(x, ln_s, ln_b, wqkv, bqkv, wo, bo, heads,
+                          n_valid, True)
+    want = jnp.take_along_axis(full, rows[:, None, None], axis=1)[:, 0]
+    cos = _cos_rows(got, want)
+    assert cos.min() > 0.999, cos.min()
+
+
 @pytest.mark.parametrize("flat", [False, True])
 @pytest.mark.parametrize("act", ["gelu", "quick_gelu", "gelu_tanh"])
 def test_mlp_block_matches_xla(act, flat):

@@ -94,6 +94,39 @@ def test_text_pool_ignores_padding(tiny_model, tiny_config):
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-5)
 
 
+def test_caption_pool_last_block_matches_full(tiny_model, tiny_config):
+    """pool_last_block=True: the caption tower's dynamic pooled-row last
+    layer must reproduce the full tower for per-caption varying lengths
+    (same params — the flag only changes how the last layer is computed)."""
+    import dataclasses as dc
+
+    model, params = tiny_model
+    toks = jnp.array(
+        [
+            [5, 9, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+            [5, 9, 3, 8, 2, 6, 4, 1, 7, 9, 2, 3],
+            [5, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+        ],
+        dtype=jnp.int32,
+    )
+    lens = jnp.array([3, 12, 1], dtype=jnp.int32)
+    want = model.apply(params, toks, lens, method=CLAP.encode_text)
+    pooled_model = CLAP(dc.replace(tiny_config, pool_last_block=True))
+    got = pooled_model.apply(params, toks, lens, method=CLAP.encode_text)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+    # parameter tree unchanged by the flag
+    p2 = pooled_model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 16, tiny_config.n_mels), jnp.float32),
+        toks[:1], lens[:1],
+    )
+    assert jax.tree_util.tree_structure(p2) == jax.tree_util.tree_structure(
+        params
+    )
+
+
 def test_clap_extractor_end_to_end(monkeypatch, tmp_path):
     monkeypatch.setenv("WISE_CHECKPOINT_DIR", str(tmp_path))
     from wise_tpu.models.clap import model as clap_model

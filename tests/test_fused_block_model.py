@@ -178,6 +178,73 @@ def test_pool_last_block_fused_kernel(force_fused_block, monkeypatch):
     assert cos.min() > 0.999, cos.min()
 
 
+@pytest.mark.parametrize("dtype_name", ["float32", "bfloat16"])
+def test_pool_last_block_argmax_text(dtype_name):
+    """CLIP argmax/EOT text pooling: the DYNAMIC pooled-row last layer
+    (plain-ops path on CPU) must reproduce the full tower per example,
+    including varying EOT positions within one batch."""
+    from wise_tpu.models.clip.model import CLIP
+
+    dt = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
+    cfg_full = _tiny_cfg(dtype=dt)
+    cfg_pool = _tiny_cfg(dtype=dt, pool_last_block=True)
+    imgs = jnp.zeros((1, 64, 64, 3))
+    toks = jax.random.randint(jax.random.PRNGKey(21), (8, 16), 1, 100)
+    # EOT (highest id) at a DIFFERENT position per example
+    eot_pos = np.array([3, 15, 7, 1, 11, 15, 2, 9])
+    toks = toks.at[jnp.arange(8), jnp.asarray(eot_pos)].set(127)
+    params = CLIP(cfg_full).init(jax.random.PRNGKey(0), imgs, toks[:1])
+    want = CLIP(cfg_full).apply(params, toks, method="encode_text")
+    got = CLIP(cfg_pool).apply(params, toks, method="encode_text")
+    if dtype_name == "float32":
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+        )
+    else:
+        cos = (np.asarray(got) * np.asarray(want)).sum(-1)
+        assert cos.min() > 0.999, cos.min()
+    p2 = CLIP(cfg_pool).init(jax.random.PRNGKey(0), imgs, toks[:1])
+    assert _paths(p2["params"]) == _paths(params["params"])
+
+
+def test_pool_last_block_argmax_text_fused_kernel(force_fused_block,
+                                                  monkeypatch):
+    """With the fused-block gate open, the argmax-pooled text tower's last
+    layer runs the DYNAMIC pooled kernel (spied) and matches the full XLA
+    tower."""
+    import functools as ft
+
+    from wise_tpu.models.clip.model import CLIP
+    from wise_tpu.ops import block
+
+    monkeypatch.setattr(
+        block, "fused_attn_block_pooled_dyn",
+        ft.partial(block.fused_attn_block_pooled_dyn, interpret=True,
+                   group=8),
+    )
+    calls = []
+    orig = block.fused_attn_block_pooled_dyn_spmd
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(block, "fused_attn_block_pooled_dyn_spmd", spy)
+    cfg_x = _tiny_cfg(dtype=jnp.bfloat16)
+    cfg_f = _tiny_cfg(dtype=jnp.bfloat16, fused_block=True,
+                      pool_last_block=True)
+    imgs = jnp.zeros((1, 64, 64, 3))
+    toks = jax.random.randint(jax.random.PRNGKey(23), (8, 16), 1, 100)
+    eot_pos = np.array([3, 15, 7, 1, 11, 15, 2, 9])
+    toks = toks.at[jnp.arange(8), jnp.asarray(eot_pos)].set(127)
+    params = CLIP(cfg_x).init(jax.random.PRNGKey(0), imgs, toks[:1])
+    want = CLIP(cfg_x).apply(params, toks, method="encode_text")
+    got = CLIP(cfg_f).apply(params, toks, method="encode_text")
+    assert calls, "fused_attn_block_pooled_dyn_spmd was not selected"
+    cos = (np.asarray(got) * np.asarray(want)).sum(-1)
+    assert cos.min() > 0.999, cos.min()
+
+
 def test_pool_last_block_siglip_text():
     """SigLIP 'last'-pooled text tower: the pooled-row last layer must
     reproduce the full tower (static row n_tok-1, non-causal)."""

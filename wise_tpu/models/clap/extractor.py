@@ -56,6 +56,9 @@ class ClapExtractor(FeatureExtractor):
         self.config = _dc.replace(
             self.config,
             dtype=jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32,
+            # caption tower: compute the last layer only at each caption's
+            # pooled row (identical math — same flag/kill-switch as CLIP)
+            pool_last_block=os.environ.get("WISE_POOL_LAST", "1") != "0",
         )
         self.output_dim = self.config.joint_dim
         c = self.config

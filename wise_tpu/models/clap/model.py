@@ -57,6 +57,11 @@ class CLAPConfig:
     #: GPT2 checkpoints use torch's 'gelu_new' (tanh approximation)
     text_act: str = "gelu_tanh"
     dtype: Any = jnp.float32
+    #: compute the caption tower's LAST transformer layer only at each
+    #: caption's pooled row (the last real token, per-sample) — identical
+    #: math via the dynamic pooled-row block (ops/block.py
+    #: fused_attn_block_pooled_dyn); mirrors CLIPConfig.pool_last_block
+    pool_last_block: bool = False
 
 
 CLAP_CONFIGS = {
@@ -461,12 +466,23 @@ class CaptionEncoder(nn.Module):
         if sp != n_tok:
             x = jnp.pad(x, ((0, 0), (0, sp - n_tok), (0, 0)))
         mask = jnp.triu(jnp.full((sp, sp), -jnp.inf), k=1)[None, None]
+        # each caption pools at its own LAST REAL token — a function of
+        # `lengths` alone, so the final layer can run the dynamic
+        # pooled-row path (see CLIP TextTransformer's argmax pooling)
+        pool_rows = (
+            jnp.clip(lengths - 1, 0, n_tok - 1).astype(jnp.int32)
+            if c.pool_last_block else None
+        )
         x = Transformer(
             c.text_width, c.text_layers, c.text_heads, quick_gelu=c.text_act,
             dtype=c.dtype, fused=fused, fused_block=fused,
             n_valid=n_tok if fused else None, causal_fused=fused,
             name="transformer",
-        )(x, mask)
+        )(x, mask, pool_rows=pool_rows)
+        if pool_rows is not None:
+            return nn.LayerNorm(
+                epsilon=1e-5, dtype=jnp.float32, name="ln_f"
+            )(x).astype(jnp.float32)
         if sp != n_tok:
             x = x[:, :n_tok]
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_f")(x)

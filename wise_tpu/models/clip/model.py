@@ -303,7 +303,7 @@ class ResidualAttentionBlock(nn.Module):
     pool_row: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, pool_rows=None):
         from ...ops.block import (
             fused_attn_block_padded_spmd,
             fused_attn_block_spmd,
@@ -312,8 +312,8 @@ class ResidualAttentionBlock(nn.Module):
             supports_fused_block_padded,
         )
 
-        if self.pool_row is not None:
-            return self._pooled(x, mask)
+        if self.pool_row is not None or pool_rows is not None:
+            return self._pooled(x, mask, pool_rows)
         b, s = x.shape[0], x.shape[1]
         attn_impl = None
         if self.fused_block and (mask is None or self.causal_fused):
@@ -402,12 +402,16 @@ class ResidualAttentionBlock(nn.Module):
         x = x + nn.Dense(self.width, dtype=self.dtype, name="mlp_proj")(h)
         return x
 
-    def _pooled(self, x, mask):
+    def _pooled(self, x, mask, pool_rows=None):
         """Last-layer pooled-row path (see ``pool_row``): returns (B, D).
-        Reads the exact same parameter tree as the full paths (_LNParams/
+        ``pool_rows`` (B,) int32 is the dynamic-row variant — each example
+        pools its own row (CLIP text EOT argmax, CLAP caption last real
+        token) — dispatched to fused_attn_block_pooled_dyn. Reads the
+        exact same parameter tree as the full paths (_LNParams/
         _MHAParams/_DenseParams declare nn.Dense/nn.LayerNorm's variables),
         so checkpoints are interchangeable between pooled and full blocks."""
         from ...ops.block import (
+            fused_attn_block_pooled_dyn_spmd,
             fused_attn_block_pooled_spmd,
             supports_fused_block_pooled,
         )
@@ -424,11 +428,59 @@ class ResidualAttentionBlock(nn.Module):
             and supports_fused_block_pooled(b, s, self.width, self.heads,
                                             jnp.dtype(dt))
         ):
-            x0 = fused_attn_block_pooled_spmd(
-                x, ln1_s, ln1_b, wqkv.astype(dt), bqkv.astype(dt),
-                wo.astype(dt), bo.astype(dt),
-                self.heads, nv, pr, self.causal_fused,
+            if pool_rows is not None:
+                x0 = fused_attn_block_pooled_dyn_spmd(
+                    x, pool_rows.astype(jnp.int32), ln1_s, ln1_b,
+                    wqkv.astype(dt), bqkv.astype(dt),
+                    wo.astype(dt), bo.astype(dt),
+                    self.heads, nv, self.causal_fused,
+                )
+            else:
+                x0 = fused_attn_block_pooled_spmd(
+                    x, ln1_s, ln1_b, wqkv.astype(dt), bqkv.astype(dt),
+                    wo.astype(dt), bo.astype(dt),
+                    self.heads, nv, pr, self.causal_fused,
+                )
+        elif pool_rows is not None:
+            # plain-ops dynamic-row pooled path: per-example
+            # take_along_axis gathers, otherwise the same math as below
+            D, H = self.width, self.heads
+            hd = D // H
+            rows = pool_rows.astype(jnp.int32)
+            xf = x.astype(jnp.float32)
+            mean = xf.mean(-1, keepdims=True)
+            var = jnp.maximum(
+                (xf * xf).mean(-1, keepdims=True) - mean * mean, 0.0
             )
+            y = ((xf - mean) * jax.lax.rsqrt(var + 1e-5) * ln1_s
+                 + ln1_b).astype(dt)
+            kv = y @ wqkv[:, D:].astype(dt) + bqkv[D:].astype(dt)
+            idx = rows[:, None, None]
+            q = jnp.take_along_axis(y, idx, axis=1)[:, 0] @ (
+                wqkv[:, :D].astype(dt)
+            ) + bqkv[:D].astype(dt)
+            qh = q.reshape(b, H, hd)
+            kh = kv[..., :D].reshape(b, s, H, hd)
+            vh = kv[..., D:].reshape(b, s, H, hd)
+            logits = jnp.einsum("bhd,bkhd->bhk", qh, kh) * (
+                1.0 / np.sqrt(hd)
+            )
+            if mask is not None:
+                # each example sees exactly its own row of the mask
+                m2 = jnp.broadcast_to(mask[0, 0], (s, s))
+                logits = logits + m2[rows][:, None, :].astype(logits.dtype)
+            if nv < s:
+                col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s), 2)
+                logits = logits + jnp.where(col < nv, 0.0, -jnp.inf)
+            if self.softmax_f32:
+                p = jax.nn.softmax(
+                    logits.astype(jnp.float32), axis=-1
+                ).astype(dt)
+            else:
+                p = jax.nn.softmax(logits, axis=-1)
+            att = jnp.einsum("bhk,bkhd->bhd", p, vh).reshape(b, D)
+            xp = jnp.take_along_axis(x, idx, axis=1)[:, 0]
+            x0 = xp + (att @ wo.astype(dt) + bo.astype(dt))
         else:
             # plain-ops pooled path (f32 / CPU / unadmitted shapes):
             # q and out-proj restricted to the pooled row, k/v full —
@@ -492,23 +544,26 @@ class Transformer(nn.Module):
     pool_row: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, pool_rows=None):
+        """``pool_rows`` (B,) int32: dynamic per-example pooled rows for
+        the LAST layer (argmax/EOT CLIP text, CLAP caption last real
+        token) — like ``pool_row`` but data-dependent; the transformer
+        then returns (B, D)."""
         block_cls = (
             nn.remat(ResidualAttentionBlock, static_argnums=())
             if self.remat
             else ResidualAttentionBlock
         )
         for i in range(self.layers):
+            last = i == self.layers - 1
             x = block_cls(
                 self.width, self.heads, self.quick_gelu, dtype=self.dtype,
                 softmax_f32=self.softmax_f32, fused=self.fused,
                 fused_block=self.fused_block,
                 n_valid=self.n_valid, causal_fused=self.causal_fused,
-                pool_row=(
-                    self.pool_row if i == self.layers - 1 else None
-                ),
+                pool_row=(self.pool_row if last else None),
                 name=f"resblocks_{i}",
-            )(x, mask)
+            )(x, mask, pool_rows if last else None)
         return x
 
 
@@ -743,10 +798,16 @@ class TextTransformer(nn.Module):
             mask = None  # SigLIP text attends bidirectionally
         # "last"-pooled (SigLIP) towers read the STATIC row n_tok-1, so the
         # final layer qualifies for the pooled-row path (pool_last_block);
-        # argmax/EOT pooling is data-dependent per sample and stays full.
+        # argmax/EOT CLIP pooling is data-dependent per sample but the row
+        # is a function of the token ids alone, so the last layer runs the
+        # DYNAMIC pooled-row path (pool_rows) with per-example rows.
         pool_row = (
             n_tok - 1
             if (c.text_pool == "last" and c.pool_last_block) else None
+        )
+        pool_rows = (
+            jnp.argmax(tokens, axis=-1).astype(jnp.int32)
+            if (c.text_pool == "argmax" and c.pool_last_block) else None
         )
         x = Transformer(
             c.text_width, c.text_layers, c.text_heads,
@@ -757,8 +818,8 @@ class TextTransformer(nn.Module):
             fused_block=fused and c.fused_block,
             n_valid=n_tok if fused else None, causal_fused=fused,
             pool_row=pool_row, name="transformer",
-        )(x, mask)
-        if pool_row is not None:
+        )(x, mask, pool_rows=pool_rows)
+        if pool_row is not None or pool_rows is not None:
             pooled = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                                   name="ln_final")(x)
         else:

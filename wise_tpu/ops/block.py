@@ -609,6 +609,186 @@ def fused_attn_block_pooled(
     )(x, ln, wqkv, bqkv.reshape(1, -1), wo, bo.reshape(1, -1))
 
 
+# ---------------------------------------------------------------------------
+# dynamic-row pooled attention block: the same last-layer saving for towers
+# whose pooled row is DATA-DEPENDENT per example — CLIP text pools at the
+# argmax/EOT token (models/clip/model.py TextTransformer, mirroring
+# open_clip) and the CLAP caption tower pools at each caption's last real
+# token (reference: /root/reference/src/feature/microsoft_clap.py text
+# path). The row indices are known before the layer runs (a function of the
+# token ids only), so the final layer still only needs q/out-proj/MLP at
+# one row per example. Mosaic has no per-example dynamic indexing, so the
+# host-side dispatcher turns the rows into a ONE-HOT (B, SP) matrix and an
+# additive key mask (B, SP); inside the kernel the pooled x / LN(x) rows
+# are gathered with batched one-hot MXU dots (exact: one nonzero per row,
+# f32 accumulation) and the causal/valid masking is the precomputed
+# additive mask — everything lowers as batched dot_general + broadcasts.
+# ---------------------------------------------------------------------------
+
+
+def _attn_block_pooled_dyn_kernel(
+    x_ref, oh_ref, km_ref, ln_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    o_ref, att_ref, *, heads: int, scale: float,
+):
+    x = x_ref[:]                              # (G, SP, D) bf16
+    g, sp, d = x.shape
+    hd = d // heads
+    y = _ln_f32(
+        x.astype(jnp.float32), ln_ref[0, :], ln_ref[1, :]
+    ).astype(x.dtype)
+    # k/v for every row, exactly like the static pooled kernel
+    kv = jax.lax.dot_general(
+        y, wqkv_ref[:, d:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    kv = (kv + bqkv_ref[0, d:]).astype(x.dtype)   # (G, SP, 2D)
+    # gather each example's pooled row of x and LN(x) with one-hot MXU
+    # dots. The q side needs an 8-row window for the MXU (single-row dots
+    # don't lower — see the static kernel), so the one-hot row is
+    # broadcast to 8 identical query rows and row 0 is read back at the
+    # end. One nonzero per one-hot row + f32 accumulation = the gather is
+    # bit-exact.
+    oh8 = jnp.broadcast_to(oh_ref[:][:, None, :], (g, 8, sp))
+    x8 = jax.lax.dot_general(
+        oh8, x, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                          # (G, 8, D) f32, exact rows
+    y8 = jax.lax.dot_general(
+        oh8, y, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    q8 = jax.lax.dot_general(
+        y8, wqkv_ref[:, :d],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    q8 = (q8 + bqkv_ref[0, :d]).astype(x.dtype)   # (G, 8, D)
+    km = km_ref[:][:, None, :]                    # (G, 1, SP) additive f32
+    for h in range(heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        k = kv[:, :, sl]
+        v = kv[:, :, d + h * hd:d + (h + 1) * hd]
+        logits = jax.lax.dot_general(
+            q8[:, :, sl], k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale + km                             # (G, 8, SP)
+        m = jnp.max(logits, axis=2, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=2, keepdims=True)
+        att8 = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                          # (G, 8, hd)
+        att_ref[:, sl] = att8[:, 0, :].astype(att_ref.dtype)
+    out = jax.lax.dot_general(
+        att_ref[:], wo_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = x8[:, 0, :].astype(x.dtype) + (out + bo_ref[0, :]).astype(
+        x.dtype
+    )
+
+
+def _pooled_block_xla_dyn(x, rows, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
+                          heads, n_valid, causal):
+    """Plain-ops dynamic-row pooled attention block — the same math as the
+    Pallas kernel with per-example take_along_axis gathers. Used on CPU /
+    f32 / shapes the kernel doesn't admit."""
+    b, sp, d = x.shape
+    hd = d // heads
+    xf = x.astype(jnp.float32)
+    y = _ln_f32(xf, ln_scale, ln_bias).astype(x.dtype)
+    kv = y @ wqkv[:, d:] + bqkv[d:]
+    idx = rows[:, None, None]
+    yq = jnp.take_along_axis(y, idx.astype(jnp.int32), axis=1)[:, 0]
+    q = yq @ wqkv[:, :d] + bqkv[:d]
+    qh = q.reshape(b, heads, hd)
+    kh = kv[..., :d].reshape(b, sp, heads, hd)
+    vh = kv[..., d:].reshape(b, sp, heads, hd)
+    logits = jnp.einsum(
+        "bhd,bkhd->bhk", qh.astype(jnp.float32), kh.astype(jnp.float32)
+    ) * (1.0 / np.sqrt(hd))
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sp), 2)
+    keep = col < n_valid
+    if causal:
+        keep = keep & (col <= rows[:, None, None])
+    logits = jnp.where(keep, logits, -jnp.inf)
+    p = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    att = jnp.einsum("bhk,bkhd->bhd", p, vh).reshape(b, d)
+    xp = jnp.take_along_axis(x, idx.astype(jnp.int32), axis=1)[:, 0]
+    return xp + (att @ wo + bo).astype(x.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "n_valid", "causal", "interpret", "group"),
+)
+def fused_attn_block_pooled_dyn(
+    x: jax.Array, rows: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
+    wqkv: jax.Array, bqkv: jax.Array, wo: jax.Array, bo: jax.Array,
+    heads: int, n_valid: int, causal: bool = False,
+    interpret: bool = False, group: int | None = None,
+) -> jax.Array:
+    """x (B, SP, D) bf16, rows (B,) int32 -> the attention block's output
+    at each example's own row, as (B, D). Same contract as
+    fused_attn_block_pooled with a per-example pool row; key columns >=
+    n_valid are masked, causal additionally masks columns > rows[b]."""
+    b, sp, d = x.shape
+    group = group or _pooled_group(b, sp, d)
+    if group is None:
+        return _pooled_block_xla_dyn(x, rows, ln_scale, ln_bias, wqkv,
+                                     bqkv, wo, bo, heads, n_valid, causal)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, sp), 1)
+    oh = (col == rows[:, None]).astype(x.dtype)
+    keep = col < n_valid
+    if causal:
+        keep = keep & (col <= rows[:, None])
+    km = jnp.where(keep, 0.0, -jnp.inf).astype(jnp.float32)
+    xspec = pl.BlockSpec((group, sp, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    rspec = pl.BlockSpec((group, sp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((group, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    ln = jnp.stack([ln_scale, ln_bias]).astype(jnp.float32)
+    return pl.pallas_call(
+        functools.partial(
+            _attn_block_pooled_dyn_kernel, heads=heads,
+            scale=1.0 / np.sqrt(d // heads),
+        ),
+        grid=(b // group,),
+        in_specs=[
+            xspec,
+            rspec,
+            rspec,
+            const((2, d)),
+            const((d, 3 * d)),
+            const((1, 3 * d)),
+            const((d, d)),
+            const((1, d)),
+        ],
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((b, d), x.dtype),
+        scratch_shapes=[pltpu.VMEM((group, d), x.dtype)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * b * sp * d * 2 * d + 4 * b * d * d
+                   + 4 * b * sp * d + 2 * 2 * b * 8 * sp * d),
+            bytes_accessed=b * sp * d * 2 + b * d * 2 + 8 * d * d * 2,
+            transcendentals=b * heads * sp,
+        ),
+    )(x, oh, km, ln, wqkv, bqkv.reshape(1, -1), wo, bo.reshape(1, -1))
+
+
 def _mlp_block_kernel(
     x_ref, ln_ref, wfc_ref, bfc_ref, wproj_ref, bproj_ref, o_ref,
     *, act: str, flat: bool = False,
@@ -786,6 +966,42 @@ fused_attn_block_pooled_spmd.def_partition(
     infer_sharding_from_operands=_pooled_infer,
     partition=_pooled_partition,
     sharding_rule="b s d, e, f, g h, i, j k, l -> b d",
+)
+
+
+@functools.partial(custom_partitioning, static_argnums=(8, 9, 10))
+def fused_attn_block_pooled_dyn_spmd(x, rows, ln_s, ln_b, wqkv, bqkv, wo,
+                                     bo, heads, n_valid, causal):
+    return fused_attn_block_pooled_dyn(x, rows, ln_s, ln_b, wqkv, bqkv,
+                                       wo, bo, heads=heads,
+                                       n_valid=n_valid, causal=causal)
+
+
+def _pooled_dyn_partition(*args):
+    statics = args[:-3]
+    mesh, arg_shapes, _result_shape = args[-3:]
+    spec = getattr(arg_shapes[0].sharding, "spec", None)
+    batch = spec[0] if spec is not None and len(spec) > 0 else None
+    xsh = NamedSharding(mesh, P(batch, None, None))
+    rsh = NamedSharding(mesh, P(batch))
+    osh = NamedSharding(mesh, P(batch, None))
+    arg_shardings = (xsh, rsh) + tuple(
+        _replicated_like(mesh, a) for a in arg_shapes[2:]
+    )
+    names = ("heads", "n_valid", "causal")
+
+    def lower_fn(x, rows, *weights):
+        return fused_attn_block_pooled_dyn(
+            x, rows, *weights, **dict(zip(names, statics))
+        )
+
+    return mesh, lower_fn, osh, arg_shardings
+
+
+fused_attn_block_pooled_dyn_spmd.def_partition(
+    infer_sharding_from_operands=_pooled_infer,
+    partition=_pooled_dyn_partition,
+    sharding_rule="b s d, b, e, f, g h, i, j k, l -> b d",
 )
 
 
