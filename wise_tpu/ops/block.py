@@ -261,6 +261,11 @@ _CALIBRATED_POOLED: dict = {
     (264, 1280): 8,
     (64, 1024): 64,
     (80, 512): 32,
+    #: (80, 768) = CLAP caption tower (GPT2-small width). Measured via the
+    #: DYNAMIC-row sweep (--dyn): kernel beats the full block at B=256
+    #: (0.498 ms g=32 vs 1.055) and B=64 (0.208 g=16 vs 0.502). Entry
+    #: admits the shape; the dyn path picks its group per-batch below.
+    (80, 768): 32,
 }
 
 
@@ -286,6 +291,26 @@ def _pooled_group(batch: int, seq_pad: int, width: int):
         )
         if est <= _VMEM_BUDGET:
             return g
+    return None
+
+
+def _pooled_dyn_group(batch: int, seq_pad: int, width: int):
+    """Batch group for the DYNAMIC-row pooled kernel. The hardware sweep
+    (scripts/calibrate_pooled_block.py --dyn, v5e, 100-iter chains) shows
+    the winning group SCALES WITH BATCH — B=512 wants g=64 (0.616 ms vs
+    0.856 at g=8, (80,512)), B=64 wants g=8/16 (0.130/0.203 vs 0.377 at
+    g=64) — and clamp(batch//8, 8, 64) picks the measured winner at every
+    swept point for both text shapes ((80,512) B∈{64,512}, (80,768)
+    B∈{64,256}). Admission rides _pooled_group (calibrated table +
+    conservative analytic fallback); the clamp then only shrinks to a
+    group that divides the batch."""
+    if _pooled_group(batch, seq_pad, width) is None:
+        return None
+    g = max(8, min(64, batch // 8))
+    while g >= 8:
+        if batch % g == 0:
+            return g
+        g //= 2
     return None
 
 
@@ -648,7 +673,11 @@ def _attn_block_pooled_dyn_kernel(
     # broadcast to 8 identical query rows and row 0 is read back at the
     # end. One nonzero per one-hot row + f32 accumulation = the gather is
     # bit-exact.
-    oh8 = jnp.broadcast_to(oh_ref[:][:, None, :], (g, 8, sp))
+    # oh_ref/km_ref arrive as (G, 1, SP): Mosaic can't shape-cast a 2D
+    # vector to (G, 1, SP) in-kernel ("infer-vector-layout: unsupported
+    # shape cast" on the real lowering), so the unit dim is materialised
+    # host-side and only BROADCAST (supported) here.
+    oh8 = jnp.broadcast_to(oh_ref[:], (g, 8, sp))
     x8 = jax.lax.dot_general(
         oh8, x, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
@@ -663,7 +692,7 @@ def _attn_block_pooled_dyn_kernel(
         preferred_element_type=jnp.float32,
     )
     q8 = (q8 + bqkv_ref[0, :d]).astype(x.dtype)   # (G, 8, D)
-    km = km_ref[:][:, None, :]                    # (G, 1, SP) additive f32
+    km = km_ref[:]                                # (G, 1, SP) additive f32
     for h in range(heads):
         sl = slice(h * hd, (h + 1) * hd)
         k = kv[:, :, sl]
@@ -736,19 +765,22 @@ def fused_attn_block_pooled_dyn(
     fused_attn_block_pooled with a per-example pool row; key columns >=
     n_valid are masked, causal additionally masks columns > rows[b]."""
     b, sp, d = x.shape
-    group = group or _pooled_group(b, sp, d)
+    group = group or _pooled_dyn_group(b, sp, d)
     if group is None:
         return _pooled_block_xla_dyn(x, rows, ln_scale, ln_bias, wqkv,
                                      bqkv, wo, bo, heads, n_valid, causal)
-    col = jax.lax.broadcasted_iota(jnp.int32, (b, sp), 1)
-    oh = (col == rows[:, None]).astype(x.dtype)
+    # one-hot + mask materialised as (B, 1, SP) — the unit dim must exist
+    # in HBM because Mosaic rejects the in-kernel 2D->3D shape cast
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, 1, sp), 2)
+    r3 = rows[:, None, None]
+    oh = (col == r3).astype(x.dtype)
     keep = col < n_valid
     if causal:
-        keep = keep & (col <= rows[:, None])
+        keep = keep & (col <= r3)
     km = jnp.where(keep, 0.0, -jnp.inf).astype(jnp.float32)
     xspec = pl.BlockSpec((group, sp, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    rspec = pl.BlockSpec((group, sp), lambda i: (i, 0),
+    rspec = pl.BlockSpec((group, 1, sp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((group, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
