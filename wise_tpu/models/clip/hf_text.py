@@ -2,11 +2,18 @@
 
 The reference's default video/image extractor is
 ``mlfoundations/open_clip/xlm-roberta-large-ViT-H-14/frozen_laion5b_s13b_b90k``
-(extract-features.py:195-207), whose text side is a HuggingFace XLM-RoBERTa
-encoder with mean pooling and a bias-free projection (open_clip
-HFTextEncoder). This is that tower in Flax: post-LN BERT-style blocks,
-learned positions with the RoBERTa offset-2 convention, attention masking
-over padding, mean pooling, projection to the joint space.
+(reference extract-features.py:195-207), whose text side is a HuggingFace
+XLM-RoBERTa encoder with mean pooling and a bias-free projection
+(open_clip HFTextEncoder). This is that tower in Flax: post-LN BERT-style
+blocks, learned positions with the RoBERTa offset-2 convention, attention
+masking over padding, mean pooling, projection to the joint space.
+
+bf16 towers run each residual block as fused post-LN Pallas kernels
+(ops/postln_block.py — qkv/attention/out-proj/residual/LN in one VMEM
+program, fc/gelu/proj/residual/LN in another) when
+``supports_fused_postln`` admits the shape; both paths read the SAME
+parameter tree (the param-declaration helpers mirror nn.Dense /
+nn.LayerNorm exactly), so checkpoints are interchangeable.
 """
 
 from __future__ import annotations
@@ -18,6 +25,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ...ops import postln_block as _pb
 
 
 @dataclasses.dataclass(frozen=True)
@@ -31,52 +40,117 @@ class HFTextConfig:
     pad_token_id: int = 1
     embed_dim: int = 1024       # joint space
     dtype: Any = jnp.float32
+    #: run residual blocks as fused post-LN kernels where shapes allow
+    #: (bf16 only; ops/postln_block.supports_fused_postln)
+    fused_block: bool = False
 
 
-class BertSelfAttention(nn.Module):
-    width: int
-    heads: int
-    dtype: Any = jnp.float32
+class _DenseParams(nn.Module):
+    """Exactly nn.Dense's variables (names/shapes/initializers) without
+    computing — both compute paths read them, one checkpoint layout."""
+
+    in_features: int
+    features: int
 
     @nn.compact
-    def __call__(self, x, mask):
-        h = self.heads
-        head_dim = self.width // h
-        q = nn.Dense(self.width, dtype=self.dtype, name="query")(x)
-        k = nn.Dense(self.width, dtype=self.dtype, name="key")(x)
-        v = nn.Dense(self.width, dtype=self.dtype, name="value")(x)
-
-        def split(t):
-            return t.reshape(t.shape[0], t.shape[1], h, head_dim)
-
-        q, k, v = map(split, (q, k, v))
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(head_dim)
-        logits = logits + mask
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
-            self.dtype
+    def __call__(self):
+        return (
+            self.param(
+                "kernel", nn.initializers.lecun_normal(),
+                (self.in_features, self.features),
+            ),
+            self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,)),
         )
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-        return out.reshape(x.shape[0], x.shape[1], self.width)
+
+
+class _LNParams(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones_init(), (self.dim,)),
+            self.param("bias", nn.initializers.zeros_init(), (self.dim,)),
+        )
+
+
+class _SelfAttnParams(nn.Module):
+    """HF layout: separate query/key/value Dense under 'self'."""
+
+    width: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            _DenseParams(self.width, self.width, name="query")(),
+            _DenseParams(self.width, self.width, name="key")(),
+            _DenseParams(self.width, self.width, name="value")(),
+        )
+
+
+def _ln_f32(xf, scale, bias, eps=1e-5):
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, -1, keepdims=True) - mean * mean,
+                      0.0)
+    return (xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
 class BertLayer(nn.Module):
+    """One post-LN block. ``km`` is the per-example additive f32 key mask
+    (B, 1, SP): 0 at real tokens, -inf at padding."""
+
     config: HFTextConfig
 
     @nn.compact
-    def __call__(self, x, mask):
+    def __call__(self, x, km):
         c = self.config
-        attn = BertSelfAttention(c.width, c.heads, dtype=c.dtype, name="self")(
-            x, mask
+        dt = c.dtype
+        (wq, bq), (wk, bk), (wv, bv) = _SelfAttnParams(
+            c.width, name="self")()
+        wo, bo = _DenseParams(c.width, c.width, name="attn_out")()
+        ln1_s, ln1_b = _LNParams(c.width, name="attn_ln")()
+        wfc, bfc = _DenseParams(c.width, c.intermediate,
+                                name="intermediate")()
+        wproj, bproj = _DenseParams(c.intermediate, c.width,
+                                    name="output")()
+        ln2_s, ln2_b = _LNParams(c.width, name="out_ln")()
+
+        b, sp = x.shape[0], x.shape[1]
+        if (
+            c.fused_block
+            and _pb.supports_fused_postln(b, sp, c.width, c.heads, dt)
+        ):
+            wqkv = jnp.concatenate([wq, wk, wv], axis=1).astype(dt)
+            bqkv = jnp.concatenate([bq, bk, bv]).astype(dt)
+            x = _pb.fused_postln_attn_block_spmd(
+                x, km, ln1_s, ln1_b, wqkv, bqkv,
+                wo.astype(dt), bo.astype(dt), c.heads,
+            )
+            return _pb.fused_postln_mlp_block_spmd(
+                x, ln2_s, ln2_b, wfc.astype(dt), bfc.astype(dt),
+                wproj.astype(dt), bproj.astype(dt), "gelu",
+            )
+
+        # plain-ops path (f32 / CPU / unadmitted shapes) — identical math
+        # to the pre-round-3 nn.Dense/nn.LayerNorm formulation
+        h = c.heads
+        hd = c.width // h
+        q = (x @ wq.astype(dt) + bq.astype(dt)).reshape(b, sp, h, hd)
+        k = (x @ wk.astype(dt) + bk.astype(dt)).reshape(b, sp, h, hd)
+        v = (x @ wv.astype(dt) + bv.astype(dt)).reshape(b, sp, h, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
+        logits = logits + km[:, :, None, :].astype(logits.dtype)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+            dt
         )
-        attn = nn.Dense(c.width, dtype=c.dtype, name="attn_out")(attn)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="attn_ln")(
-            x + attn
-        )
-        h = nn.Dense(c.intermediate, dtype=c.dtype, name="intermediate")(x)
-        h = jax.nn.gelu(h, approximate=False)
-        h = nn.Dense(c.width, dtype=c.dtype, name="output")(h)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="out_ln")(x + h)
-        return x
+        att = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, sp, c.width)
+        att = att @ wo.astype(dt) + bo.astype(dt)
+        x = _ln_f32((x + att).astype(jnp.float32), ln1_s, ln1_b).astype(dt)
+        m = x @ wfc.astype(dt) + bfc.astype(dt)
+        m = jax.nn.gelu(m, approximate=False)
+        m = m @ wproj.astype(dt) + bproj.astype(dt)
+        return _ln_f32((x + m).astype(jnp.float32), ln2_s, ln2_b).astype(dt)
 
 
 class XLMRobertaTextTower(nn.Module):
@@ -103,13 +177,18 @@ class XLMRobertaTextTower(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="emb_ln")(x)
         x = x.astype(c.dtype)
 
-        attn_mask = jnp.where(pad_mask[:, None, None, :], 0.0, -jnp.inf)
+        km = jnp.where(pad_mask[:, None, :], 0.0, -jnp.inf).astype(
+            jnp.float32
+        )
         for i in range(c.layers):
-            x = BertLayer(c, name=f"layer_{i}")(x, attn_mask)
+            x = BertLayer(c, name=f"layer_{i}")(x, km)
 
-        # mean pooling over non-pad tokens (open_clip mean_pooler)
+        # mean pooling over non-pad tokens (open_clip mean_pooler) — f32
+        # accumulation regardless of the tower dtype
         denom = jnp.maximum(pad_mask.sum(axis=1, keepdims=True), 1)
-        pooled = (x * pad_mask[..., None]).sum(axis=1) / denom
+        pooled = (
+            (x.astype(jnp.float32) * pad_mask[..., None]).sum(axis=1) / denom
+        )
         proj = self.param(
             "proj", nn.initializers.normal(0.02), (c.width, c.embed_dim)
         )

@@ -861,6 +861,10 @@ class CLIP(nn.Module):
                     layers=c.text_layers, heads=c.text_heads,
                     intermediate=4 * c.text_width, embed_dim=c.embed_dim,
                     dtype=c.dtype,
+                    # post-LN fused block kernels (ops/postln_block.py)
+                    # ride the same production gate/kill-switch as the
+                    # pre-LN towers (WISE_FUSED_BLOCK=0)
+                    fused_block=c.fused_block,
                 )
             )
         else:
