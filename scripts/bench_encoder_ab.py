@@ -34,6 +34,14 @@ CONFIGS = {
     "block+pool": dict(fused_block=True, pool_last_block=True),
     "block+pool+patch": dict(fused_block=True, pool_last_block=True,
                              patch_embed_matmul=True),
+    # round-3 continuation: f32 vs bf16 residual-stream carry through the
+    # kernel boundaries, same kernels otherwise. Measured: f32 36.08 ms vs
+    # bf16 37.77 at ViT-B/32 B=512 — f32 stays the default
+    # (CLIPConfig.bf16_stream docstring has the analysis)
+    "block+pool+f32s": dict(fused_block=True, pool_last_block=True,
+                            bf16_stream=False),
+    "block+pool+bf16s": dict(fused_block=True, pool_last_block=True,
+                             bf16_stream=True),
 }
 
 

@@ -100,6 +100,39 @@ def main():
                        preferred_element_type=jnp.float32)
         return (x - mean_a) / std_a
 
+    # ---- round-3 continuation: fold the crop + 1/255 scale into the
+    # weights so the 2x-bigger crop/cast intermediate (audit_hlo.py found
+    # a 201 MB materialisation at batch 512) never exists — the einsums
+    # read the uint8 batch directly. The cropped-out rows/cols are zero
+    # columns in the folded weights (+25% FLOPs on the cropped axis's
+    # contraction, traded against the saved HBM round trip).
+    top = (H - square) // 2
+    left = (W - square) // 2
+    whf = np.zeros((S, H), np.float32)
+    whf[:, top:top + square] = w_ax
+    wwf = np.zeros((W, S), np.float32)
+    wwf[left:left + square, :] = w_ax.T
+    whf_s = jnp.asarray(whf / 255.0, jnp.bfloat16)   # 1/255 on 1st einsum
+    whf_b = jnp.asarray(whf, jnp.bfloat16)
+    wwf_s = jnp.asarray(wwf / 255.0, jnp.bfloat16)
+    wwf_b = jnp.asarray(wwf, jnp.bfloat16)
+
+    def v_fold_hw(frames):
+        x = frames.astype(jnp.bfloat16)
+        x = jnp.einsum("Hh,bhwc->bHwc", whf_s, x,
+                       preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        x = jnp.einsum("wW,bHwc->bHWc", wwf_b, x,
+                       preferred_element_type=jnp.float32)
+        return (x - mean_a) / std_a
+
+    def v_fold_wh(frames):
+        x = frames.astype(jnp.bfloat16)
+        x = jnp.einsum("wW,bhwc->bhWc", wwf_s, x,
+                       preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        x = jnp.einsum("Hh,bhWc->bHWc", whf_b, x,
+                       preferred_element_type=jnp.float32)
+        return (x - mean_a) / std_a
+
     roundtrip = measure_roundtrip()
     print(f"roundtrip {roundtrip*1e3:.1f} ms; batch {B} {H}x{W} -> {S}")
 
@@ -123,7 +156,8 @@ def main():
 
     ref = np.asarray(v_current(frames), np.float32)
     for name, fn in (("current", v_current), ("gemm", v_gemm),
-                     ("gemm_cf", v_gemm_cf), ("gemm_bf16", v_gemm_bf16)):
+                     ("gemm_cf", v_gemm_cf), ("gemm_bf16", v_gemm_bf16),
+                     ("fold_hw", v_fold_hw), ("fold_wh", v_fold_wh)):
         try:
             got = np.asarray(fn(frames), np.float32)
             delta = float(np.max(np.abs(got - ref)))

@@ -89,6 +89,10 @@ def production_clip_config(model_name: str):
         # math; ~1 layer saved per image pass — see CLIPConfig docstring;
         # WISE_POOL_LAST=0 to disable)
         pool_last_block=os.environ.get("WISE_POOL_LAST", "1") != "0",
+        # bf16 residual-stream carry through the fused kernel path —
+        # measured SLOWER than the f32 carry at ViT-B/32 (see
+        # CLIPConfig.bf16_stream); opt-in for re-probing other shapes
+        bf16_stream=os.environ.get("WISE_BF16_STREAM", "0") == "1",
     )
 
 

@@ -97,6 +97,18 @@ class CLIPConfig:
     #: consumes every token); inference default via
     #: production_clip_config (WISE_POOL_LAST=0 opts out).
     pool_last_block: bool = False
+    #: carry the residual stream in ``dtype`` (bf16) through the fused
+    #: kernel path instead of ln_pre's f32. MEASURED LOSS at ViT-B/32 —
+    #: 37.77 vs 36.08 ms/step (scripts/bench_encoder_ab.py
+    #: block+pool+f32s vs block+pool, cos 0.99996): the f32 stream costs
+    #: 2x HBM bytes at every kernel boundary (22 f32 custom calls,
+    #: scripts/audit_hlo.py) but is FREE on the MXU — DEFAULT-precision
+    #: dots truncate operands to bf16 either way, and f32's 8-row sublane
+    #: tiles keep SP=56 exact where bf16's 16-row tiles round it to 64
+    #: (+14% GEMM rows). The boundary traffic evidently hides behind
+    #: compute. Kept as a knob for shapes where the trade flips
+    #: (WISE_BF16_STREAM=1 to enable).
+    bf16_stream: bool = False
     dtype: Any = jnp.float32
 
 
@@ -717,6 +729,13 @@ class VisionTransformer(nn.Module):
         )
         n_valid = None
         if fused:
+            # Residual-stream dtype: ln_pre's f32 LayerNorm sets the dtype
+            # of every kernel-boundary tensor (the block kernels propagate
+            # x.dtype). The f32 carry measured FASTER than casting to bf16
+            # here despite 2x the boundary HBM bytes — see
+            # CLIPConfig.bf16_stream for the numbers and the why.
+            if c.bf16_stream:
+                x = x.astype(c.dtype)
             if sp8 != n_tokens:
                 x = jnp.pad(x, ((0, 0), (0, sp8 - n_tokens), (0, 0)))
             n_valid = n_tokens
