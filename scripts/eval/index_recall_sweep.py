@@ -60,6 +60,15 @@ def main():
                    default="both",
                    help="plain subspace PQ, the OPQ learned rotation "
                         "(the production build default), or both")
+    p.add_argument("--refine", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="also sweep each PQ variant with the int8 refine "
+                        "rescore of rerank-mult*k ADC candidates "
+                        "(config.pq_refine, the production build default); "
+                        "the rescore runs on device here where production "
+                        "reranks from the host memmap (~0.1 ms for 400 "
+                        "rows) — same math, same candidates")
+    p.add_argument("--rerank-mult", type=int, default=4)
     p.add_argument("--only", choices=["flat", "pq", "both"], default="both")
     p.add_argument("--out", default=None)
     args = p.parse_args()
@@ -284,6 +293,35 @@ def main():
     LPADQ = 128
     variants = {"both": ("plain", "opq"), "plain": ("plain",),
                 "opq": ("opq",)}[args.pq_variant]
+
+    # int8 refine rescore of ADC candidates, composed with the ADC kernel
+    # so the timing loop measures the full production pipeline. Codes are
+    # quantized in the variant's (possibly OPQ-rotated) basis: inner
+    # products are rotation-invariant, so quality statistics match the
+    # production layout, which stores the ORIGINAL basis and un-rotates
+    # the query instead (feature_index._rerank_refine_candidates).
+    @jax.jit
+    def quantize_int8(x):
+        absmax = jnp.max(jnp.abs(x), axis=1)
+        scales = absmax / 127.0
+        inv = jnp.where(absmax > 0, 1.0 / jnp.where(absmax == 0, 1, scales),
+                        0.0)
+        return jnp.rint(x * inv[:, None]).astype(jnp.int8), scales
+
+    def make_refine_kernel(kc):
+        def kernel(qr, cents_v, pfirst, pcount, paged, prow, books,
+                   codes_i8, scales_r, *, nprobe, budget, chunk, k):
+            vals, rows = ivfpq_search_paged(
+                qr, cents_v, pfirst, pcount, paged, prow, books,
+                nprobe=nprobe, budget=budget, chunk=chunk, k=kc)
+            safe = jnp.maximum(rows, 0)
+            cand = codes_i8[safe].astype(jnp.float32)  # (Q, kc, D)
+            s = jnp.einsum("qkd,qd->qk", cand, qr) * scales_r[safe]
+            s = jnp.where(jnp.isneginf(vals), -jnp.inf, s)
+            vv, ii = jax.lax.top_k(s, k)
+            return vv, jnp.take_along_axis(rows, ii, axis=1)
+        return kernel
+
     for variant in variants if args.only in ("pq", "both") else []:
         if variant == "opq":
             from wise_tpu.ops.pq import train_opq
@@ -294,15 +332,20 @@ def main():
             R_d = jnp.asarray(R)
             rot = jax.jit(lambda a: a @ R_d)
             resid_v, cents_v, q_v = rot(resid), rot(cents), rot(q)
+            xs_v = rot(xs)
             label = f"IVF-PQ(M={M},OPQ)"
         else:
             books = train_pq(sample, M, 256)
-            resid_v, cents_v, q_v = resid, cents, q
+            resid_v, cents_v, q_v, xs_v = resid, cents, q, xs
             label = f"IVF-PQ(M={M})"
         books_d = jnp.asarray(books)
         codes = encode(resid_v, books_d)
         pagedq, prowq, pfirstq, pcountq = device_paged(codes, LPADQ)
         pfirstq_d, pcountq_d = jnp.asarray(pfirstq), jnp.asarray(pcountq)
+        if args.refine:
+            codes_i8, scales_r = quantize_int8(xs_v)
+            kc = min(args.rerank_mult * K, N)
+            refine_kernel = make_refine_kernel(kc)
         for nprobe in args.nprobes:
             nprobe = min(nprobe, nlist)
             budget = paged_budget(pcountq, nprobe)
@@ -314,6 +357,20 @@ def main():
             row = {"index": label, "nprobe": nprobe, **metrics(rows),
                    "ms_per_query": round(
                        timed(ivfpq_search_paged, arrays, static,
+                             queries=q_v) * 1e3, 3)}
+            report["rows"].append(row)
+            print(f"# {row}", file=sys.stderr)
+            if not args.refine:
+                continue
+            r_arrays = arrays + (codes_i8, scales_r)
+            r_static = dict(nprobe=nprobe,
+                            budget=paged_budget(pcountq, nprobe),
+                            chunk=chunk, k=K)
+            _, r_rows = refine_kernel(q_v, *r_arrays, **r_static)
+            row = {"index": label.replace(")", ",int8r)"), "nprobe": nprobe,
+                   **metrics(r_rows),
+                   "ms_per_query": round(
+                       timed(refine_kernel, r_arrays, r_static,
                              queries=q_v) * 1e3, 3)}
             report["rows"].append(row)
             print(f"# {row}", file=sys.stderr)

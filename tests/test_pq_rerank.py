@@ -63,10 +63,12 @@ def test_pq_rerank_disabled_is_plain_adc(tmp_path):
     assert np.abs(ps[0] - fs[0]) > 1e-6  # lossy ADC score, not a rescore
 
 
-def test_pq_without_flat_sibling_unchanged(tmp_path):
-    """No IndexFlatIP file -> plain ADC path (no crash, rerank skipped)."""
+def test_pq_without_flat_sibling_plain_adc(tmp_path):
+    """No IndexFlatIP file AND no refine stage (pq_refine="none") -> plain
+    ADC path (no crash, rerank skipped). With the default pq_refine="int8"
+    the in-file refine rescore engages instead — test_pq_refine.py."""
     asset, ids, vecs = _build_project_store(tmp_path, n=200, dim=32, seed=5)
-    cfg = IndexConfig(pq_m=4, nprobe=64)
+    cfg = IndexConfig(pq_m=4, nprobe=64, pq_refine="none")
     idx = FeatureSearchIndex(
         "video", "wise/random_features/32/test", asset, config=cfg
     )

@@ -98,6 +98,17 @@ class IndexConfig:
     # affects candidate selection, never returned scores or their order
     pq_exact_rerank: bool = True
     pq_rerank_mult: int = 4
+    # int8 refine stage stored INSIDE the IVF-PQ file (faiss
+    # IndexRefine/ScalarQuantizer class): per-row symmetric int8 codes
+    # (D bytes/row + 4-byte scale — 25% of an f32 flat sibling, vs M bytes
+    # for the PQ codes alone) kept host-side (memmap; never in HBM). At
+    # search time, when no flat sibling exists, the ADC's pq_rerank_mult*k
+    # candidates are re-scored from these codes on the host, so PQ
+    # quantization error only affects WHICH candidates are considered;
+    # returned scores carry int8 precision (~1e-3 relative) instead of
+    # ADC's subspace-codebook error. A flat sibling still takes priority
+    # (exact f32 rescore). "none" restores the codes-only round-2 format.
+    pq_refine: str = "int8"               # "int8" | "none"
     # paged IVF layout (ops/ivf_paged.py): rows per page. Pages are the
     # gather granularity — big enough to DMA at HBM bandwidth; cells pad to
     # a page multiple, so smaller pages waste less on skewed cell sizes.

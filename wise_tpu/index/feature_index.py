@@ -168,6 +168,14 @@ class FeatureSearchIndex(SearchIndex):
                 else:
                     codebooks = train_pq(pq_train, cfg.pq_m, cfg.pq_ksub)
                 codes = encode_pq(residuals, codebooks)
+                if cfg.pq_refine == "int8":
+                    # int8 refine codes in the ORIGINAL basis (rerank scores
+                    # q . x directly; OPQ rotation only applies to the ADC)
+                    from ..ops.topk import quantize_rows_int8
+
+                    rcodes, rscales = quantize_rows_int8(vecs)
+                    arrays["refine_codes"] = rcodes[perm]
+                    arrays["refine_scales"] = rscales[perm]
                 write_index_file(
                     out,
                     {
@@ -285,6 +293,9 @@ class FeatureSearchIndex(SearchIndex):
             }
             if opq_rot is not None:
                 specs["opq_rotation"] = (np.float32, opq_rot.shape)
+            if cfg.pq_refine == "int8":
+                specs["refine_codes"] = (np.int8, (n, d))
+                specs["refine_scales"] = (np.float32, (n,))
             header = {"index_type": "IndexIVFPQ", "pq_m": int(cfg.pq_m), **meta}
         else:
             specs = {
@@ -306,9 +317,22 @@ class FeatureSearchIndex(SearchIndex):
                 w.write_rows("opq_rotation", 0, opq_rot)
             row = 0
             name = "codes" if index_type == "IndexIVFPQ" else "vectors"
+            refine = (
+                index_type == "IndexIVFPQ" and cfg.pq_refine == "int8"
+            )
+            if refine:
+                from ..ops.topk import quantize_rows_int8
             for _, batch in store.iter_batch(self.STREAM_BATCH):
                 batch = batch.reshape(-1, d)
                 m = batch.shape[0]
+                if refine:
+                    rcodes, rscales = quantize_rows_int8(batch)
+                    self._scatter_rows(
+                        w, "refine_codes", dest[row : row + m], rcodes
+                    )
+                    self._scatter_rows(
+                        w, "refine_scales", dest[row : row + m], rscales
+                    )
                 if index_type == "IndexIVFPQ":
                     resid = batch - centroids[assign[row : row + m]]
                     if opq_rot is not None:
@@ -587,12 +611,21 @@ class FeatureSearchIndex(SearchIndex):
 
     def reconstruct_rows(self, rows) -> np.ndarray:
         """Stored vectors by row (faiss reconstruct_batch parity,
-        routes.py:1077-1146). Flat/IVF return exact rows; IVF-PQ decodes
-        cell_centroid + per-subspace codebook entries (lossy, like faiss),
-        un-rotating OPQ-space reconstructions back to the original basis."""
+        routes.py:1077-1146). Flat/IVF return exact rows; IVF-PQ with an
+        int8 refine stage reconstructs from the refine codes (~1e-3
+        relative error — far closer than a PQ decode); codes-only IVF-PQ
+        decodes cell_centroid + per-subspace codebook entries (lossy,
+        like faiss), un-rotating OPQ-space reconstructions back to the
+        original basis."""
         rows = np.atleast_1d(np.asarray(rows, dtype=np.int64))
         if "vectors" in self._arrays:
             return np.asarray(self._arrays["vectors"][rows], np.float32)
+        if "refine_codes" in self._arrays:
+            cand = np.asarray(self._arrays["refine_codes"][rows], np.float32)
+            scales = np.asarray(
+                self._arrays["refine_scales"][rows], np.float32
+            )
+            return cand * scales[:, None]
         codes = np.asarray(self._arrays["codes"][rows], np.int64)
         centroids = np.asarray(self._arrays["centroids"])
         books = np.asarray(self._arrays["pq_codebooks"])
@@ -613,21 +646,25 @@ class FeatureSearchIndex(SearchIndex):
         (ops/ivf_paged.py, uint8 codes HBM-resident); multi-device ->
         shard_map ADC over row-sharded codes with ICI top-k merge.
 
-        When a sibling IndexFlatIP file exists for the same asset and
-        config.pq_exact_rerank is on, the ADC proposes pq_rerank_mult*k
-        candidates and the true f32 rows from the flat file are re-scored
-        on the host — PQ quantization error then only affects which
-        candidates are considered, not their scores or order (the recall
-        backstop discussed in BENCHMARKS.md)."""
+        Rerank backstop (config.pq_exact_rerank, on by default): the ADC
+        proposes pq_rerank_mult*k candidates, which are re-scored on the
+        host from the best available source — a sibling IndexFlatIP file
+        (exact f32 rows) when one exists, else the in-file int8 refine
+        codes (config.pq_refine, stored at build; D bytes/row vs the flat
+        sibling's 4D). Either way, PQ quantization error only affects
+        which candidates are considered, not their relative order beyond
+        the rescore precision (exact for flat, ~1e-3 for int8)."""
         import jax
 
         k = int(topk)
-        flat = (
-            self._ensure_flat_sibling()
-            if self.config.pq_exact_rerank else None
-        )
+        rerank = None
+        if self.config.pq_exact_rerank:
+            if self._ensure_flat_sibling() is not None:
+                rerank = "flat"
+            elif "refine_codes" in self._arrays:
+                rerank = "refine"
         k_ask = k
-        if flat is not None:
+        if rerank is not None:
             k_ask = min(
                 self.config.pq_rerank_mult * k, len(self._arrays["ids"])
             )
@@ -635,9 +672,11 @@ class FeatureSearchIndex(SearchIndex):
             vals, rows = self._search_ivfpq_device(qvec, k_ask, nprobe)
         else:
             vals, rows = self._search_ivfpq_sharded(qvec, k_ask, nprobe)
-        if flat is None:
-            return vals, rows
-        return self._rerank_pq_candidates(qvec, vals, rows, k)
+        if rerank == "flat":
+            return self._rerank_pq_candidates(qvec, vals, rows, k)
+        if rerank == "refine":
+            return self._rerank_refine_candidates(qvec, vals, rows, k)
+        return vals, rows
 
     def _ensure_flat_sibling(self):
         """Memmapped (vectors, ids, argsort(ids)) of the same asset's
@@ -676,6 +715,31 @@ class FeatureSearchIndex(SearchIndex):
             prows, ids, pos = prows[ok], ids[ok], pos[ok]
             frows = order[pos]
             scores = np.asarray(vecs[frows], np.float32) @ q32[qi]
+            sel = np.lexsort((ids, -scores))[:k]
+            out_v[qi, : len(sel)] = scores[sel]
+            out_r[qi, : len(sel)] = prows[sel]
+        return out_v, out_r
+
+    def _rerank_refine_candidates(self, qvec, vals, rows, k: int):
+        """Host rescoring of ADC candidates from the in-file int8 refine
+        codes: score = (codes[row] . q) * scale[row] ≈ x[row] . q to int8
+        precision. Candidates are PQ rows already, so the gather is a
+        direct memmap read (~kc * D bytes). Ties prefer the lower vector
+        id, matching the flat-sibling rerank."""
+        codes = self._arrays["refine_codes"]  # memmap (N, D) int8
+        scales = self._arrays["refine_scales"]
+        pq_ids = np.asarray(self._arrays["ids"])
+        q32 = np.asarray(qvec, dtype=np.float32)
+        out_v = np.full((q32.shape[0], k), -np.inf, np.float32)
+        out_r = np.zeros((q32.shape[0], k), np.int64)
+        for qi in range(q32.shape[0]):
+            keep = ~np.isneginf(vals[qi])
+            prows = np.unique(np.asarray(rows[qi])[keep]).astype(np.int64)
+            if not len(prows):
+                continue
+            cand = np.asarray(codes[prows], np.float32)
+            scores = (cand @ q32[qi]) * np.asarray(scales[prows], np.float32)
+            ids = pq_ids[prows]
             sel = np.lexsort((ids, -scores))[:k]
             out_v[qi, : len(sel)] = scores[sel]
             out_r[qi, : len(sel)] = prows[sel]
