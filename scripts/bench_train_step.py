@@ -51,10 +51,24 @@ def main():
     tokens = np.asarray(rng.integers(1, 1000, (B, base.context_length)),
                         np.int32)
 
-    for fused in (False, True):
-        cfg = dataclasses.replace(
-            base, dtype=jnp.bfloat16, fused_attention=fused
-        )
+    # three forward configurations, same XLA recompute backward (the
+    # block kernels' custom VJP recomputes through plain_attn_block /
+    # plain_mlp_block — ops/block.py trainable section):
+    #   xla   — no kernels anywhere (round-2 baseline)
+    #   attn  — fused_attention_trainable only (round-2 measured 1.007x:
+    #           the forward still pays the XLA<->Pallas relayout tax)
+    #   block — whole-block kernels via the _train wrappers (all-kernel
+    #           forward, no boundary copies) + pooled last layer
+    variants = {
+        "xla": dict(fused_attention=False, fused_block=False,
+                    pool_last_block=False),
+        "attn": dict(fused_attention=True, fused_block=False,
+                     pool_last_block=False),
+        "block": dict(fused_attention=False, fused_block=True,
+                      pool_last_block=True),
+    }
+    for name, kw in variants.items():
+        cfg = dataclasses.replace(base, dtype=jnp.bfloat16, **kw)
         trainer = CLIPTrainer(cfg, mesh)
         params, opt_state = trainer.init(jax.random.PRNGKey(0))
         step = trainer.make_train_step()
@@ -67,12 +81,13 @@ def main():
             params, opt_state, loss = step(params, opt_state, imgs, toks)
         np.asarray(loss)
         dt = (time.perf_counter() - t0 - roundtrip) / args.iters
-        key = "fused_ms_per_step" if fused else "xla_ms_per_step"
-        out[key] = round(dt * 1e3, 2)
-        out[("fused" if fused else "xla") + "_loss"] = round(float(loss), 4)
+        out[f"{name}_ms_per_step"] = round(dt * 1e3, 2)
+        out[f"{name}_loss"] = round(float(loss), 4)
 
-    out["speedup"] = round(out["xla_ms_per_step"] / out["fused_ms_per_step"],
-                           3)
+    out["speedup_attn"] = round(
+        out["xla_ms_per_step"] / out["attn_ms_per_step"], 3)
+    out["speedup_block"] = round(
+        out["xla_ms_per_step"] / out["block_ms_per_step"], 3)
     print(json.dumps(out))
 
 

@@ -123,11 +123,13 @@ class BertLayer(nn.Module):
         ):
             wqkv = jnp.concatenate([wq, wk, wv], axis=1).astype(dt)
             bqkv = jnp.concatenate([bq, bk, bv]).astype(dt)
-            x = _pb.fused_postln_attn_block_spmd(
+            # _train wrappers: identical forward graph; adds the
+            # recompute custom VJP so fine-tuning traces (postln_block.py)
+            x = _pb.fused_postln_attn_block_train(
                 x, km, ln1_s, ln1_b, wqkv, bqkv,
                 wo.astype(dt), bo.astype(dt), c.heads,
             )
-            return _pb.fused_postln_mlp_block_spmd(
+            return _pb.fused_postln_mlp_block_train(
                 x, ln2_s, ln2_b, wfc.astype(dt), bfc.astype(dt),
                 wproj.astype(dt), bproj.astype(dt), "gelu",
             )

@@ -317,9 +317,9 @@ class ResidualAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None, pool_rows=None):
         from ...ops.block import (
-            fused_attn_block_padded_spmd,
-            fused_attn_block_spmd,
-            fused_mlp_block_spmd,
+            fused_attn_block_padded_train,
+            fused_attn_block_train,
+            fused_mlp_block_train,
             supports_fused_block,
             supports_fused_block_padded,
         )
@@ -331,14 +331,14 @@ class ResidualAttentionBlock(nn.Module):
         if self.fused_block and (mask is None or self.causal_fused):
             if supports_fused_block(b, s, self.width, self.heads,
                                     jnp.dtype(self.dtype)):
-                attn_impl = fused_attn_block_spmd
+                attn_impl = fused_attn_block_train
             elif supports_fused_block_padded(b, s, self.width, self.heads,
                                              jnp.dtype(self.dtype)):
                 # head_dim 72/80/88/104 towers (ViT-H/14 class — the
                 # reference's default backbone): zero-padded 128-lane head
                 # slots, five-kernel decomposition (ops/block.py padded
                 # section). Calibration-gated like the monolithic path.
-                attn_impl = fused_attn_block_padded_spmd
+                attn_impl = fused_attn_block_padded_train
         if attn_impl is not None:
             import os
 
@@ -363,7 +363,7 @@ class ResidualAttentionBlock(nn.Module):
                 wo.astype(dt), bo.astype(dt),
                 self.heads, self.n_valid or s, self.causal_fused,
             )
-            from ...ops.block import fused_mlp_split_spmd, mlp_choice
+            from ...ops.block import fused_mlp_split_train, mlp_choice
 
             # MLP kernel selection (ops.block.mlp_choice): single
             # whole-MLP kernel when both weights fit VMEM (width <= 768);
@@ -378,9 +378,9 @@ class ResidualAttentionBlock(nn.Module):
                 # variants: single/split (+ "...flat": merged-row GEMMs
                 # inside the kernel — tile-exact row counts, ops/block.py)
                 mlp_impl = (
-                    fused_mlp_block_spmd
+                    fused_mlp_block_train
                     if choice[0] in ("single", "singleflat")
-                    else fused_mlp_split_spmd
+                    else fused_mlp_split_train
                 )
                 ln2_s, ln2_b = _LNParams(self.width, name="ln_2")()
                 wfc, bfc = _DenseParams(self.width, 4 * self.width,
@@ -423,8 +423,8 @@ class ResidualAttentionBlock(nn.Module):
         _MHAParams/_DenseParams declare nn.Dense/nn.LayerNorm's variables),
         so checkpoints are interchangeable between pooled and full blocks."""
         from ...ops.block import (
-            fused_attn_block_pooled_dyn_spmd,
-            fused_attn_block_pooled_spmd,
+            fused_attn_block_pooled_dyn_train,
+            fused_attn_block_pooled_train,
             supports_fused_block_pooled,
         )
 
@@ -441,14 +441,14 @@ class ResidualAttentionBlock(nn.Module):
                                             jnp.dtype(dt))
         ):
             if pool_rows is not None:
-                x0 = fused_attn_block_pooled_dyn_spmd(
+                x0 = fused_attn_block_pooled_dyn_train(
                     x, pool_rows.astype(jnp.int32), ln1_s, ln1_b,
                     wqkv.astype(dt), bqkv.astype(dt),
                     wo.astype(dt), bo.astype(dt),
                     self.heads, nv, self.causal_fused,
                 )
             else:
-                x0 = fused_attn_block_pooled_spmd(
+                x0 = fused_attn_block_pooled_train(
                     x, ln1_s, ln1_b, wqkv.astype(dt), bqkv.astype(dt),
                     wo.astype(dt), bo.astype(dt),
                     self.heads, nv, pr, self.causal_fused,

@@ -1402,3 +1402,202 @@ fused_mlp_split_spmd.def_partition(
     ),
     sharding_rule="b s d, e, f, g h, i, j k, l -> b s d",
 )
+
+
+# ---------------------------------------------------------------------------
+# trainable wrappers: custom-VJP versions of every spmd entry point above.
+#
+# custom_partitioning carries no autodiff rule, so a train step over a
+# tower with fused_block=True (the production default) would fail to trace
+# under jax.grad. These wrappers make the fast path trainable the remat
+# way: the FORWARD runs the Pallas kernel (through its custom_partitioning
+# wrapper, so the GSPMD batch rule still applies per-shard), and the
+# BACKWARD recomputes the block through a plain-ops reference of the same
+# math and differentiates that with jax.vjp. The backward graph is then
+# pure XLA — it has no kernel<->XLA layout boundaries of its own (the very
+# tax the all-kernel forward removes, BENCHMARKS.md round 3) and GSPMD
+# shards it by the batch axis like any jnp code. Cost: one reference
+# forward per block in the backward pass — the standard recompute price,
+# identical to what `remat` pays.
+#
+# The plain references mirror the kernels' numerics (f32 LayerNorm and
+# softmax, GEMMs in the weight dtype, residual add in the stream dtype) so
+# the gradients correspond to the same function the kernel computes up to
+# bf16 rounding-point placement. Outside differentiation the wrappers are
+# free: JAX calls the primal directly, producing the identical forward
+# graph as the raw spmd entry points.
+# ---------------------------------------------------------------------------
+
+
+def plain_attn_block(x, ln_s, ln_b, wqkv, bqkv, wo, bo, *, heads: int,
+                     n_valid: int, causal: bool):
+    """Plain-ops reference of fused_attn_block: x + out_proj(MHA(LN1(x))).
+    GEMMs run in the weight dtype (bf16 in production), softmax in f32 —
+    the same ordering the kernel uses (_attn_block_kernel)."""
+    b, sp, d = x.shape
+    hd = d // heads
+    dt = wqkv.dtype
+    y = _ln_f32(x.astype(jnp.float32), ln_s, ln_b).astype(dt)
+    qkv = y @ wqkv + bqkv
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    qh = q.reshape(b, sp, heads, hd)
+    kh = k.reshape(b, sp, heads, hd)
+    vh = v.reshape(b, sp, heads, hd)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", qh.astype(jnp.float32), kh.astype(jnp.float32)
+    ) * np.float32(1.0 / np.sqrt(hd))
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, sp), 3)
+    keep = col < n_valid
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sp, sp), 2)
+        keep = keep & (col <= row)
+    logits = jnp.where(keep, logits, -jnp.inf)
+    p = jax.nn.softmax(logits, axis=-1).astype(dt)
+    att = jnp.einsum("bhqk,bkhd->bqhd", p, vh).reshape(b, sp, d)
+    return x + (att @ wo + bo).astype(x.dtype)
+
+
+def plain_mlp_block(x, ln_s, ln_b, wfc, bfc, wproj, bproj, *, act: str):
+    """Plain-ops reference of fused_mlp_block / fused_mlp_split:
+    x + proj(gelu(fc(LN2(x))))."""
+    dt = wfc.dtype
+    y = _ln_f32(x.astype(jnp.float32), ln_s, ln_b).astype(dt)
+    h = y @ wfc + bfc
+    h = _gelu_f32(h.astype(jnp.float32), act).astype(dt)
+    return x + (h @ wproj + bproj).astype(x.dtype)
+
+
+def _recompute_bwd(reference):
+    """bwd rule: differentiate ``reference`` at the saved primals (all of
+    which are differentiable tensors) and pull the cotangent back."""
+
+    def bwd(*args):
+        res, g = args[-2], args[-1]
+        fn = functools.partial(reference, *args[:-2])
+        _, vjp = jax.vjp(lambda *ts: fn(*ts), *res)
+        return vjp(g)
+
+    return bwd
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_attn_block_train(x, ln_s, ln_b, wqkv, bqkv, wo, bo,
+                           heads, n_valid, causal):
+    return fused_attn_block_spmd(x, ln_s, ln_b, wqkv, bqkv, wo, bo,
+                                 heads, n_valid, causal)
+
+
+fused_attn_block_train.defvjp(
+    lambda x, ln_s, ln_b, wqkv, bqkv, wo, bo, heads, n_valid, causal: (
+        fused_attn_block_spmd(x, ln_s, ln_b, wqkv, bqkv, wo, bo,
+                              heads, n_valid, causal),
+        (x, ln_s, ln_b, wqkv, bqkv, wo, bo),
+    ),
+    _recompute_bwd(
+        lambda heads, n_valid, causal, *ts: plain_attn_block(
+            *ts, heads=heads, n_valid=n_valid, causal=causal)
+    ),
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_attn_block_padded_train(x, ln_s, ln_b, wqkv, bqkv, wo, bo,
+                                  heads, n_valid, causal):
+    return fused_attn_block_padded_spmd(x, ln_s, ln_b, wqkv, bqkv, wo, bo,
+                                        heads, n_valid, causal)
+
+
+fused_attn_block_padded_train.defvjp(
+    lambda x, ln_s, ln_b, wqkv, bqkv, wo, bo, heads, n_valid, causal: (
+        fused_attn_block_padded_spmd(x, ln_s, ln_b, wqkv, bqkv, wo, bo,
+                                     heads, n_valid, causal),
+        (x, ln_s, ln_b, wqkv, bqkv, wo, bo),
+    ),
+    # the padded-head decomposition is an implementation detail; its
+    # semantics are exactly plain_attn_block's
+    _recompute_bwd(
+        lambda heads, n_valid, causal, *ts: plain_attn_block(
+            *ts, heads=heads, n_valid=n_valid, causal=causal)
+    ),
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_mlp_block_train(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act):
+    return fused_mlp_block_spmd(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act)
+
+
+fused_mlp_block_train.defvjp(
+    lambda x, ln_s, ln_b, wfc, bfc, wproj, bproj, act: (
+        fused_mlp_block_spmd(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act),
+        (x, ln_s, ln_b, wfc, bfc, wproj, bproj),
+    ),
+    _recompute_bwd(lambda act, *ts: plain_mlp_block(*ts, act=act)),
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_mlp_split_train(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act):
+    return fused_mlp_split_spmd(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act)
+
+
+fused_mlp_split_train.defvjp(
+    lambda x, ln_s, ln_b, wfc, bfc, wproj, bproj, act: (
+        fused_mlp_split_spmd(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act),
+        (x, ln_s, ln_b, wfc, bfc, wproj, bproj),
+    ),
+    _recompute_bwd(lambda act, *ts: plain_mlp_block(*ts, act=act)),
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def fused_attn_block_pooled_train(x, ln_s, ln_b, wqkv, bqkv, wo, bo,
+                                  heads, n_valid, pool_row, causal):
+    return fused_attn_block_pooled_spmd(x, ln_s, ln_b, wqkv, bqkv, wo, bo,
+                                        heads, n_valid, pool_row, causal)
+
+
+fused_attn_block_pooled_train.defvjp(
+    lambda x, ln_s, ln_b, wqkv, bqkv, wo, bo, heads, n_valid, pool_row,
+    causal: (
+        fused_attn_block_pooled_spmd(x, ln_s, ln_b, wqkv, bqkv, wo, bo,
+                                     heads, n_valid, pool_row, causal),
+        (x, ln_s, ln_b, wqkv, bqkv, wo, bo),
+    ),
+    _recompute_bwd(
+        lambda heads, n_valid, pool_row, causal, *ts: _pooled_block_xla(
+            *ts, heads, n_valid, pool_row, causal)
+    ),
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def fused_attn_block_pooled_dyn_train(x, rows, ln_s, ln_b, wqkv, bqkv,
+                                      wo, bo, heads, n_valid, causal):
+    return fused_attn_block_pooled_dyn_spmd(
+        x, rows, ln_s, ln_b, wqkv, bqkv, wo, bo, heads, n_valid, causal)
+
+
+def _pooled_dyn_train_bwd(heads, n_valid, causal, res, g):
+    x, rows, ln_s, ln_b, wqkv, bqkv, wo, bo = res
+    _, vjp = jax.vjp(
+        lambda x, ln_s, ln_b, wqkv, bqkv, wo, bo: _pooled_block_xla_dyn(
+            x, rows, ln_s, ln_b, wqkv, bqkv, wo, bo, heads, n_valid, causal
+        ),
+        x, ln_s, ln_b, wqkv, bqkv, wo, bo,
+    )
+    gx, gls, glb, gwqkv, gbqkv, gwo, gbo = vjp(g)
+    # integer row indices take a symbolic-zero (float0) cotangent
+    grows = np.zeros(rows.shape, jax.dtypes.float0)
+    return gx, grows, gls, glb, gwqkv, gbqkv, gwo, gbo
+
+
+fused_attn_block_pooled_dyn_train.defvjp(
+    lambda x, rows, ln_s, ln_b, wqkv, bqkv, wo, bo, heads, n_valid,
+    causal: (
+        fused_attn_block_pooled_dyn_spmd(x, rows, ln_s, ln_b, wqkv, bqkv,
+                                         wo, bo, heads, n_valid, causal),
+        (x, rows, ln_s, ln_b, wqkv, bqkv, wo, bo),
+    ),
+    _pooled_dyn_train_bwd,
+)

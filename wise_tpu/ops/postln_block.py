@@ -421,3 +421,81 @@ fused_postln_mlp_block_spmd.def_partition(
     partition=_postln_mlp_partition,
     sharding_rule="b s d, e, f, g h, i, j k, l -> b s d",
 )
+
+
+# ---------------------------------------------------------------------------
+# trainable wrappers — same design as ops/block.py's: Pallas forward
+# (through the custom_partitioning wrapper), plain-ops recompute backward
+# via jax.vjp. custom_partitioning has no autodiff rule, so without these
+# a fine-tune step through a fused XLM-R text tower fails to trace.
+# ---------------------------------------------------------------------------
+
+
+def plain_postln_attn_block(x, km, ln_s, ln_b, wqkv, bqkv, wo, bo, *,
+                            heads: int):
+    """Plain-ops reference of fused_postln_attn_block:
+    LN(x + out_proj(MHA(x, km)))."""
+    b, sp, d = x.shape
+    hd = d // heads
+    qkv = (x @ wqkv + bqkv).astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    qh = q.reshape(b, sp, heads, hd)
+    kh = k.reshape(b, sp, heads, hd)
+    vh = v.reshape(b, sp, heads, hd)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", qh.astype(jnp.float32), kh.astype(jnp.float32)
+    ) * np.float32(1.0 / np.sqrt(hd)) + km[:, :, None, :]
+    p = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    att = jnp.einsum("bhqk,bkhd->bqhd", p, vh).reshape(b, sp, d)
+    res = x.astype(jnp.float32) + (att @ wo).astype(jnp.float32) \
+        + bo.astype(jnp.float32)
+    return _ln_f32(res, ln_s, ln_b).astype(x.dtype)
+
+
+def plain_postln_mlp_block(x, ln_s, ln_b, wfc, bfc, wproj, bproj, *,
+                           act: str):
+    """Plain-ops reference of fused_postln_mlp_block:
+    LN(x + proj(gelu(fc(x))))."""
+    h = (x @ wfc).astype(jnp.float32) + bfc.astype(jnp.float32)
+    h = _gelu_f32(h, act).astype(x.dtype)
+    res = x.astype(jnp.float32) + (h @ wproj).astype(jnp.float32) \
+        + bproj.astype(jnp.float32)
+    return _ln_f32(res, ln_s, ln_b).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def fused_postln_attn_block_train(x, km, ln_s, ln_b, wqkv, bqkv, wo, bo,
+                                  heads):
+    return fused_postln_attn_block_spmd(x, km, ln_s, ln_b, wqkv, bqkv,
+                                        wo, bo, heads)
+
+
+fused_postln_attn_block_train.defvjp(
+    lambda x, km, ln_s, ln_b, wqkv, bqkv, wo, bo, heads: (
+        fused_postln_attn_block_spmd(x, km, ln_s, ln_b, wqkv, bqkv, wo,
+                                     bo, heads),
+        (x, km, ln_s, ln_b, wqkv, bqkv, wo, bo),
+    ),
+    lambda heads, res, g: jax.vjp(
+        lambda *ts: plain_postln_attn_block(*ts, heads=heads), *res
+    )[1](g),
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_postln_mlp_block_train(x, ln_s, ln_b, wfc, bfc, wproj, bproj,
+                                 act):
+    return fused_postln_mlp_block_spmd(x, ln_s, ln_b, wfc, bfc, wproj,
+                                       bproj, act)
+
+
+fused_postln_mlp_block_train.defvjp(
+    lambda x, ln_s, ln_b, wfc, bfc, wproj, bproj, act: (
+        fused_postln_mlp_block_spmd(x, ln_s, ln_b, wfc, bfc, wproj,
+                                    bproj, act),
+        (x, ln_s, ln_b, wfc, bfc, wproj, bproj),
+    ),
+    lambda act, res, g: jax.vjp(
+        lambda *ts: plain_postln_mlp_block(*ts, act=act), *res
+    )[1](g),
+)

@@ -132,11 +132,15 @@ class CLIPTrainer:
                  learning_rate: float = 1e-4, weight_decay: float = 0.01,
                  warmup_steps: int = 0, total_steps: int = 0,
                  grad_clip: float = 0.0):
-        # the fused attention kernel is differentiable (custom VJP) and
-        # carries a GSPMD batch-sharding rule (ops/attention.py
-        # _fused_attention_spmd), so fine-tuning runs it on single chips
-        # AND under dp-sharded meshes — each chip executes the kernel on
-        # its own batch shard, no gathers
+        # the fused attention kernel AND the whole-block kernels are
+        # differentiable (custom VJPs: ops/attention.py
+        # fused_attention_trainable; ops/block.py *_train wrappers with
+        # plain-ops recompute backwards) and carry GSPMD batch-sharding
+        # rules, so fine-tuning with fused_attention=True or
+        # fused_block=True (the production inference config) runs the
+        # kernels on single chips AND under dp-sharded meshes — each chip
+        # executes its own batch shard, no gathers; the backward pass is
+        # pure XLA either way (scripts/bench_train_step.py A/Bs all three)
         self.config = config
         self.mesh = mesh
         self.model = CLIP(config)
