@@ -2,21 +2,38 @@
 """Headline benchmark (driver-run, real TPU).
 
 Primary metric (BASELINE.json): frames embedded/sec/chip for CLIP ViT-B/32 —
-the throughput core of the reference's extract-features.py path — measured on
-the fused uint8->preprocess->ViT forward. ``vs_baseline`` is the speedup over
-the same architecture executed with PyTorch on this host's CPU (the
-reference pipeline is PyTorch; it publishes no normalised frames/sec, so the
-baseline is measured, not quoted). Extra fields report the 1M-vector exact
-inner-product search p50 device latency (the faiss-replacement path) and its
-CPU numpy baseline.
+the throughput core of the reference's extract-features.py path (reference
+runs it via torch/OpenCLIP, src/feature/mlfoundation_openclip.py) — measured
+on the fused uint8->preprocess->ViT forward with the production inference
+config (Pallas whole-block kernels + GEMM preprocess + pooled last block).
+``vs_baseline`` is the speedup over the same architecture executed with
+PyTorch on this host's CPU (the reference pipeline is PyTorch; it publishes
+no normalised frames/sec, so the baseline is measured, not quoted). Extra
+fields report the 1M-vector exact inner-product search p50 device latency
+(the faiss-replacement path), its CPU numpy baseline, and CLAP audio
+segments/s.
+
+Budget discipline (round-4 fix: BENCH_r03 was rc=124 with an EMPTY tail —
+the driver's shell timeout killed the bench before anything was printed):
+
+- The TPU probe window is 4 min (was 30), one measurement attempt (was 2
+  x 45 min).
+- The measurement subprocess prints a parseable headline JSON line AS SOON
+  as the ViT number exists, then re-prints an updated merged line after
+  each extra metric completes; the parent relays every JSON line to stdout
+  immediately (flushed). A driver kill at ANY point after the ViT stage
+  therefore still leaves the best-so-far line in the captured tail.
+- Extras (1M query latency, CLAP) only start if enough budget remains
+  (WISE_BENCH_BUDGET seconds for the whole measurement run, default 1050);
+  WISE_BENCH_CLAP=0 / WISE_BENCH_QUERY=0 skip them outright.
 
 Timing note: this dev environment reaches the TPU through a tunnel where
 ``block_until_ready`` is a no-op and host<->device round trips cost ~29 ms.
 All measurements therefore chain N iterations on-device with a data
-dependency (lax.fori_loop) and do one tiny readback, subtracting the
-measured round-trip latency.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+dependency and do one tiny readback, subtracting the measured round-trip
+latency. The persistent XLA compilation cache is a no-op on this backend
+(remote executables are not serializable), so the bench keeps the number
+of distinct compiled graphs small.
 """
 
 from __future__ import annotations
@@ -27,16 +44,13 @@ import time
 
 import numpy as np
 
-
-# note: the persistent XLA compilation cache is a no-op on the axon dev
-# tunnel (remote executables are not serializable), so this benchmark keeps
-# the number of distinct compiles small instead.
-
 BATCH = 512
 FRAME_SHAPE = (256, 320, 3)
 N_DB = 1_000_000
 DIM = 512
 TOPK = 100
+
+METRIC = "frames embedded/sec/chip (ViT-B/32)"
 
 
 def _measure_roundtrip():
@@ -182,7 +196,7 @@ def bench_query_latency(roundtrip: float):
     import jax
     import jax.numpy as jnp
 
-    from wise_tpu.ops.topk import pad_rows, two_stage_topk
+    from wise_tpu.ops.topk import two_stage_topk
 
     # generate the synthetic DB on device: uploading 2 GB over the dev
     # tunnel costs minutes and benchmarks nothing
@@ -232,17 +246,15 @@ def bench_query_latency(roundtrip: float):
     return per_query, per_query_bf16, cpu
 
 
-def _wait_for_tpu(window_s: float = 1800.0, probe_timeout_s: float = 150.0):
+def _wait_for_tpu(window_s: float = 240.0, probe_timeout_s: float = 75.0):
     """Gate on TPU availability before touching jax in-process.
 
     The dev tunnel drops for stretches (CLAUDE.md); an in-process jax init
     during an outage HANGS rather than erroring, which would wedge the
     driver's bench run. Probe in a subprocess (killable), retrying within a
-    bounded window. Returns (ok, diagnostic): a probe that HANGS looks like
-    a tunnel outage and retries the full window, but a probe that CRASHES
-    fast with the same error repeatedly is deterministic (jax misconfig,
-    broken install) — bail early and surface its stderr instead of burning
-    30 min to report a misleading 'tunnel down'."""
+    bounded window (4 min — the driver applies its own overall timeout, so
+    a long outage must fail FAST with a diagnostic line, not burn the whole
+    budget waiting; see BENCH_r03 rc=124)."""
     import subprocess
     import sys
 
@@ -251,9 +263,8 @@ def _wait_for_tpu(window_s: float = 1800.0, probe_timeout_s: float = 150.0):
         "np.asarray(jax.jit(lambda x: x + 1)(jnp.zeros((1,))))"
     )
     deadline = time.time() + window_s
-    last_err, fast_fails = "", 0
+    last_err = ""
     while True:
-        t0 = time.time()
         try:
             r = subprocess.run(
                 [sys.executable, "-c", probe],
@@ -262,109 +273,148 @@ def _wait_for_tpu(window_s: float = 1800.0, probe_timeout_s: float = 150.0):
             )
             if r.returncode == 0:
                 return True, ""
-            err = (r.stderr or "").strip()[-500:]
-            if time.time() - t0 < 15 and err and err == last_err:
-                fast_fails += 1
-                if fast_fails >= 2:  # 3 identical fast crashes total
-                    return False, err
-            else:
-                fast_fails = 0
-            last_err = err
+            last_err = (r.stderr or "").strip()[-500:]
         except subprocess.TimeoutExpired:
-            fast_fails = 0  # hang pattern: treat as tunnel outage
+            last_err = last_err or "(probe hung — tunnel outage pattern)"
         if time.time() >= deadline:
             return False, last_err
-        time.sleep(60)
+        time.sleep(20)
 
 
 def main():
     """Driver entry: gate on TPU availability, then run the measurement in
-    a KILLABLE subprocess. The tunnel can die mid-run, and a dead axon
-    backend HANGS device readbacks rather than erroring (CLAUDE.md) — an
-    in-process hang would wedge the driver's bench step, so the subprocess
-    gets a hard deadline and one retry (first run may pay slow remote
-    compiles; the retry window still fits the driver's budget)."""
+    a KILLABLE subprocess, relaying every JSON line the child prints to
+    stdout IMMEDIATELY (flushed). The child prints a valid headline line as
+    soon as the ViT number exists, so a tunnel death or a driver-side kill
+    mid-extras still leaves a parseable result in the captured output."""
     import subprocess
     import sys
+    import threading
 
     ok, diag = _wait_for_tpu()
     if not ok:
         print(
             json.dumps(
                 {
-                    "metric": "frames embedded/sec/chip (ViT-B/32)",
+                    "metric": METRIC,
                     "value": None,
                     "unit": "frames/s",
                     "vs_baseline": None,
                     "error": "TPU backend unavailable"
                     + (f" (probe stderr: {diag})" if diag
-                       else " (axon tunnel down; probe retried for 30 min)"),
+                       else " (axon tunnel down; probe retried for 4 min)"),
                 }
-            )
+            ),
+            flush=True,
         )
         raise SystemExit(1)
-    last_err = ""
-    for attempt in (1, 2):
-        try:
-            r = subprocess.run(
-                [sys.executable, __file__, "--run"],
-                timeout=2700, capture_output=True, text=True,
-            )
-        except subprocess.TimeoutExpired:
-            last_err = last_err or "(attempt timed out with no stderr)"
-            continue
-        if r.returncode == 0 and r.stdout.strip():
-            print(r.stdout.strip().splitlines()[-1])
-            return
-        if (r.stderr or "").strip():
-            last_err = r.stderr.strip()[-2000:]
-            sys.stderr.write(f"[bench attempt {attempt} stderr]\n{last_err}\n")
+
+    budget = float(os.environ.get("WISE_BENCH_BUDGET", "1050"))
+    proc = subprocess.Popen(
+        [sys.executable, __file__, "--run"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    got_json = []
+    stderr_buf = []
+
+    def _relay():
+        for line in proc.stdout:
+            line = line.strip()
+            if line.startswith("{"):
+                print(line, flush=True)
+                got_json.append(line)
+
+    def _drain_err():
+        for line in proc.stderr:
+            stderr_buf.append(line)
+
+    t_out = threading.Thread(target=_relay, daemon=True)
+    t_err = threading.Thread(target=_drain_err, daemon=True)
+    t_out.start()
+    t_err.start()
+    try:
+        proc.wait(timeout=budget + 120)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.wait()
+    t_out.join(timeout=10)
+    t_err.join(timeout=10)
+    if got_json:
+        return  # best-so-far line(s) already on stdout
+    err_tail = "".join(stderr_buf)[-2000:]
+    if err_tail:
+        sys.stderr.write(f"[bench subprocess stderr]\n{err_tail}\n")
     print(
         json.dumps(
             {
-                "metric": "frames embedded/sec/chip (ViT-B/32)",
+                "metric": METRIC,
                 "value": None,
                 "unit": "frames/s",
                 "vs_baseline": None,
-                "error": "bench subprocess failed/hung twice "
-                "(tunnel died mid-run?); last stderr: "
-                + (last_err[-500:] or "none captured"),
+                "error": "bench subprocess produced no result "
+                "(tunnel died mid-run?); stderr tail: "
+                + (err_tail[-500:] or "none captured"),
             }
-        )
+        ),
+        flush=True,
     )
     raise SystemExit(1)
 
 
 def _run():
-    roundtrip = _measure_roundtrip()
-    fps = bench_tpu_vit(roundtrip, "bfloat16")
+    """Measurement child. Prints the headline JSON line the moment the ViT
+    number exists, then an updated merged line after each completed extra —
+    the LAST printed line is the most complete result. Extras only start if
+    enough of the budget remains."""
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("WISE_BENCH_BUDGET", "1050"))
+
+    def remaining():
+        return budget - (time.perf_counter() - t_start)
+
+    result = {
+        "metric": METRIC,
+        "value": None,
+        "unit": "frames/s",
+        "vs_baseline": None,
+    }
+
+    def emit():
+        print(json.dumps(result), flush=True)
+
+    # CPU baseline first: can't hang on the tunnel, needed for vs_baseline
     torch_fps = bench_torch_cpu_vit()
-    p50, p50_bf16, cpu_scan = bench_query_latency(roundtrip)
-    try:
-        clap_sps = bench_clap_audio(roundtrip)
-    except Exception:
-        clap_sps = None
-    vs = (fps / torch_fps) if torch_fps else None
-    print(
-        json.dumps(
-            {
-                "metric": "frames embedded/sec/chip (ViT-B/32)",
-                "value": round(fps, 1),
-                "unit": "frames/s",
-                "vs_baseline": round(vs, 2) if vs else None,
-                "baseline_torch_cpu_frames_per_s": round(torch_fps, 2)
-                if torch_fps
-                else None,
-                "query_p50_latency_s_at_1M": round(p50, 5),
-                "query_p50_latency_bf16_s_at_1M": round(p50_bf16, 5),
-                "cpu_numpy_scan_s_at_1M": round(cpu_scan, 4),
-                "clap_audio_segments_per_s": round(clap_sps, 1)
-                if clap_sps
-                else None,
-                "tunnel_roundtrip_s": round(roundtrip, 4),
-            }
-        )
-    )
+    if torch_fps:
+        result["baseline_torch_cpu_frames_per_s"] = round(torch_fps, 2)
+
+    roundtrip = _measure_roundtrip()
+    result["tunnel_roundtrip_s"] = round(roundtrip, 4)
+
+    fps = bench_tpu_vit(roundtrip, "bfloat16")
+    result["value"] = round(fps, 1)
+    if torch_fps:
+        result["vs_baseline"] = round(fps / torch_fps, 2)
+    emit()  # headline is now on stdout, whatever happens next
+
+    if (os.environ.get("WISE_BENCH_QUERY", "1") == "1"
+            and remaining() > 240):
+        try:
+            p50, p50_bf16, cpu_scan = bench_query_latency(roundtrip)
+            result["query_p50_latency_s_at_1M"] = round(p50, 5)
+            result["query_p50_latency_bf16_s_at_1M"] = round(p50_bf16, 5)
+            result["cpu_numpy_scan_s_at_1M"] = round(cpu_scan, 4)
+            emit()
+        except Exception:
+            pass
+
+    if (os.environ.get("WISE_BENCH_CLAP", "1") == "1"
+            and remaining() > 300):
+        try:
+            clap_sps = bench_clap_audio(roundtrip)
+            result["clap_audio_segments_per_s"] = round(clap_sps, 1)
+            emit()
+        except Exception:
+            pass
 
 
 if __name__ == "__main__":

@@ -1,12 +1,19 @@
 #!/usr/bin/env python
-"""Fine-tune train-step A/B: fused attention kernel vs XLA path
-(VERDICT round-2 item 5 — the custom-VJP kernel must pay off in training,
-not just inference).
+"""Fine-tune train-step A/B across the three kernel configurations
+(VERDICT round-2 item 5 — the custom-VJP kernels must pay off in training,
+not just inference):
+
+  xla    — plain XLA towers (fused_attention=False, fused_block=False)
+  attn   — fused VMEM attention kernel only (fused_attention=True)
+  block  — whole-residual-block kernels + pooled last block
+           (fused_block=True, pool_last_block=True: the production
+           inference config, via the *_train custom-VJP wrappers)
 
 Runs CLIPTrainer train steps on ViT-B/32 at the given batch on the real
-chip, measuring ms/step with fused_attention on and off. The backward is
-the recompute-style XLA vjp either way; the delta is the fused forward
-(primal + the recompute's forward half stays XLA).
+chip, measuring ms/step per configuration. The backward is the
+recompute-style XLA vjp in every case; the delta is the fused forward
+(primal + the recompute's forward half stays XLA). Emits one JSON line
+with ms_step_{xla,attn,block} and speedup_attn / speedup_block (vs xla).
 
     python scripts/bench_train_step.py [--batch 256] [--iters 8]
 """

@@ -346,3 +346,123 @@ def test_padded_attn_block_train_grads_match_reference(monkeypatch, causal):
         assert np.all(np.isfinite(np.asarray(wgrad, np.float32))), n
         c = _cos(g, wgrad)
         assert c > 0.999, (n, c)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_pooled_attn_block_train_grads_match_reference(interpret_kernels,
+                                                       causal):
+    """fused_attn_block_pooled_train (static pool row — cls towers /
+    SigLIP 'last') must match jax.grad of _pooled_block_xla, the plain-ops
+    reference its recompute backward differentiates."""
+    from wise_tpu.ops.block import (
+        _pooled_block_xla,
+        fused_attn_block_pooled_train,
+    )
+
+    b, sp, d, heads, n_valid, pool_row = 8, 16, 256, 4, 13, 5
+    x = _mk((b, sp, d), 30, 1.0).astype(jnp.bfloat16)
+    ln_s = 1.0 + _mk((d,), 31)
+    ln_b = _mk((d,), 32)
+    wqkv = _mk((d, 3 * d), 33).astype(jnp.bfloat16)
+    bqkv = _mk((3 * d,), 34).astype(jnp.bfloat16)
+    wo = _mk((d, d), 35).astype(jnp.bfloat16)
+    bo = _mk((d,), 36).astype(jnp.bfloat16)
+    w = _mk((b, d), 37, 1.0)
+
+    def loss(fn):
+        def f(x, ln_s, ln_b, wqkv, bqkv, wo, bo):
+            out = fn(x, ln_s, ln_b, wqkv, bqkv, wo, bo, heads, n_valid,
+                     pool_row, causal)
+            return jnp.sum(out.astype(jnp.float32) * w)
+        return f
+
+    got = jax.grad(loss(fused_attn_block_pooled_train),
+                   argnums=tuple(range(7)))(
+        x, ln_s, ln_b, wqkv, bqkv, wo, bo)
+    want = jax.grad(loss(_pooled_block_xla), argnums=tuple(range(7)))(
+        x, ln_s, ln_b, wqkv, bqkv, wo, bo)
+    for n, g, wgrad in zip(("x", "ln_s", "ln_b", "wqkv", "bqkv", "wo",
+                            "bo"), got, want):
+        assert np.all(np.isfinite(np.asarray(wgrad, np.float32))), n
+        c = _cos(g, wgrad)
+        assert c > 0.999, (n, c)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_pooled_dyn_attn_block_train_grads_match_reference(
+        interpret_kernels, causal):
+    """fused_attn_block_pooled_dyn_train (per-example pool rows — argmax/
+    EOT CLIP text, CLAP captions) must match jax.grad of
+    _pooled_block_xla_dyn; this also exercises _pooled_dyn_train_bwd's
+    manual float0 cotangent plumbing for the integer rows argument."""
+    from wise_tpu.ops.block import (
+        _pooled_block_xla_dyn,
+        fused_attn_block_pooled_dyn_train,
+    )
+
+    b, sp, d, heads, n_valid = 8, 16, 256, 4, 13
+    x = _mk((b, sp, d), 40, 1.0).astype(jnp.bfloat16)
+    rows = jnp.array([0, 5, 12, 3, 1, 9, 12, 7], jnp.int32)
+    ln_s = 1.0 + _mk((d,), 41)
+    ln_b = _mk((d,), 42)
+    wqkv = _mk((d, 3 * d), 43).astype(jnp.bfloat16)
+    bqkv = _mk((3 * d,), 44).astype(jnp.bfloat16)
+    wo = _mk((d, d), 45).astype(jnp.bfloat16)
+    bo = _mk((d,), 46).astype(jnp.bfloat16)
+    w = _mk((b, d), 47, 1.0)
+
+    def loss(fn):
+        def f(x, ln_s, ln_b, wqkv, bqkv, wo, bo):
+            out = fn(x, rows, ln_s, ln_b, wqkv, bqkv, wo, bo, heads,
+                     n_valid, causal)
+            return jnp.sum(out.astype(jnp.float32) * w)
+        return f
+
+    got = jax.grad(loss(fused_attn_block_pooled_dyn_train),
+                   argnums=tuple(range(7)))(
+        x, ln_s, ln_b, wqkv, bqkv, wo, bo)
+    want = jax.grad(loss(_pooled_block_xla_dyn), argnums=tuple(range(7)))(
+        x, ln_s, ln_b, wqkv, bqkv, wo, bo)
+    for n, g, wgrad in zip(("x", "ln_s", "ln_b", "wqkv", "bqkv", "wo",
+                            "bo"), got, want):
+        assert np.all(np.isfinite(np.asarray(wgrad, np.float32))), n
+        c = _cos(g, wgrad)
+        assert c > 0.999, (n, c)
+
+
+def test_clip_train_step_differentiates_with_pool_last(force_fused_block):
+    """The FULL production inference config (fused_block=True AND
+    pool_last_block=True) must be trainable: the vision tower takes the
+    static-cls pooled _train kernel, the text tower the dynamic argmax/EOT
+    pooled _train kernel, and per-leaf grads must match the XLA model."""
+    from wise_tpu.models.clip.model import CLIP
+
+    rng = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(rng, (8, 64, 64, 3))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (8, 16), 1, 127)
+    cfg_fused = _tiny_cfg(dtype=jnp.bfloat16, fused_block=True,
+                          pool_last_block=True)
+    cfg_xla = _tiny_cfg(dtype=jnp.bfloat16)
+    m_fused, m_xla = CLIP(cfg_fused), CLIP(cfg_xla)
+    params = m_xla.init(jax.random.PRNGKey(2), imgs, toks)
+
+    lf, gf = jax.value_and_grad(_clip_loss_fn(m_fused, imgs, toks))(params)
+    lx, gx = jax.value_and_grad(_clip_loss_fn(m_xla, imgs, toks))(params)
+    assert np.isfinite(float(lf)) and np.isfinite(float(lx))
+    assert abs(float(lf) - float(lx)) < 5e-2, (float(lf), float(lx))
+
+    flat_f = jax.tree_util.tree_flatten_with_path(gf)[0]
+    flat_x = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_flatten_with_path(gx)[0]}
+    checked = 0
+    for path, gleaf in flat_f:
+        key = jax.tree_util.keystr(path)
+        xleaf = flat_x[key]
+        assert np.all(np.isfinite(np.asarray(gleaf, np.float32))), key
+        nx = float(np.linalg.norm(np.asarray(xleaf, np.float32)))
+        if nx < 1e-7:
+            continue  # dead leaves (e.g. padding rows) — nothing to compare
+        c = _cos(gleaf, xleaf)
+        assert c > 0.98, (key, c)
+        checked += 1
+    assert checked > 10

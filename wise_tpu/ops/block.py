@@ -1467,13 +1467,26 @@ def plain_mlp_block(x, ln_s, ln_b, wfc, bfc, wproj, bproj, *, act: str):
     return x + (h @ wproj + bproj).astype(x.dtype)
 
 
-def _recompute_bwd(reference):
+def _recompute_bwd(reference, n_valid_arg=None):
     """bwd rule: differentiate ``reference`` at the saved primals (all of
-    which are differentiable tensors) and pull the cotangent back."""
+    which are differentiable tensors) and pull the cotangent back.
+
+    ``n_valid_arg`` (index into the nondiff args) enforces the padded-row
+    contract: the kernel FORWARD leaves output rows >= n_valid as garbage,
+    while ``reference`` computes defined values there — the two only agree
+    when the cotangent at those rows is zero. Every current consumer
+    guarantees that (they never read padded rows), but a future consumer
+    that did would otherwise silently get gradients inconsistent with the
+    actual forward values, so the bwd zeroes those rows explicitly."""
 
     def bwd(*args):
         res, g = args[-2], args[-1]
-        fn = functools.partial(reference, *args[:-2])
+        nondiff = args[:-2]
+        if n_valid_arg is not None:
+            n_valid = nondiff[n_valid_arg]
+            row = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+            g = jnp.where(row < n_valid, g, jnp.zeros((), g.dtype))
+        fn = functools.partial(reference, *nondiff)
         _, vjp = jax.vjp(lambda *ts: fn(*ts), *res)
         return vjp(g)
 
@@ -1495,7 +1508,8 @@ fused_attn_block_train.defvjp(
     ),
     _recompute_bwd(
         lambda heads, n_valid, causal, *ts: plain_attn_block(
-            *ts, heads=heads, n_valid=n_valid, causal=causal)
+            *ts, heads=heads, n_valid=n_valid, causal=causal),
+        n_valid_arg=1,
     ),
 )
 
@@ -1517,7 +1531,8 @@ fused_attn_block_padded_train.defvjp(
     # semantics are exactly plain_attn_block's
     _recompute_bwd(
         lambda heads, n_valid, causal, *ts: plain_attn_block(
-            *ts, heads=heads, n_valid=n_valid, causal=causal)
+            *ts, heads=heads, n_valid=n_valid, causal=causal),
+        n_valid_arg=1,
     ),
 )
 

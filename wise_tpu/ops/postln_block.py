@@ -48,6 +48,7 @@ from .block import (
     _VMEM_LIMIT_BYTES,
     _gelu_f32,
     _ln_f32,
+    _recompute_bwd,
 )
 
 # ---------------------------------------------------------------------------
@@ -476,9 +477,9 @@ fused_postln_attn_block_train.defvjp(
                                      bo, heads),
         (x, km, ln_s, ln_b, wqkv, bqkv, wo, bo),
     ),
-    lambda heads, res, g: jax.vjp(
-        lambda *ts: plain_postln_attn_block(*ts, heads=heads), *res
-    )[1](g),
+    _recompute_bwd(
+        lambda heads, *ts: plain_postln_attn_block(*ts, heads=heads)
+    ),
 )
 
 
@@ -495,7 +496,7 @@ fused_postln_mlp_block_train.defvjp(
                                     bproj, act),
         (x, ln_s, ln_b, wfc, bfc, wproj, bproj),
     ),
-    lambda act, res, g: jax.vjp(
-        lambda *ts: plain_postln_mlp_block(*ts, act=act), *res
-    )[1](g),
+    _recompute_bwd(
+        lambda act, *ts: plain_postln_mlp_block(*ts, act=act)
+    ),
 )
