@@ -92,8 +92,11 @@ def bench_tpu_vit(roundtrip: float, dtype_name: str = "bfloat16"):
 
     # Chain iterations with a data dependency in a host loop (compile cost =
     # one forward; the device executes the queued chain sequentially, and one
-    # tiny readback at the end synchronises).
-    n_iter = 15
+    # tiny readback at the end synchronises). 30 iterations x 2 passes,
+    # best-of: the tunnel roundtrip drifts 28-70 ms minute-to-minute, so
+    # short chains let the subtraction error reach several % — amortise it
+    # and keep the better pass (CLAUDE.md tunnel-timing guidance).
+    n_iter = 30
 
     @jax.jit
     def step(params, frames, carry):
@@ -109,12 +112,15 @@ def bench_tpu_vit(roundtrip: float, dtype_name: str = "bfloat16"):
     carry = jnp.float32(0)
     carry = step(params, frames, carry)
     np.asarray(carry)  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        carry = step(params, frames, carry)
-    np.asarray(carry)
-    dt = time.perf_counter() - t0 - roundtrip
-    return BATCH * n_iter / dt
+    best_dt = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            carry = step(params, frames, carry)
+        np.asarray(carry)
+        dt = time.perf_counter() - t0 - roundtrip
+        best_dt = dt if best_dt is None else min(best_dt, dt)
+    return BATCH * n_iter / best_dt
 
 
 def bench_torch_cpu_vit():
@@ -171,7 +177,7 @@ def bench_clap_audio(roundtrip: float):
     )
     params = enc.init(jax.random.PRNGKey(1), mel0)
 
-    n_iter = 10
+    n_iter = 30  # ~11 ms/step: amortise the drifting tunnel roundtrip
 
     @jax.jit
     def step(carry, w):
@@ -184,6 +190,7 @@ def bench_clap_audio(roundtrip: float):
 
     carry = step(jnp.float32(0), wav)
     np.asarray(carry)  # compile + warm
+    roundtrip = _measure_roundtrip()  # re-measure: the tunnel drifts
     t0 = time.perf_counter()
     for _ in range(n_iter):
         carry = step(carry, wav)
@@ -205,9 +212,12 @@ def bench_query_latency(roundtrip: float):
         lambda key: jax.random.normal(key, (n_pad, DIM), jnp.float32)
     )(jax.random.PRNGKey(0))
 
-    # the query kernel is ~3 ms; per-call dispatch through the dev tunnel
-    # costs more than that, so iterate on-device (small graph, cheap compile)
-    n_iter = 20
+    # the query kernel is ~1-3 ms; per-call dispatch through the dev tunnel
+    # costs more than that, so iterate on-device (small graph, cheap
+    # compile). 100 chained iterations: at 20, a roundtrip drift of 40 ms
+    # leaks 2 ms/query into the subtraction (a round-4 run printed a
+    # NEGATIVE bf16 latency); at 100 the leak is under 0.4 ms.
+    n_iter = 100
 
     @jax.jit
     def bench_loop(queries, db_dev):
@@ -224,9 +234,10 @@ def bench_query_latency(roundtrip: float):
 
     def timed(db):
         np.asarray(bench_loop(queries, db))  # compile
+        rt = _measure_roundtrip()  # re-measure: the tunnel drifts
         t0 = time.perf_counter()
         np.asarray(bench_loop(queries, db))
-        return (time.perf_counter() - t0 - roundtrip) / n_iter
+        return max((time.perf_counter() - t0 - rt) / n_iter, 0.0)
 
     per_query = timed(db_dev)
     # bf16 HBM-resident storage (the --storage-dtype bfloat16 serve path):

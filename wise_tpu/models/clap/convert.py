@@ -59,11 +59,29 @@ def _projection(sd, prefix):
 
 
 def convert_caption_tower(sd: Dict, config) -> Dict:
-    """GPT2 (msclap caption_encoder.base) -> CaptionEncoder params."""
+    """GPT2 (msclap caption_encoder.base) -> CaptionEncoder params.
+
+    The real checkpoint's ``wpe`` is the full GPT2 position table
+    (1024, width) while the tower only reads ``context_length`` rows —
+    slice, don't reject. ``wte`` may likewise carry more rows than
+    ``config.vocab_size`` (tokenizers that append a pad token); extra
+    rows are unreachable by real token ids, so slicing is exact."""
     p = _detect_prefix(sd, "wte.weight")
+    wte = np.asarray(sd[p + "wte.weight"], np.float32)
+    wpe = np.asarray(sd[p + "wpe.weight"], np.float32)
+    if wte.shape[0] < config.vocab_size:
+        raise ValueError(
+            f"checkpoint wte has {wte.shape[0]} rows < configured "
+            f"vocab_size {config.vocab_size}"
+        )
+    if wpe.shape[0] < config.context_length:
+        raise ValueError(
+            f"checkpoint wpe has {wpe.shape[0]} rows < configured "
+            f"context_length {config.context_length}"
+        )
     params = {
-        "token_embedding": np.asarray(sd[p + "wte.weight"], np.float32),
-        "positional_embedding": np.asarray(sd[p + "wpe.weight"], np.float32),
+        "token_embedding": wte[: config.vocab_size],
+        "positional_embedding": wpe[: config.context_length],
         "ln_f": _ln(sd, p + "ln_f"),
         "transformer": {},
     }

@@ -160,6 +160,7 @@ def convert_openclip_state_dict(sd: Dict[str, np.ndarray], config) -> Dict:
                 layers=config.text_layers, heads=config.text_heads,
                 intermediate=4 * config.text_width,
                 embed_dim=config.embed_dim,
+                proj_type=getattr(config, "hf_proj_type", "linear"),
             ),
         )
     else:
@@ -206,6 +207,17 @@ def convert_openclip_state_dict(sd: Dict[str, np.ndarray], config) -> Dict:
     return params
 
 
+def _tensor_np(v):
+    """torch tensor / ndarray -> ndarray; upcasts bf16 (``.numpy()`` raises
+    on torch bf16 tensors, and several published checkpoints ship bf16)."""
+    if hasattr(v, "detach"):
+        v = v.detach().cpu()
+        if str(v.dtype) == "torch.bfloat16":
+            v = v.float()
+        return v.numpy()
+    return np.asarray(v)
+
+
 def convert_checkpoint_file(src, dst) -> int:
     """Re-serialise a torch .pt/.bin checkpoint as .npz (torch key names
     preserved), so runtime loads need numpy only. Returns tensor count."""
@@ -214,10 +226,7 @@ def convert_checkpoint_file(src, dst) -> int:
     raw = torch.load(str(src), map_location="cpu", weights_only=True)
     if isinstance(raw, dict) and "state_dict" in raw:
         raw = raw["state_dict"]
-    sd = {
-        k.replace("module.", ""): (v.numpy() if hasattr(v, "numpy") else v)
-        for k, v in raw.items()
-    }
+    sd = {k.replace("module.", ""): _tensor_np(v) for k, v in raw.items()}
     np.savez(str(dst), **sd)
     return len(sd)
 
@@ -275,10 +284,7 @@ def load_checkpoint(path, config) -> Dict:
         raw = torch.load(path, map_location="cpu", weights_only=True)
         if isinstance(raw, dict) and "state_dict" in raw:
             raw = raw["state_dict"]
-        sd = {
-            k.replace("module.", ""): v.numpy() if hasattr(v, "numpy") else v
-            for k, v in raw.items()
-        }
+        sd = {k.replace("module.", ""): _tensor_np(v) for k, v in raw.items()}
     return convert_openclip_state_dict(sd, config)
 
 

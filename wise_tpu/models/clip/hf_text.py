@@ -39,6 +39,15 @@ class HFTextConfig:
     max_positions: int = 514
     pad_token_id: int = 1
     embed_dim: int = 1024       # joint space
+    #: open_clip HFTextEncoder projection head: "linear" (one bias-free
+    #: matrix, saved as ``text.proj``/``text.proj.weight``) or "mlp"
+    #: (Linear -> GELU -> Linear, both bias-free, hidden width
+    #: (width+embed_dim)//2, saved as ``text.proj.0.weight`` /
+    #: ``text.proj.2.weight``). The PUBLISHED
+    #: xlm-roberta-large-ViT-H-14/frozen_laion5b checkpoint — the
+    #: reference's default backbone — uses "mlp" (open_clip
+    #: model_configs/xlm-roberta-large-ViT-H-14.json: "proj": "mlp").
+    proj_type: str = "linear"
     dtype: Any = jnp.float32
     #: run residual blocks as fused post-LN kernels where shapes allow
     #: (bf16 only; ops/postln_block.supports_fused_postln)
@@ -191,10 +200,28 @@ class XLMRobertaTextTower(nn.Module):
         pooled = (
             (x.astype(jnp.float32) * pad_mask[..., None]).sum(axis=1) / denom
         )
+        pooled = pooled.astype(jnp.float32)
+        if c.proj_type == "mlp":
+            # open_clip HFTextEncoder proj == nn.Sequential(
+            #   Linear(width, hidden, bias=False), GELU(),
+            #   Linear(hidden, embed_dim, bias=False)) with
+            # hidden = (width + embed_dim) // 2; exact-erf GELU (torch
+            # nn.GELU default). f32 like the linear head.
+            hidden = (c.width + c.embed_dim) // 2
+            fc = self.param(
+                "proj_fc", nn.initializers.normal(0.02), (c.width, hidden)
+            )
+            out_w = self.param(
+                "proj_out", nn.initializers.normal(0.02),
+                (hidden, c.embed_dim),
+            )
+            h = jax.nn.gelu(pooled @ fc.astype(jnp.float32),
+                            approximate=False)
+            return h @ out_w.astype(jnp.float32)
         proj = self.param(
             "proj", nn.initializers.normal(0.02), (c.width, c.embed_dim)
         )
-        return (pooled.astype(jnp.float32) @ proj.astype(jnp.float32))
+        return pooled @ proj.astype(jnp.float32)
 
 
 def convert_hf_text_state_dict(sd, config: HFTextConfig):
@@ -215,10 +242,23 @@ def convert_hf_text_state_dict(sd, config: HFTextConfig):
         "word_embeddings": g(f"{base}.embeddings.word_embeddings.weight"),
         "position_embeddings": g(f"{base}.embeddings.position_embeddings.weight"),
         "emb_ln": ln(f"{base}.embeddings.LayerNorm"),
-        "proj": g("text.proj").T
-        if "text.proj" in sd
-        else g("text.proj.weight").T,
     }
+    # projection head naming depends on open_clip's proj type: "mlp" saves
+    # the Sequential's members as text.proj.0 / text.proj.2 (bias-free),
+    # "linear" as text.proj (raw matrix) or text.proj.weight
+    if "text.proj.0.weight" in sd:
+        if config.proj_type != "mlp":
+            raise KeyError(
+                "checkpoint has an MLP text projection (text.proj.0.*) but "
+                "config.proj_type is %r — use hf_proj_type='mlp'"
+                % config.proj_type
+            )
+        params["proj_fc"] = g("text.proj.0.weight").T
+        params["proj_out"] = g("text.proj.2.weight").T
+    elif "text.proj" in sd:
+        params["proj"] = g("text.proj").T
+    else:
+        params["proj"] = g("text.proj.weight").T
     for i in range(config.layers):
         lp = f"{base}.encoder.layer.{i}"
         params[f"layer_{i}"] = {

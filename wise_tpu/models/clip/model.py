@@ -48,6 +48,10 @@ class CLIPConfig:
     #: "clip" (causal transformer, argmax/EOT pooling) or "hf_xlm_roberta"
     #: (open_clip HFTextEncoder-style tower, see hf_text.py)
     text_tower: str = "clip"
+    #: hf text tower projection head: "linear" or "mlp" (open_clip
+    #: HFTextEncoder proj types; the published xlm-roberta-large-ViT-H-14
+    #: checkpoint uses "mlp" — see hf_text.HFTextConfig.proj_type)
+    hf_proj_type: str = "linear"
     #: vision pooling: "cls" (class token, CLIP) or "map" (attention-pool
     #: latent head, SigLIP — no class token)
     vision_pool: str = "cls"
@@ -130,7 +134,7 @@ CLIP_CONFIGS = {
         embed_dim=1024, patch_size=14, vision_width=1280, vision_layers=32,
         vision_heads=16, context_length=64, vocab_size=250002,
         text_width=1024, text_heads=16, text_layers=24,
-        text_tower="hf_xlm_roberta",
+        text_tower="hf_xlm_roberta", hf_proj_type="mlp",
     ),
     "ViT-L-14-336": CLIPConfig(
         embed_dim=768, image_size=336, patch_size=14, vision_width=1024,
@@ -879,6 +883,7 @@ class CLIP(nn.Module):
                     vocab_size=c.vocab_size, width=c.text_width,
                     layers=c.text_layers, heads=c.text_heads,
                     intermediate=4 * c.text_width, embed_dim=c.embed_dim,
+                    proj_type=c.hf_proj_type,
                     dtype=c.dtype,
                     # post-LN fused block kernels (ops/postln_block.py)
                     # ride the same production gate/kill-switch as the
