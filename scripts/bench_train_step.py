@@ -10,9 +10,10 @@ not just inference):
            inference config, via the *_train custom-VJP wrappers)
 
 Runs CLIPTrainer train steps on ViT-B/32 at the given batch on the real
-chip, measuring ms/step per configuration. The backward is the
-recompute-style XLA vjp in every case; the delta is the fused forward
-(primal + the recompute's forward half stays XLA). Emits one JSON line
+chip, measuring ms/step per configuration. xla/attn backwards are the
+XLA vjp; the block config runs the saved-activation custom VJP (the
+kernel forward emits the qkv / pre-gelu residuals the backward consumes
+— see ops/block.py `fused_*_block_res`). Emits one JSON line
 with ms_step_{xla,attn,block} and speedup_attn / speedup_block (vs xla).
 
     python scripts/bench_train_step.py [--batch 256] [--iters 8]
@@ -83,6 +84,7 @@ def main():
         toks = jax.device_put(jnp.asarray(tokens), trainer.batch_sharding)
         params, opt_state, loss = step(params, opt_state, imgs, toks)
         np.asarray(loss)  # compile + warm
+        roundtrip = measure_roundtrip()  # re-measure: the tunnel drifts
         t0 = time.perf_counter()
         for _ in range(args.iters):
             params, opt_state, loss = step(params, opt_state, imgs, toks)

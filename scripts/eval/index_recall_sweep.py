@@ -152,6 +152,12 @@ def main():
     xs, offsets, order = sort_and_offsets(x, assign)
     offsets_h = np.asarray(offsets).astype(np.int64)
     lens = np.diff(offsets_h)
+    # HBM discipline (the OPQ+refine pass OOM'd a 16 GB chip with the
+    # full-sweep residents): x is superseded by xs, assign/order by
+    # offsets — free the device buffers now (~2 GB at 1M x 512)
+    x.delete()
+    assign.delete()
+    del x, assign, order
 
     def device_paged(data, lpad):
         """build_paged_layout, but with device scatters (no host copy)."""
@@ -241,8 +247,11 @@ def main():
 
     # --- IVF-Flat sweep
     LPAD = 64
-    paged, prow, pfirst, pcount = device_paged(xs, LPAD)
-    pfirst_d, pcount_d = jnp.asarray(pfirst), jnp.asarray(pcount)
+    if args.only in ("flat", "both"):
+        # only build the f32 row pages when the flat sweep runs (~2.4 GB
+        # at 1M x 512 — it OOM'd the --only pq run when unconditional)
+        paged, prow, pfirst, pcount = device_paged(xs, LPAD)
+        pfirst_d, pcount_d = jnp.asarray(pfirst), jnp.asarray(pcount)
     for nprobe in args.nprobes if args.only in ("flat", "both") else []:
         nprobe = min(nprobe, nlist)
         budget = paged_budget(pcount, nprobe)
@@ -256,6 +265,10 @@ def main():
                    timed(ivf_search_paged, arrays, static) * 1e3, 3)}
         report["rows"].append(row)
         print(f"# {row}", file=sys.stderr)
+    if args.only in ("flat", "both"):
+        paged.delete()
+        prow.delete()
+        del paged, prow
 
     # --- IVF-PQ sweep (codebooks trained on host from a residual sample).
     # Variants: plain subspace PQ and the OPQ learned rotation — the
@@ -332,7 +345,12 @@ def main():
             R_d = jnp.asarray(R)
             rot = jax.jit(lambda a: a @ R_d)
             resid_v, cents_v, q_v = rot(resid), rot(cents), rot(q)
+            # the unrotated residuals/rows are dead once rotated copies
+            # exist ('opq' is always the last variant) — free 4 GB of HBM
+            # before building the rotated paged/int8 structures
+            resid.delete()
             xs_v = rot(xs)
+            xs.delete()
             label = f"IVF-PQ(M={M},OPQ)"
         else:
             books = train_pq(sample, M, 256)
@@ -374,6 +392,13 @@ def main():
                              queries=q_v) * 1e3, 3)}
             report["rows"].append(row)
             print(f"# {row}", file=sys.stderr)
+        # free this variant's device structures before the next one builds
+        # its own (int8 rows alone are 0.5 GB at 1M x 512)
+        pagedq.delete()
+        prowq.delete()
+        if args.refine:
+            codes_i8.delete()
+            scales_r.delete()
 
     print(json.dumps(report, indent=2))
     # markdown table in the reference's column style

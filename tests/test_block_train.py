@@ -66,6 +66,15 @@ def interpret_kernels(monkeypatch):
         functools.partial(block.fused_attn_block_pooled_dyn,
                           interpret=True),
     )
+    # saved-activation forward variants (the _train wrappers' vjp path)
+    monkeypatch.setattr(
+        block, "fused_attn_block_res",
+        functools.partial(block.fused_attn_block_res, interpret=True),
+    )
+    monkeypatch.setattr(
+        block, "fused_mlp_block_res",
+        functools.partial(block.fused_mlp_block_res, interpret=True),
+    )
 
 
 @pytest.mark.parametrize("causal", [False, True])

@@ -302,3 +302,42 @@ def test_engine_coalesce_off_runs_without_coalescers(project):
                                  MediaType.VIDEO, end=5)
     assert resp.video_results is not None
     assert eng.coalesce_stats() == {}
+
+
+def test_served_item_returns_while_lock_is_held():
+    """Starvation regression (round-4 fix): a thread whose item was
+    executed by ANOTHER leader must return without ever acquiring the
+    execution lock. The original submit loop blocked in Lock.acquire()
+    even after its event was set — under contention (pthread barging +
+    one core) that starved unlucky requests for dozens of batch cycles
+    (measured p95 1,077 ms vs p50 94 ms, BENCHMARKS.md)."""
+    import threading
+    import time
+
+    from wise_tpu.api.coalesce import Coalescer
+
+    co = Coalescer(lambda ps: [p * 2 for p in ps])
+    assert co._exec.acquire(timeout=1)  # an active leader holds the lock
+    try:
+        results = []
+        t = threading.Thread(target=lambda: results.append(co.submit(21)))
+        t.start()
+        # wait for the item to be queued, then publish it the way a
+        # leader's _run_one_batch would
+        item = None
+        deadline = time.time() + 2.0
+        while time.time() < deadline:
+            with co._mu:
+                if co._queue:
+                    item = co._queue.popleft()
+                    break
+            time.sleep(0.001)
+        assert item is not None, "item never reached the queue"
+        item.result = 42
+        item.event.set()
+        # the old code would still be parked in _exec.acquire() here
+        t.join(timeout=1.0)
+        assert not t.is_alive(), "served thread stayed blocked on the lock"
+        assert results == [42]
+    finally:
+        co._exec.release()

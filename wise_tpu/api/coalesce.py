@@ -86,15 +86,32 @@ class Coalescer:
         item = _Item(payload)
         with self._mu:
             self._queue.append(item)
+        # Starvation-free leader election (round-4 fix): the original loop
+        # BLOCKED on _exec even when this item had already been executed by
+        # another leader — a thread parked in Lock.acquire() whose event was
+        # set mid-wait still had to WIN the contended lock once just to
+        # discover it, and pthread locks barge (a fresh submitter often
+        # grabs a just-released lock ahead of older waiters). Under a
+        # closed-loop client pool on one core that starved unlucky requests
+        # for dozens of batch cycles: the measured p95 was 1,077 ms against
+        # a 94 ms p50 (BENCHMARKS.md "Coalescing under load"). Now a thread
+        # only leads OPPORTUNISTICALLY (non-blocking acquire) and otherwise
+        # waits on its OWN event, which wakes it the instant its batch is
+        # published — a served thread never touches the lock again. The
+        # 2 ms wait timeout only bounds the rare race where the lock frees
+        # just after every queued waiter entered its wait.
         while not item.event.is_set():
-            # Block until we can lead. The moment a leader releases, the OS
-            # hands the lock to a waiter, which either finds its item done
-            # (a previous batch ran it) or immediately drains the queue —
-            # no polling gap between consecutive batches.
-            with self._exec:
-                if item.event.is_set():
-                    break
-                self._run_one_batch()
+            if self._exec.acquire(blocking=False):
+                try:
+                    while not item.event.is_set():
+                        # our item is queued, so each batch drains >= 1
+                        # item and this terminates within
+                        # ceil(position / max_batch) batches
+                        self._run_one_batch()
+                finally:
+                    self._exec.release()
+                break
+            item.event.wait(0.002)
         if item.error is not None:
             raise item.error
         if self.finalize is not None:

@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import logging
+import os
 import sys
 import time
 
@@ -72,9 +73,27 @@ def main(argv=None) -> int:
     log.info(f"{len(segments)} caption segments")
 
     config = get_clip_config(args.model)
+    bf16 = args.dtype == "bfloat16"
     config = dataclasses.replace(
         config,
-        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        dtype=jnp.bfloat16 if bf16 else jnp.float32,
+        # bf16 fine-tuning runs the whole-block Pallas kernels + pooled
+        # last layer by DEFAULT since the round-4 saved-activation
+        # backward (the _train wrappers' custom VJP consumes the kernel-
+        # emitted qkv / pre-gelu residuals instead of recomputing the
+        # plain forward): train-step A/B 1.042x vs XLA at ViT-B/32 B=256
+        # (scripts/bench_train_step.py; the round-3 recompute backward
+        # measured 0.90x, which is why this was previously off).
+        # WISE_FUSED_BLOCK=0 opts out; pp training keeps them off (not
+        # calibrated inside the pp shard_map).
+        fused_block=(
+            bf16 and args.pp <= 1
+            and os.environ.get("WISE_FUSED_BLOCK", "1") != "0"
+        ),
+        pool_last_block=(
+            bf16 and args.pp <= 1
+            and os.environ.get("WISE_POOL_LAST", "1") != "0"
+        ),
     )
     if args.pp > 1:
         if args.mp != 1:

@@ -146,10 +146,16 @@ def _gelu_f32(h, act: str):
 
 
 def _attn_block_kernel(
-    x_ref, ln_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref, att_ref,
-    *, heads: int, n_valid: int, scale: float, causal: bool,
+    x_ref, ln_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref, *rest,
+    heads: int, n_valid: int, scale: float, causal: bool,
     flat: bool = False,
 ):
+    # trailing refs: [qkv_out (training residual — see fused_attn_block_res)]
+    # + att scratch
+    if len(rest) == 2:
+        qkv_out, att_ref = rest
+    else:
+        qkv_out, (att_ref,) = None, rest
     x = x_ref[:]                              # (G, SP, D) bf16
     g, sp, d = x.shape
     hd = d // heads
@@ -172,6 +178,8 @@ def _attn_block_kernel(
             preferred_element_type=jnp.float32,
         )
     qkv = (qkv + bqkv_ref[0, :]).astype(x.dtype)   # (G, SP, 3D)
+    if qkv_out is not None:
+        qkv_out[:] = qkv
     col = jax.lax.broadcasted_iota(jnp.int32, (g, sp, sp), 2)
     keep = col < n_valid
     if causal:
@@ -822,9 +830,12 @@ def fused_attn_block_pooled_dyn(
 
 
 def _mlp_block_kernel(
-    x_ref, ln_ref, wfc_ref, bfc_ref, wproj_ref, bproj_ref, o_ref,
-    *, act: str, flat: bool = False,
+    x_ref, ln_ref, wfc_ref, bfc_ref, wproj_ref, bproj_ref, o_ref, *rest,
+    act: str, flat: bool = False,
 ):
+    # trailing refs: [hpre_out (training residual — the PRE-gelu fc output
+    # rounded to the activation dtype; see fused_mlp_block_res)]
+    hpre_out = rest[0] if rest else None
     x = x_ref[:]                              # (G, SP, D) bf16
     g, sp, d = x.shape
     y = _ln_f32(
@@ -837,7 +848,11 @@ def _mlp_block_kernel(
         y, wfc_ref[:], dimension_numbers=dims,
         preferred_element_type=jnp.float32,
     )
-    h = _gelu_f32(h + bfc_ref[0, :], act).astype(x.dtype)
+    h = h + bfc_ref[0, :]
+    if hpre_out is not None:
+        ff = h.shape[-1]
+        hpre_out[:] = (h.reshape(g, sp, ff) if flat else h).astype(x.dtype)
+    h = _gelu_f32(h, act).astype(x.dtype)
     out = jax.lax.dot_general(
         h, wproj_ref[:], dimension_numbers=dims,
         preferred_element_type=jnp.float32,
@@ -1493,6 +1508,246 @@ def _recompute_bwd(reference, n_valid_arg=None):
     return bwd
 
 
+# --- saved-activation forward variants: the SAME kernels, additionally
+# emitting the cut-point residual (attn: the bf16 post-bias qkv; MLP: the
+# bf16 pre-gelu fc output). The _train wrappers' backward then consumes the
+# residual instead of recomputing the whole plain forward — the recompute
+# tax that made training with kernels 0.90x of XLA (round-3 A/B) was
+# dominated by re-running the qkv/fc GEMMs, which are exactly what the
+# residual skips. Inference never calls these (no extra HBM writes there).
+
+
+def fused_attn_block_res(
+    x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads: int, n_valid: int,
+    causal: bool = False, interpret: bool = False, group: int | None = None,
+    flat: bool | None = None,
+):
+    """fused_attn_block + the (B, SP, 3D) bf16 qkv residual."""
+    b, sp, d = x.shape
+    group = group or _attn_group(b, sp, d)
+    if flat is None:
+        flat = _CALIBRATED_FLAT_ATTN.get((sp, d)) == group
+    assert group is not None, "gate with supports_fused_block() first"
+    xspec = pl.BlockSpec((group, sp, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    qspec = pl.BlockSpec((group, sp, 3 * d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    ln = jnp.stack([ln_scale, ln_bias]).astype(jnp.float32)
+    return pl.pallas_call(
+        functools.partial(
+            _attn_block_kernel, heads=heads, n_valid=n_valid,
+            scale=1.0 / np.sqrt(d // heads), causal=causal, flat=flat,
+        ),
+        grid=(b // group,),
+        in_specs=[
+            xspec,
+            const((2, d)),
+            const((d, 3 * d)),
+            const((1, 3 * d)),
+            const((d, d)),
+            const((1, d)),
+        ],
+        out_specs=(xspec, qspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, sp, d), x.dtype),
+            jax.ShapeDtypeStruct((b, sp, 3 * d), x.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((group, sp, d), x.dtype)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES,
+        ),
+    )(x, ln, wqkv, bqkv.reshape(1, -1), wo, bo.reshape(1, -1))
+
+
+def fused_mlp_block_res(
+    x, ln_scale, ln_bias, wfc, bfc, wproj, bproj, act: str = "gelu",
+    interpret: bool = False, group: int | None = None,
+    flat: bool | None = None,
+):
+    """fused_mlp_block + the (B, SP, FF) bf16 pre-gelu residual."""
+    b, sp, d = x.shape
+    ff = wfc.shape[1]
+    group = group or _mlp_group(b, sp, d)
+    if flat is None:
+        cal = _CALIBRATED_MLP.get((sp, d))
+        flat = cal is not None and cal == ("singleflat", group)
+    assert group is not None, "gate with supports_fused_block() first"
+    xspec = pl.BlockSpec((group, sp, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    hspec = pl.BlockSpec((group, sp, ff), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    ln = jnp.stack([ln_scale, ln_bias]).astype(jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_mlp_block_kernel, act=act, flat=flat),
+        grid=(b // group,),
+        in_specs=[
+            xspec,
+            const((2, d)),
+            const((d, ff)),
+            const((1, ff)),
+            const((ff, d)),
+            const((1, d)),
+        ],
+        out_specs=(xspec, hspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, sp, d), x.dtype),
+            jax.ShapeDtypeStruct((b, sp, ff), x.dtype),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES,
+        ),
+    )(x, ln, wfc, bfc.reshape(1, -1), wproj, bproj.reshape(1, -1))
+
+
+@functools.partial(custom_partitioning, static_argnums=(7, 8, 9))
+def fused_attn_block_res_spmd(x, ln_s, ln_b, wqkv, bqkv, wo, bo,
+                              heads, n_valid, causal):
+    return fused_attn_block_res(x, ln_s, ln_b, wqkv, bqkv, wo, bo,
+                                heads=heads, n_valid=n_valid, causal=causal)
+
+
+def _res_infer(*args):
+    arg_shapes = args[-2]
+    xsh = _x_batch_only(arg_shapes[0].sharding)
+    return (xsh, xsh)
+
+
+def _make_res_partition(impl, static_names):
+    def partition(*args):
+        statics = args[:-3]
+        mesh, arg_shapes, _result_shape = args[-3:]
+        xsh = _x_batch_only(arg_shapes[0].sharding)
+        arg_shardings = (xsh,) + tuple(
+            _replicated_like(mesh, a) for a in arg_shapes[1:]
+        )
+
+        def lower_fn(x, *weights):
+            return impl(x, *weights, **dict(zip(static_names, statics)))
+
+        return mesh, lower_fn, (xsh, xsh), arg_shardings
+
+    return partition
+
+
+fused_attn_block_res_spmd.def_partition(
+    infer_sharding_from_operands=_res_infer,
+    partition=_make_res_partition(
+        lambda x, ln_s, ln_b, wqkv, bqkv, wo, bo, **kw: fused_attn_block_res(
+            x, ln_s, ln_b, wqkv, bqkv, wo, bo, **kw
+        ),
+        ("heads", "n_valid", "causal"),
+    ),
+    sharding_rule="b s d, e, f, g h, i, j k, l -> b s d, b s m",
+)
+
+
+@functools.partial(custom_partitioning, static_argnums=(7,))
+def fused_mlp_block_res_spmd(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act):
+    return fused_mlp_block_res(x, ln_s, ln_b, wfc, bfc, wproj, bproj,
+                               act=act)
+
+
+fused_mlp_block_res_spmd.def_partition(
+    infer_sharding_from_operands=_res_infer,
+    partition=_make_res_partition(
+        lambda x, ln_s, ln_b, wfc, bfc, wproj, bproj, **kw:
+        fused_mlp_block_res(x, ln_s, ln_b, wfc, bfc, wproj, bproj, **kw),
+        ("act",),
+    ),
+    sharding_rule="b s d, e, f, g h, i, j k, l -> b s d, b s m",
+)
+
+
+# --- cut-point stage functions (plain ops, numerics mirroring
+# plain_attn_block / plain_mlp_block around the saved residual)
+
+
+def _qkv_stage(x, ln_s, ln_b, wqkv, bqkv):
+    y = _ln_f32(x.astype(jnp.float32), ln_s, ln_b).astype(wqkv.dtype)
+    return y @ wqkv + bqkv
+
+
+def _attn_from_qkv(x, qkv, wo, bo, heads, n_valid, causal):
+    b, sp, d = x.shape
+    hd = d // heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    qh = q.reshape(b, sp, heads, hd)
+    kh = k.reshape(b, sp, heads, hd)
+    vh = v.reshape(b, sp, heads, hd)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", qh.astype(jnp.float32), kh.astype(jnp.float32)
+    ) * np.float32(1.0 / np.sqrt(hd))
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, sp), 3)
+    keep = col < n_valid
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sp, sp), 2)
+        keep = keep & (col <= row)
+    logits = jnp.where(keep, logits, -jnp.inf)
+    p = jax.nn.softmax(logits, axis=-1).astype(qkv.dtype)
+    att = jnp.einsum("bhqk,bkhd->bqhd", p, vh).reshape(b, sp, d)
+    return x + (att @ wo + bo).astype(x.dtype)
+
+
+def _fc_stage(x, ln_s, ln_b, wfc, bfc):
+    y = _ln_f32(x.astype(jnp.float32), ln_s, ln_b).astype(wfc.dtype)
+    return y @ wfc + bfc
+
+
+def _mlp_from_h(x, h, wproj, bproj, act):
+    hh = _gelu_f32(h.astype(jnp.float32), act).astype(h.dtype)
+    return x + (hh @ wproj + bproj).astype(x.dtype)
+
+
+def _attn_saved_bwd(heads, n_valid, causal, res, g):
+    """Backward from the saved qkv residual: stage B (attention + out proj
+    + residual) differentiates from qkv; stage A's vjp needs only y = LN(x)
+    and wqkv — its primal qkv GEMM output is unused and DCE'd by XLA, so
+    the expensive recompute the plain-vjp backward paid is gone. Cotangents
+    at padded rows (>= n_valid) are zeroed per the kernel-forward
+    contract (see _recompute_bwd)."""
+    x, qkv, ln_s, ln_b, wqkv, bqkv, wo, bo = res
+    row = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+    g = jnp.where(row < n_valid, g, jnp.zeros((), g.dtype))
+    _, vjp_b = jax.vjp(
+        lambda x_, qkv_, wo_, bo_: _attn_from_qkv(
+            x_, qkv_, wo_, bo_, heads, n_valid, causal),
+        x, qkv, wo, bo,
+    )
+    gx1, g_qkv, g_wo, g_bo = vjp_b(g)
+    _, vjp_a = jax.vjp(_qkv_stage, x, ln_s, ln_b, wqkv, bqkv)
+    # the kernel saves the residual at x.dtype (f32 when the model runs
+    # the f32 residual-stream carry) while the plain stage-A mirror emits
+    # the weight dtype — align the cut cotangent (bf16-rounding-level
+    # difference only, same looseness as the recompute backward had)
+    g_qkv = g_qkv.astype(jnp.result_type(wqkv.dtype, bqkv.dtype))
+    gx2, g_ls, g_lb, g_wqkv, g_bqkv = vjp_a(g_qkv)
+    return gx1 + gx2, g_ls, g_lb, g_wqkv, g_bqkv, g_wo, g_bo
+
+
+def _mlp_saved_bwd(act, res, g):
+    x, h, ln_s, ln_b, wfc, bfc, wproj, bproj = res
+    _, vjp_b = jax.vjp(
+        lambda x_, h_, wproj_, bproj_: _mlp_from_h(
+            x_, h_, wproj_, bproj_, act),
+        x, h, wproj, bproj,
+    )
+    gx1, g_h, g_wproj, g_bproj = vjp_b(g)
+    _, vjp_a = jax.vjp(_fc_stage, x, ln_s, ln_b, wfc, bfc)
+    g_h = g_h.astype(jnp.result_type(wfc.dtype, bfc.dtype))  # see attn bwd
+    gx2, g_ls, g_lb, g_wfc, g_bfc = vjp_a(g_h)
+    return gx1 + gx2, g_ls, g_lb, g_wfc, g_bfc, g_wproj, g_bproj
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def fused_attn_block_train(x, ln_s, ln_b, wqkv, bqkv, wo, bo,
                            heads, n_valid, causal):
@@ -1500,18 +1755,14 @@ def fused_attn_block_train(x, ln_s, ln_b, wqkv, bqkv, wo, bo,
                                  heads, n_valid, causal)
 
 
-fused_attn_block_train.defvjp(
-    lambda x, ln_s, ln_b, wqkv, bqkv, wo, bo, heads, n_valid, causal: (
-        fused_attn_block_spmd(x, ln_s, ln_b, wqkv, bqkv, wo, bo,
-                              heads, n_valid, causal),
-        (x, ln_s, ln_b, wqkv, bqkv, wo, bo),
-    ),
-    _recompute_bwd(
-        lambda heads, n_valid, causal, *ts: plain_attn_block(
-            *ts, heads=heads, n_valid=n_valid, causal=causal),
-        n_valid_arg=1,
-    ),
-)
+def _attn_train_fwd(x, ln_s, ln_b, wqkv, bqkv, wo, bo,
+                    heads, n_valid, causal):
+    out, qkv = fused_attn_block_res_spmd(x, ln_s, ln_b, wqkv, bqkv, wo, bo,
+                                         heads, n_valid, causal)
+    return out, (x, qkv, ln_s, ln_b, wqkv, bqkv, wo, bo)
+
+
+fused_attn_block_train.defvjp(_attn_train_fwd, _attn_saved_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
@@ -1542,13 +1793,13 @@ def fused_mlp_block_train(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act):
     return fused_mlp_block_spmd(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act)
 
 
-fused_mlp_block_train.defvjp(
-    lambda x, ln_s, ln_b, wfc, bfc, wproj, bproj, act: (
-        fused_mlp_block_spmd(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act),
-        (x, ln_s, ln_b, wfc, bfc, wproj, bproj),
-    ),
-    _recompute_bwd(lambda act, *ts: plain_mlp_block(*ts, act=act)),
-)
+def _mlp_train_fwd(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act):
+    out, h = fused_mlp_block_res_spmd(x, ln_s, ln_b, wfc, bfc, wproj,
+                                      bproj, act)
+    return out, (x, h, ln_s, ln_b, wfc, bfc, wproj, bproj)
+
+
+fused_mlp_block_train.defvjp(_mlp_train_fwd, _mlp_saved_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
