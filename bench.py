@@ -92,11 +92,12 @@ def bench_tpu_vit(roundtrip: float, dtype_name: str = "bfloat16"):
 
     # Chain iterations with a data dependency in a host loop (compile cost =
     # one forward; the device executes the queued chain sequentially, and one
-    # tiny readback at the end synchronises). 30 iterations x 2 passes,
+    # tiny readback at the end synchronises). 60 iterations x 2 passes,
     # best-of: the tunnel roundtrip drifts 28-70 ms minute-to-minute, so
-    # short chains let the subtraction error reach several % — amortise it
-    # and keep the better pass (CLAUDE.md tunnel-timing guidance).
-    n_iter = 30
+    # short chains let the fixed-roundtrip subtraction leak several % —
+    # at 60 iters even a fully wrong 70 ms estimate is <4% of a step
+    # (CLAUDE.md tunnel-timing guidance). Extra wall cost ~2 s/pass.
+    n_iter = 60
 
     @jax.jit
     def step(params, frames, carry):

@@ -88,6 +88,11 @@ _CALIBRATED_ATTN = {(56, 768): 2, (200, 768): 1, (264, 1024): 2,
 _CALIBRATED_FLAT_ATTN: dict = {}
 #: (seq_pad, width) -> ("single"|"split"|"singleflat"|"splitflat", group)
 _CALIBRATED_MLP = {
+    # (56, 768) g=1 re-confirmed end-to-end in round 4: isolated pair
+    # probes (probe_flat56/probe_pair56, bf16 AND f32 stream) showed g=4
+    # 0.2-0.4 ms/layer faster, but the production step A/B measured g=4
+    # 0.7 ms SLOWER end-to-end (35.70 vs 36.36 ms, cos 1.0) — the
+    # isolated-pair win does not survive composition with the full tower.
     (56, 768): ("single", 1),
     (200, 768): ("single", 2),
     (264, 1024): ("split", 2),
