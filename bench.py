@@ -321,7 +321,11 @@ def main():
         )
         raise SystemExit(1)
 
-    budget = float(os.environ.get("WISE_BENCH_BUDGET", "1050"))
+    # Default sized for the driver's (unknown) kill timeout: round-2's
+    # ~12-min run passed, round-3's 30+45+45-min structure got rc=124.
+    # Worst case here = probe (<=4 min) + child (budget) + 120 s slack
+    # ~= 15 min; typical full run ~11 min with all extras.
+    budget = float(os.environ.get("WISE_BENCH_BUDGET", "780"))
     proc = subprocess.Popen(
         [sys.executable, __file__, "--run"],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
@@ -379,7 +383,7 @@ def _run():
     the LAST printed line is the most complete result. Extras only start if
     enough of the budget remains."""
     t_start = time.perf_counter()
-    budget = float(os.environ.get("WISE_BENCH_BUDGET", "1050"))
+    budget = float(os.environ.get("WISE_BENCH_BUDGET", "780"))
 
     def remaining():
         return budget - (time.perf_counter() - t_start)
