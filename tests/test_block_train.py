@@ -75,6 +75,10 @@ def interpret_kernels(monkeypatch):
         block, "fused_mlp_block_res",
         functools.partial(block.fused_mlp_block_res, interpret=True),
     )
+    monkeypatch.setattr(
+        block, "fused_mlp_split_res",
+        functools.partial(block.fused_mlp_split_res, interpret=True),
+    )
 
 
 @pytest.mark.parametrize("causal", [False, True])
@@ -136,6 +140,43 @@ def test_mlp_block_train_grads_match_reference(interpret_kernels, act):
         return f
 
     got = jax.grad(loss(fused_mlp_block_train), argnums=tuple(range(7)))(
+        x, ln_s, ln_b, wfc, bfc, wproj, bproj)
+    want = jax.grad(
+        loss(lambda *ts_and_act: plain_mlp_block(
+            *ts_and_act[:7], act=ts_and_act[7])),
+        argnums=tuple(range(7)),
+    )(x, ln_s, ln_b, wfc, bfc, wproj, bproj)
+    for n, g, wgrad in zip(("x", "ln_s", "ln_b", "wfc", "bfc", "wproj",
+                            "bproj"), got, want):
+        assert np.all(np.isfinite(np.asarray(wgrad, np.float32))), n
+        c = _cos(g, wgrad)
+        assert c > 0.999, (n, c)
+
+
+@pytest.mark.parametrize("act", ["gelu", "quick_gelu"])
+def test_mlp_split_train_grads_match_reference(interpret_kernels, act):
+    """fused_mlp_split_train (two-kernel wide-width variant, round-4
+    saved-activation forward via fused_mlp_split_res) must match jax.grad
+    of plain_mlp_block — the split is a VMEM-capacity detail, not a
+    different function."""
+    from wise_tpu.ops.block import fused_mlp_split_train, plain_mlp_block
+
+    b, sp, d = 8, 16, 256
+    x = _mk((b, sp, d), 0, 1.0).astype(jnp.bfloat16)
+    ln_s = (1.0 + _mk((d,), 1))
+    ln_b = _mk((d,), 2)
+    wfc = _mk((d, 4 * d), 3).astype(jnp.bfloat16)
+    bfc = _mk((4 * d,), 4).astype(jnp.bfloat16)
+    wproj = _mk((4 * d, d), 5).astype(jnp.bfloat16)
+    bproj = _mk((d,), 6).astype(jnp.bfloat16)
+    w = _mk((b, sp, d), 7, 1.0)
+
+    def loss(fn):
+        def f(*ts):
+            return jnp.sum(fn(*ts, act).astype(jnp.float32) * w)
+        return f
+
+    got = jax.grad(loss(fused_mlp_split_train), argnums=tuple(range(7)))(
         x, ln_s, ln_b, wfc, bfc, wproj, bproj)
     want = jax.grad(
         loss(lambda *ts_and_act: plain_mlp_block(

@@ -45,3 +45,32 @@ def test_undecodable_segments_skipped(monkeypatch):
     )
     # only 'ok' contributes: 4 epochs -> 4 samples -> 2 batches of 2
     assert len(batches) == 2
+
+
+def test_training_clip_config_kernel_defaults(monkeypatch):
+    """bf16 single-program training enables the block kernels + pooled
+    last layer by default (round-4 saved-activation backward, A/B 1.042x
+    — cli/train.training_clip_config); f32, pp>1, and the env
+    kill-switches all keep them off."""
+    import jax.numpy as jnp
+
+    from wise_tpu.cli.train import training_clip_config
+
+    monkeypatch.delenv("WISE_FUSED_BLOCK", raising=False)
+    monkeypatch.delenv("WISE_POOL_LAST", raising=False)
+
+    cfg = training_clip_config("ViT-B-32")
+    assert cfg.dtype == jnp.bfloat16
+    assert cfg.fused_block and cfg.pool_last_block
+
+    f32 = training_clip_config("ViT-B-32", dtype="float32")
+    assert f32.dtype == jnp.float32
+    assert not f32.fused_block and not f32.pool_last_block
+
+    pp = training_clip_config("ViT-B-32", pp=2)
+    assert not pp.fused_block and not pp.pool_last_block
+
+    monkeypatch.setenv("WISE_FUSED_BLOCK", "0")
+    monkeypatch.setenv("WISE_POOL_LAST", "0")
+    off = training_clip_config("ViT-B-32")
+    assert not off.fused_block and not off.pool_last_block

@@ -48,6 +48,35 @@ def build_parser():
     return p
 
 
+def training_clip_config(model: str, dtype: str = "bfloat16", pp: int = 1):
+    """The train CLI's model config: bf16 fine-tuning runs the whole-block
+    Pallas kernels + pooled last layer by DEFAULT since the round-4
+    saved-activation backward (the ``*_train`` wrappers' custom VJP
+    consumes the kernel-emitted qkv / pre-gelu residuals instead of
+    recomputing the plain forward): train-step A/B 1.042x vs XLA at
+    ViT-B/32 B=256 (scripts/bench_train_step.py; the round-3 recompute
+    backward measured 0.90x, which is why this was previously off).
+    WISE_FUSED_BLOCK=0 / WISE_POOL_LAST=0 opt out; pp training keeps the
+    kernels off (not calibrated inside the pp shard_map)."""
+    import jax.numpy as jnp
+
+    from ..models.clip.model import get_clip_config
+
+    bf16 = dtype == "bfloat16"
+    return dataclasses.replace(
+        get_clip_config(model),
+        dtype=jnp.bfloat16 if bf16 else jnp.float32,
+        fused_block=(
+            bf16 and pp <= 1
+            and os.environ.get("WISE_FUSED_BLOCK", "1") != "0"
+        ),
+        pool_last_block=(
+            bf16 and pp <= 1
+            and os.environ.get("WISE_POOL_LAST", "1") != "0"
+        ),
+    )
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.INFO)
@@ -56,7 +85,6 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
-    from ..models.clip.model import get_clip_config
     from ..models.clip.tokenizer import get_tokenizer
     from ..parallel.mesh import get_mesh
     from ..parallel.train import CLIPTrainer
@@ -72,29 +100,7 @@ def main(argv=None) -> int:
         return 1
     log.info(f"{len(segments)} caption segments")
 
-    config = get_clip_config(args.model)
-    bf16 = args.dtype == "bfloat16"
-    config = dataclasses.replace(
-        config,
-        dtype=jnp.bfloat16 if bf16 else jnp.float32,
-        # bf16 fine-tuning runs the whole-block Pallas kernels + pooled
-        # last layer by DEFAULT since the round-4 saved-activation
-        # backward (the _train wrappers' custom VJP consumes the kernel-
-        # emitted qkv / pre-gelu residuals instead of recomputing the
-        # plain forward): train-step A/B 1.042x vs XLA at ViT-B/32 B=256
-        # (scripts/bench_train_step.py; the round-3 recompute backward
-        # measured 0.90x, which is why this was previously off).
-        # WISE_FUSED_BLOCK=0 opts out; pp training keeps them off (not
-        # calibrated inside the pp shard_map).
-        fused_block=(
-            bf16 and args.pp <= 1
-            and os.environ.get("WISE_FUSED_BLOCK", "1") != "0"
-        ),
-        pool_last_block=(
-            bf16 and args.pp <= 1
-            and os.environ.get("WISE_POOL_LAST", "1") != "0"
-        ),
-    )
+    config = training_clip_config(args.model, args.dtype, args.pp)
     if args.pp > 1:
         if args.mp != 1:
             log.error("--pp and --mp are mutually exclusive")

@@ -184,7 +184,13 @@ def _attn_block_kernel(
         )
     qkv = (qkv + bqkv_ref[0, :]).astype(x.dtype)   # (G, SP, 3D)
     if qkv_out is not None:
-        qkv_out[:] = qkv
+        # training residual is saved at the WEIGHT dtype (bf16), not the
+        # stream dtype: an f32 stream would double the saved bytes and a
+        # ViT-L/14 B=64 train step OOMs 16 GB HBM on f32 residuals
+        # (~11 GB across 24 layers); the backward's cut cotangent is cast
+        # anyway (_attn_saved_bwd) and the looseness is bf16-rounding
+        # class either way.
+        qkv_out[:] = qkv.astype(qkv_out.dtype)
     col = jax.lax.broadcasted_iota(jnp.int32, (g, sp, sp), 2)
     keep = col < n_valid
     if causal:
@@ -856,7 +862,9 @@ def _mlp_block_kernel(
     h = h + bfc_ref[0, :]
     if hpre_out is not None:
         ff = h.shape[-1]
-        hpre_out[:] = (h.reshape(g, sp, ff) if flat else h).astype(x.dtype)
+        # weight-dtype residual — see _attn_block_kernel's qkv_out note
+        hpre_out[:] = (h.reshape(g, sp, ff) if flat else h).astype(
+            hpre_out.dtype)
     h = _gelu_f32(h, act).astype(x.dtype)
     out = jax.lax.dot_general(
         h, wproj_ref[:], dimension_numbers=dims,
@@ -1083,8 +1091,11 @@ fused_mlp_block_spmd.def_partition(
 # ---------------------------------------------------------------------------
 
 
-def _fc_kernel(x_ref, ln_ref, wfc_ref, bfc_ref, h_ref, *, act: str,
+def _fc_kernel(x_ref, ln_ref, wfc_ref, bfc_ref, h_ref, *rest, act: str,
                flat: bool = False):
+    # trailing refs: [hpre_out (training residual — the PRE-gelu fc
+    # output rounded to the activation dtype; see fused_mlp_split_res)]
+    hpre_out = rest[0] if rest else None
     x = x_ref[:]
     g, sp, d = x.shape
     ff = wfc_ref.shape[1]
@@ -1098,7 +1109,12 @@ def _fc_kernel(x_ref, ln_ref, wfc_ref, bfc_ref, h_ref, *, act: str,
         y, wfc_ref[:], dimension_numbers=dims,
         preferred_element_type=jnp.float32,
     )
-    h = _gelu_f32(h + bfc_ref[0, :], act)
+    h = h + bfc_ref[0, :]
+    if hpre_out is not None:
+        # weight-dtype residual — see _attn_block_kernel's qkv_out note
+        hpre_out[:] = (h.reshape(g, sp, ff) if flat else h).astype(
+            hpre_out.dtype)
+    h = _gelu_f32(h, act)
     h_ref[:] = h.reshape(g, sp, ff).astype(x.dtype) if flat else h.astype(
         x.dtype
     )
@@ -1558,7 +1574,9 @@ def fused_attn_block_res(
         out_specs=(xspec, qspec),
         out_shape=(
             jax.ShapeDtypeStruct((b, sp, d), x.dtype),
-            jax.ShapeDtypeStruct((b, sp, 3 * d), x.dtype),
+            # weight-dtype residual (bf16 even under the f32 stream) —
+            # see _attn_block_kernel's qkv_out note
+            jax.ShapeDtypeStruct((b, sp, 3 * d), wqkv.dtype),
         ),
         scratch_shapes=[pltpu.VMEM((group, sp, d), x.dtype)],
         interpret=interpret,
@@ -1604,7 +1622,8 @@ def fused_mlp_block_res(
         out_specs=(xspec, hspec),
         out_shape=(
             jax.ShapeDtypeStruct((b, sp, d), x.dtype),
-            jax.ShapeDtypeStruct((b, sp, ff), x.dtype),
+            # weight-dtype residual — see _attn_block_kernel's qkv_out note
+            jax.ShapeDtypeStruct((b, sp, ff), wfc.dtype),
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -1612,6 +1631,58 @@ def fused_mlp_block_res(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES,
         ),
     )(x, ln, wfc, bfc.reshape(1, -1), wproj, bproj.reshape(1, -1))
+
+
+def fused_mlp_split_res(
+    x, ln_scale, ln_bias, wfc, bfc, wproj, bproj, act: str = "gelu",
+    interpret: bool = False, group: int | None = None,
+    flat: bool | None = None,
+):
+    """fused_mlp_split + the (B, SP, FF) bf16 pre-gelu residual (the
+    two-kernel variant for widths whose weight pair exceeds VMEM — the
+    fc kernel writes the pre-gelu h alongside its post-gelu output)."""
+    b, sp, d = x.shape
+    ff = wfc.shape[1]
+    group = group or _mlp_split_group(b, sp, d)
+    if flat is None:
+        cal = _CALIBRATED_MLP.get((sp, d))
+        flat = cal is not None and cal == ("splitflat", group)
+    assert group is not None
+    xspec = pl.BlockSpec((group, sp, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    hspec = pl.BlockSpec((group, sp, ff), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    ln = jnp.stack([ln_scale, ln_bias]).astype(jnp.float32)
+    params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",),
+        vmem_limit_bytes=_VMEM_LIMIT_BYTES,
+    )
+    h, h_pre = pl.pallas_call(
+        functools.partial(_fc_kernel, act=act, flat=flat),
+        grid=(b // group,),
+        in_specs=[xspec, const((2, d)), const((d, ff)), const((1, ff))],
+        out_specs=(hspec, hspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, sp, ff), x.dtype),
+            # weight-dtype residual — see _attn_block_kernel's qkv_out note
+            jax.ShapeDtypeStruct((b, sp, ff), wfc.dtype),
+        ),
+        interpret=interpret,
+        compiler_params=params,
+    )(x, ln, wfc, bfc.reshape(1, -1))
+    out = pl.pallas_call(
+        functools.partial(_proj_kernel, flat=flat),
+        grid=(b // group,),
+        in_specs=[xspec, hspec, const((ff, d)), const((1, d))],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, sp, d), x.dtype),
+        interpret=interpret,
+        compiler_params=params,
+    )(x, h, wproj, bproj.reshape(1, -1))
+    return out, h_pre
 
 
 @functools.partial(custom_partitioning, static_argnums=(7, 8, 9))
@@ -1667,6 +1738,23 @@ fused_mlp_block_res_spmd.def_partition(
     partition=_make_res_partition(
         lambda x, ln_s, ln_b, wfc, bfc, wproj, bproj, **kw:
         fused_mlp_block_res(x, ln_s, ln_b, wfc, bfc, wproj, bproj, **kw),
+        ("act",),
+    ),
+    sharding_rule="b s d, e, f, g h, i, j k, l -> b s d, b s m",
+)
+
+
+@functools.partial(custom_partitioning, static_argnums=(7,))
+def fused_mlp_split_res_spmd(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act):
+    return fused_mlp_split_res(x, ln_s, ln_b, wfc, bfc, wproj, bproj,
+                               act=act)
+
+
+fused_mlp_split_res_spmd.def_partition(
+    infer_sharding_from_operands=_res_infer,
+    partition=_make_res_partition(
+        lambda x, ln_s, ln_b, wfc, bfc, wproj, bproj, **kw:
+        fused_mlp_split_res(x, ln_s, ln_b, wfc, bfc, wproj, bproj, **kw),
         ("act",),
     ),
     sharding_rule="b s d, e, f, g h, i, j k, l -> b s d, b s m",
@@ -1812,13 +1900,17 @@ def fused_mlp_split_train(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act):
     return fused_mlp_split_spmd(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act)
 
 
-fused_mlp_split_train.defvjp(
-    lambda x, ln_s, ln_b, wfc, bfc, wproj, bproj, act: (
-        fused_mlp_split_spmd(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act),
-        (x, ln_s, ln_b, wfc, bfc, wproj, bproj),
-    ),
-    _recompute_bwd(lambda act, *ts: plain_mlp_block(*ts, act=act)),
-)
+def _mlp_split_train_fwd(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act):
+    # saved-activation forward (round 4): the fc kernel emits the
+    # pre-gelu residual; the backward is the SAME cut-point rule as the
+    # single-kernel MLP (_mlp_saved_bwd) — the split is a VMEM-capacity
+    # detail of the forward, not a different function.
+    out, h = fused_mlp_split_res_spmd(x, ln_s, ln_b, wfc, bfc, wproj,
+                                      bproj, act)
+    return out, (x, h, ln_s, ln_b, wfc, bfc, wproj, bproj)
+
+
+fused_mlp_split_train.defvjp(_mlp_split_train_fwd, _mlp_saved_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
