@@ -516,3 +516,44 @@ def test_clip_train_step_differentiates_with_pool_last(force_fused_block):
         assert c > 0.98, (key, c)
         checked += 1
     assert checked > 10
+
+
+def test_attn_block_train_composes_with_remat(interpret_kernels):
+    """jax.checkpoint around the saved-activation _train wrapper (the
+    --remat fine-tune path for ViT-H-class models, where params+Adam
+    alone are ~10 GB of a 16 GB chip): remat recomputes the kernel
+    forward in the backward, then runs the custom cut-point VJP on the
+    recomputed residuals — grads must still match the plain reference."""
+    from wise_tpu.ops.block import fused_attn_block_train, plain_attn_block
+
+    b, sp, d, heads, n_valid = 8, 16, 256, 4, 13
+    x = _mk((b, sp, d), 0, 1.0).astype(jnp.bfloat16)
+    ln_s = 1.0 + _mk((d,), 1)
+    ln_b = _mk((d,), 2)
+    wqkv = _mk((d, 3 * d), 3).astype(jnp.bfloat16)
+    bqkv = _mk((3 * d,), 4).astype(jnp.bfloat16)
+    wo = _mk((d, d), 5).astype(jnp.bfloat16)
+    bo = _mk((d,), 6).astype(jnp.bfloat16)
+    w = _mk((b, sp, d), 7, 1.0)
+
+    def loss(fn):
+        def f(x, ln_s, ln_b, wqkv, bqkv, wo, bo):
+            out = fn(x, ln_s, ln_b, wqkv, bqkv, wo, bo)
+            return jnp.sum(out[:, :n_valid].astype(jnp.float32)
+                           * w[:, :n_valid])
+        return f
+
+    rematted = jax.checkpoint(
+        lambda *ts: fused_attn_block_train(*ts, heads, n_valid, False)
+    )
+    got = jax.grad(loss(rematted), argnums=tuple(range(7)))(
+        x, ln_s, ln_b, wqkv, bqkv, wo, bo)
+    want = jax.grad(
+        loss(lambda *ts: plain_attn_block(
+            *ts, heads=heads, n_valid=n_valid, causal=False)),
+        argnums=tuple(range(7)),
+    )(x, ln_s, ln_b, wqkv, bqkv, wo, bo)
+    for n, g, wgrad in zip(("x", "ln_s", "ln_b", "wqkv", "bqkv", "wo",
+                            "bo"), got, want):
+        c = _cos(g, wgrad)
+        assert c > 0.999, (n, c)

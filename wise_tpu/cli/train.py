@@ -45,10 +45,16 @@ def build_parser():
     p.add_argument("--microbatches", type=int, default=2,
                    help="GPipe microbatches per step (only with --pp > 1)")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialise transformer blocks in the backward "
+                        "(trades ~1 extra forward for activation memory — "
+                        "needed to fit ViT-H-class fine-tunes on one 16 GB "
+                        "chip, where params+Adam alone are ~10 GB)")
     return p
 
 
-def training_clip_config(model: str, dtype: str = "bfloat16", pp: int = 1):
+def training_clip_config(model: str, dtype: str = "bfloat16", pp: int = 1,
+                         remat: bool = False):
     """The train CLI's model config: bf16 fine-tuning runs the whole-block
     Pallas kernels + pooled last layer by DEFAULT since the round-4
     saved-activation backward (the ``*_train`` wrappers' custom VJP
@@ -66,6 +72,7 @@ def training_clip_config(model: str, dtype: str = "bfloat16", pp: int = 1):
     return dataclasses.replace(
         get_clip_config(model),
         dtype=jnp.bfloat16 if bf16 else jnp.float32,
+        remat=remat,
         fused_block=(
             bf16 and pp <= 1
             and os.environ.get("WISE_FUSED_BLOCK", "1") != "0"
@@ -100,7 +107,8 @@ def main(argv=None) -> int:
         return 1
     log.info(f"{len(segments)} caption segments")
 
-    config = training_clip_config(args.model, args.dtype, args.pp)
+    config = training_clip_config(args.model, args.dtype, args.pp,
+                                  remat=args.remat)
     if args.pp > 1:
         if args.mp != 1:
             log.error("--pp and --mp are mutually exclusive")
