@@ -24,7 +24,7 @@ the driver's shell timeout killed the bench before anything was printed):
   immediately (flushed). A driver kill at ANY point after the ViT stage
   therefore still leaves the best-so-far line in the captured tail.
 - Extras (1M query latency, CLAP) only start if enough budget remains
-  (WISE_BENCH_BUDGET seconds for the whole measurement run, default 1050);
+  (WISE_BENCH_BUDGET seconds for the whole measurement run, default 780);
   WISE_BENCH_CLAP=0 / WISE_BENCH_QUERY=0 skip them outright.
 
 Timing note: this dev environment reaches the TPU through a tunnel where

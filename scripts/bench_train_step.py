@@ -59,14 +59,15 @@ def main():
     tokens = np.asarray(rng.integers(1, 1000, (B, base.context_length)),
                         np.int32)
 
-    # three forward configurations, same XLA recompute backward (the
-    # block kernels' custom VJP recomputes through plain_attn_block /
-    # plain_mlp_block — ops/block.py trainable section):
-    #   xla   — no kernels anywhere (round-2 baseline)
+    # three configurations:
+    #   xla   — no kernels anywhere (round-2 baseline; XLA vjp backward)
     #   attn  — fused_attention_trainable only (round-2 measured 1.007x:
-    #           the forward still pays the XLA<->Pallas relayout tax)
+    #           the forward still pays the XLA<->Pallas relayout tax;
+    #           XLA-style recompute vjp backward)
     #   block — whole-block kernels via the _train wrappers (all-kernel
-    #           forward, no boundary copies) + pooled last layer
+    #           forward, no boundary copies) + pooled last layer; the
+    #           SAVED-ACTIVATION backward (round 4) differentiates from
+    #           the kernel-emitted qkv / pre-gelu residuals
     variants = {
         "xla": dict(fused_attention=False, fused_block=False,
                     pool_last_block=False),

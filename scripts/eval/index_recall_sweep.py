@@ -188,6 +188,11 @@ def main():
     xs_pad = jnp.pad(xs, ((0, n_pad - N), (0, 0)))
     ref_vals, ref_rows = two_stage_topk(q, xs_pad, n_valid=N, k=K)
     ref_rows = np.asarray(ref_rows)
+    # the padded f32 ground-truth copy (~2.1 GB at 1M x 512) is dead once
+    # ref_rows is on the host — free it before the sweeps build their own
+    # device structures (same HBM discipline as the deletes below)
+    xs_pad.delete()
+    del xs_pad
 
     def metrics(rows):
         rows = np.asarray(rows)

@@ -557,3 +557,49 @@ def test_attn_block_train_composes_with_remat(interpret_kernels):
                             "bo"), got, want):
         c = _cos(g, wgrad)
         assert c > 0.999, (n, c)
+
+
+def test_attn_train_falls_back_to_recompute_when_res_rejected(
+        interpret_kernels, monkeypatch):
+    """When the res-aware VMEM estimate rejects every group (the extra
+    qkv residual output doesn't fit), the _train forward must run the
+    plain kernel and the backward the recompute pullback — same grads,
+    no crash (the round-4 review found the inference estimate could
+    admit a shape whose training forward then failed Mosaic's check)."""
+    from wise_tpu.ops import block
+    from wise_tpu.ops.block import fused_attn_block_train, plain_attn_block
+
+    real_attn_group = block._attn_group
+    monkeypatch.setattr(
+        block, "_attn_group",
+        lambda b, sp, d, res=False: (
+            None if res else real_attn_group(b, sp, d)),
+    )
+    b, sp, d, heads, n_valid = 8, 16, 256, 4, 13
+    x = _mk((b, sp, d), 0, 1.0).astype(jnp.bfloat16)
+    ln_s = 1.0 + _mk((d,), 1)
+    ln_b = _mk((d,), 2)
+    wqkv = _mk((d, 3 * d), 3).astype(jnp.bfloat16)
+    bqkv = _mk((3 * d,), 4).astype(jnp.bfloat16)
+    wo = _mk((d, d), 5).astype(jnp.bfloat16)
+    bo = _mk((d,), 6).astype(jnp.bfloat16)
+    w = _mk((b, sp, d), 7, 1.0)
+
+    def loss(fn):
+        def f(*ts):
+            out = fn(*ts, heads, n_valid, False)
+            return jnp.sum(out[:, :n_valid].astype(jnp.float32)
+                           * w[:, :n_valid])
+        return f
+
+    got = jax.grad(loss(fused_attn_block_train), argnums=tuple(range(7)))(
+        x, ln_s, ln_b, wqkv, bqkv, wo, bo)
+    want = jax.grad(
+        loss(lambda *ts_s: plain_attn_block(
+            *ts_s[:7], heads=ts_s[7], n_valid=ts_s[8], causal=ts_s[9])),
+        argnums=tuple(range(7)),
+    )(x, ln_s, ln_b, wqkv, bqkv, wo, bo)
+    for n, g, wgrad in zip(("x", "ln_s", "ln_b", "wqkv", "bqkv", "wo",
+                            "bo"), got, want):
+        c = _cos(g, wgrad)
+        assert c > 0.999, (n, c)

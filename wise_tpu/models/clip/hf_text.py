@@ -255,10 +255,18 @@ def convert_hf_text_state_dict(sd, config: HFTextConfig):
             )
         params["proj_fc"] = g("text.proj.0.weight").T
         params["proj_out"] = g("text.proj.2.weight").T
-    elif "text.proj" in sd:
-        params["proj"] = g("text.proj").T
     else:
-        params["proj"] = g("text.proj.weight").T
+        if config.proj_type == "mlp":
+            raise KeyError(
+                "config.proj_type is 'mlp' but the checkpoint has a "
+                "linear text projection (no text.proj.0.*) — drop "
+                "hf_proj_type='mlp' (the reverse mismatch raises above; "
+                "without this check it would surface later as a missing "
+                "'proj_fc' param deep inside model.apply)"
+            )
+        params["proj"] = g(
+            "text.proj" if "text.proj" in sd else "text.proj.weight"
+        ).T
     for i in range(config.layers):
         lp = f"{base}.encoder.layer.{i}"
         params[f"layer_{i}"] = {

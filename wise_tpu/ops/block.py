@@ -228,12 +228,19 @@ def _attn_block_kernel(
     o_ref[:] = x + (out + bo_ref[0, :]).astype(x.dtype)
 
 
-def _attn_group(batch: int, seq_pad: int, width: int):
+def _attn_group(batch: int, seq_pad: int, width: int,
+                res: bool = False):
     """Batch group for the attention block, in MEASURED preference order:
     at ViT-B/32 step shapes g=2 ran 1.14/1.28 ms across two hardware
     sessions vs 1.24/1.35 at g=8 and 1.49/1.55 at g=4 (scripts/
     bench_block_kernels.py) — smaller blocks pipeline better here, so g=2
-    leads whenever it fits."""
+    leads whenever it fits. ``res=True`` (the saved-activation training
+    forward) adds the double-buffered (G, SP, 3D) qkv residual OUTPUT to
+    the analytic estimate — a shape the inference estimate admits near
+    the budget could otherwise pass the gate and then fail Mosaic's
+    VMEM check when training streams the extra output. Calibrated
+    entries are kept as-is for both paths (the training A/Bs ran on
+    them)."""
     cal = _CALIBRATED_ATTN.get((seq_pad, width))
     if cal is not None and batch % cal == 0:
         return cal
@@ -249,6 +256,7 @@ def _attn_group(batch: int, seq_pad: int, width: int):
             + 3 * blk * 2           # qkv bf16
             + 3 * blk * 4           # qkv f32 pre-round + LN f32 temps
             + g * seq_pad * seq_pad * (4 + 2)
+            + (2 * 3 * blk * 2 if res else 0)  # qkv residual out x2 bufs
         )
         if est <= _VMEM_BUDGET:
             return g
@@ -367,9 +375,11 @@ def mlp_choice(batch: int, seq_pad: int, width: int):
     return None
 
 
-def _mlp_group(batch: int, seq_pad: int, width: int):
+def _mlp_group(batch: int, seq_pad: int, width: int, res: bool = False):
     """Batch group for the MLP block: fc+proj weights resident (8D^2 bf16)
-    + x/out blocks + the (G, SP, 4D) intermediate."""
+    + x/out blocks + the (G, SP, 4D) intermediate. ``res=True`` adds the
+    double-buffered pre-gelu residual OUTPUT the saved-activation
+    training forward streams (see _attn_group)."""
     cal = _CALIBRATED_MLP.get((seq_pad, width))
     if (cal is not None and cal[0] in ("single", "singleflat")
             and batch % cal[1] == 0):
@@ -385,6 +395,7 @@ def _mlp_group(batch: int, seq_pad: int, width: int):
             + blk * 4 + blk * 2     # LN f32 temp + y bf16
             + 4 * blk * 2           # h bf16
             + 4 * blk * 4           # h f32 pre-gelu
+            + (2 * 4 * blk * 2 if res else 0)  # h residual out x2 bufs
         )
         if est <= _VMEM_BUDGET_MLP:
             return g
@@ -1137,7 +1148,8 @@ def _proj_kernel(x_ref, h_ref, wproj_ref, bproj_ref, o_ref,
     o_ref[:] = x + (out + bproj_ref[0, :]).astype(x.dtype)
 
 
-def _mlp_split_group(batch: int, seq_pad: int, width: int):
+def _mlp_split_group(batch: int, seq_pad: int, width: int,
+                     res: bool = False):
     cal = _CALIBRATED_MLP.get((seq_pad, width))
     if (cal is not None and cal[0] in ("split", "splitflat")
             and batch % cal[1] == 0):
@@ -1152,6 +1164,9 @@ def _mlp_split_group(batch: int, seq_pad: int, width: int):
             + 2 * 2 * blk * 2           # x/out or x/h blocks
             + 2 * 4 * blk * 2           # h blocks bf16 (in+out worst case)
             + blk * 4 + 4 * blk * 4     # f32 temps
+            # saved-activation training: the fc kernel streams a SECOND
+            # (G, SP, FF) output (pre-gelu residual) — see _attn_group
+            + (2 * 4 * blk * 2 if res else 0)
         )
         if est <= _VMEM_BUDGET:
             return g
@@ -1545,7 +1560,7 @@ def fused_attn_block_res(
 ):
     """fused_attn_block + the (B, SP, 3D) bf16 qkv residual."""
     b, sp, d = x.shape
-    group = group or _attn_group(b, sp, d)
+    group = group or _attn_group(b, sp, d, res=True)
     if flat is None:
         flat = _CALIBRATED_FLAT_ATTN.get((sp, d)) == group
     assert group is not None, "gate with supports_fused_block() first"
@@ -1595,7 +1610,7 @@ def fused_mlp_block_res(
     """fused_mlp_block + the (B, SP, FF) bf16 pre-gelu residual."""
     b, sp, d = x.shape
     ff = wfc.shape[1]
-    group = group or _mlp_group(b, sp, d)
+    group = group or _mlp_group(b, sp, d, res=True)
     if flat is None:
         cal = _CALIBRATED_MLP.get((sp, d))
         flat = cal is not None and cal == ("singleflat", group)
@@ -1643,7 +1658,7 @@ def fused_mlp_split_res(
     fc kernel writes the pre-gelu h alongside its post-gelu output)."""
     b, sp, d = x.shape
     ff = wfc.shape[1]
-    group = group or _mlp_split_group(b, sp, d)
+    group = group or _mlp_split_group(b, sp, d, res=True)
     if flat is None:
         cal = _CALIBRATED_MLP.get((sp, d))
         flat = cal is not None and cal == ("splitflat", group)
@@ -1807,10 +1822,20 @@ def _attn_saved_bwd(heads, n_valid, causal, res, g):
     and wqkv — its primal qkv GEMM output is unused and DCE'd by XLA, so
     the expensive recompute the plain-vjp backward paid is gone. Cotangents
     at padded rows (>= n_valid) are zeroed per the kernel-forward
-    contract (see _recompute_bwd)."""
+    contract (see _recompute_bwd). A ``None`` residual means the forward
+    could not afford the extra VMEM output (res-aware _attn_group
+    rejected every group) and ran the plain kernel — fall back to the
+    round-3 recompute pullback."""
     x, qkv, ln_s, ln_b, wqkv, bqkv, wo, bo = res
     row = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
     g = jnp.where(row < n_valid, g, jnp.zeros((), g.dtype))
+    if qkv is None:
+        _, vjp = jax.vjp(
+            lambda *ts: plain_attn_block(
+                *ts, heads=heads, n_valid=n_valid, causal=causal),
+            x, ln_s, ln_b, wqkv, bqkv, wo, bo,
+        )
+        return vjp(g)
     _, vjp_b = jax.vjp(
         lambda x_, qkv_, wo_, bo_: _attn_from_qkv(
             x_, qkv_, wo_, bo_, heads, n_valid, causal),
@@ -1818,10 +1843,10 @@ def _attn_saved_bwd(heads, n_valid, causal, res, g):
     )
     gx1, g_qkv, g_wo, g_bo = vjp_b(g)
     _, vjp_a = jax.vjp(_qkv_stage, x, ln_s, ln_b, wqkv, bqkv)
-    # the kernel saves the residual at x.dtype (f32 when the model runs
-    # the f32 residual-stream carry) while the plain stage-A mirror emits
-    # the weight dtype — align the cut cotangent (bf16-rounding-level
-    # difference only, same looseness as the recompute backward had)
+    # the residual is saved at the WEIGHT dtype (see the kernel's qkv_out
+    # note), so this cast is normally a no-op; it stays as a guard so the
+    # stage-A pullback always receives a cotangent matching _qkv_stage's
+    # output dtype (bf16-rounding-level looseness either way)
     g_qkv = g_qkv.astype(jnp.result_type(wqkv.dtype, bqkv.dtype))
     gx2, g_ls, g_lb, g_wqkv, g_bqkv = vjp_a(g_qkv)
     return gx1 + gx2, g_ls, g_lb, g_wqkv, g_bqkv, g_wo, g_bo
@@ -1829,6 +1854,12 @@ def _attn_saved_bwd(heads, n_valid, causal, res, g):
 
 def _mlp_saved_bwd(act, res, g):
     x, h, ln_s, ln_b, wfc, bfc, wproj, bproj = res
+    if h is None:  # VMEM-rejected residual — recompute fallback (see attn)
+        _, vjp = jax.vjp(
+            lambda *ts: plain_mlp_block(*ts, act=act),
+            x, ln_s, ln_b, wfc, bfc, wproj, bproj,
+        )
+        return vjp(g)
     _, vjp_b = jax.vjp(
         lambda x_, h_, wproj_, bproj_: _mlp_from_h(
             x_, h_, wproj_, bproj_, act),
@@ -1850,6 +1881,14 @@ def fused_attn_block_train(x, ln_s, ln_b, wqkv, bqkv, wo, bo,
 
 def _attn_train_fwd(x, ln_s, ln_b, wqkv, bqkv, wo, bo,
                     heads, n_valid, causal):
+    b, sp, d = x.shape
+    if _attn_group(b, sp, d, res=True) is None:
+        # the extra qkv output doesn't fit VMEM at any group for this
+        # (uncalibrated) shape: run the plain kernel forward and let the
+        # backward take the recompute path (residual None)
+        out = fused_attn_block_spmd(x, ln_s, ln_b, wqkv, bqkv, wo, bo,
+                                    heads, n_valid, causal)
+        return out, (x, None, ln_s, ln_b, wqkv, bqkv, wo, bo)
     out, qkv = fused_attn_block_res_spmd(x, ln_s, ln_b, wqkv, bqkv, wo, bo,
                                          heads, n_valid, causal)
     return out, (x, qkv, ln_s, ln_b, wqkv, bqkv, wo, bo)
@@ -1887,6 +1926,11 @@ def fused_mlp_block_train(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act):
 
 
 def _mlp_train_fwd(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act):
+    b, sp, d = x.shape
+    if _mlp_group(b, sp, d, res=True) is None:  # see _attn_train_fwd
+        out = fused_mlp_block_spmd(x, ln_s, ln_b, wfc, bfc, wproj, bproj,
+                                   act)
+        return out, (x, None, ln_s, ln_b, wfc, bfc, wproj, bproj)
     out, h = fused_mlp_block_res_spmd(x, ln_s, ln_b, wfc, bfc, wproj,
                                       bproj, act)
     return out, (x, h, ln_s, ln_b, wfc, bfc, wproj, bproj)
@@ -1905,6 +1949,11 @@ def _mlp_split_train_fwd(x, ln_s, ln_b, wfc, bfc, wproj, bproj, act):
     # pre-gelu residual; the backward is the SAME cut-point rule as the
     # single-kernel MLP (_mlp_saved_bwd) — the split is a VMEM-capacity
     # detail of the forward, not a different function.
+    b, sp, d = x.shape
+    if _mlp_split_group(b, sp, d, res=True) is None:  # see _attn_train_fwd
+        out = fused_mlp_split_spmd(x, ln_s, ln_b, wfc, bfc, wproj, bproj,
+                                   act)
+        return out, (x, None, ln_s, ln_b, wfc, bfc, wproj, bproj)
     out, h = fused_mlp_split_res_spmd(x, ln_s, ln_b, wfc, bfc, wproj,
                                       bproj, act)
     return out, (x, h, ln_s, ln_b, wfc, bfc, wproj, bproj)
