@@ -356,7 +356,17 @@ def main():
     t_out.join(timeout=10)
     t_err.join(timeout=10)
     if got_json:
-        return  # best-so-far line(s) already on stdout
+        # best-so-far line(s) already on stdout; if the child still died
+        # (extras crash after the headline), surface its stderr tail so a
+        # degraded run is diagnosable from captured output instead of
+        # looking identical to extras-skipped-for-budget
+        if proc.returncode not in (0, None):
+            tail = "".join(stderr_buf)[-2000:]
+            sys.stderr.write(
+                f"[bench subprocess exited rc={proc.returncode} after "
+                f"emitting a result]\n{tail}\n"
+            )
+        return
     err_tail = "".join(stderr_buf)[-2000:]
     if err_tail:
         sys.stderr.write(f"[bench subprocess stderr]\n{err_tail}\n")
@@ -420,8 +430,12 @@ def _run():
             result["query_p50_latency_bf16_s_at_1M"] = round(p50_bf16, 5)
             result["cpu_numpy_scan_s_at_1M"] = round(cpu_scan, 4)
             emit()
-        except Exception:
-            pass
+        except Exception as e:  # noqa: BLE001 — extras are best-effort,
+            # but a crash must be visible in the emitted JSON (round-4
+            # advisor: silent pass was indistinguishable from
+            # skipped-for-budget)
+            result["extras_error"] = f"query: {type(e).__name__}: {e}"[:300]
+            emit()
 
     if (os.environ.get("WISE_BENCH_CLAP", "1") == "1"
             and remaining() > 300):
@@ -429,8 +443,11 @@ def _run():
             clap_sps = bench_clap_audio(roundtrip)
             result["clap_audio_segments_per_s"] = round(clap_sps, 1)
             emit()
-        except Exception:
-            pass
+        except Exception as e:  # noqa: BLE001 — see query extra
+            prev = result.get("extras_error")
+            msg = f"clap: {type(e).__name__}: {e}"[:300]
+            result["extras_error"] = f"{prev}; {msg}" if prev else msg
+            emit()
 
 
 if __name__ == "__main__":

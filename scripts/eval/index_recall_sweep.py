@@ -351,11 +351,16 @@ def main():
             rot = jax.jit(lambda a: a @ R_d)
             resid_v, cents_v, q_v = rot(resid), rot(cents), rot(q)
             # the unrotated residuals/rows are dead once rotated copies
-            # exist ('opq' is always the last variant) — free 4 GB of HBM
-            # before building the rotated paged/int8 structures
-            resid.delete()
-            xs_v = rot(xs)
-            xs.delete()
+            # exist — free 4 GB of HBM before building the rotated
+            # paged/int8 structures. Only safe when no later variant will
+            # read them again, hence the last-variant guard (a reordered
+            # variants tuple must not raise on a deleted buffer mid-sweep)
+            if variant == variants[-1]:
+                resid.delete()
+                xs_v = rot(xs)
+                xs.delete()
+            else:
+                xs_v = rot(xs)
             label = f"IVF-PQ(M={M},OPQ)"
         else:
             books = train_pq(sample, M, 256)

@@ -603,3 +603,74 @@ def test_attn_train_falls_back_to_recompute_when_res_rejected(
                             "bo"), got, want):
         c = _cos(g, wgrad)
         assert c > 0.999, (n, c)
+
+
+def test_calibrated_groups_res_gating():
+    """Calibrated group entries are trusted on the saved-activation
+    (res=True) path only for shapes whose training forward actually ran
+    on hardware (_TRAIN_RES_VALIDATED); any other calibrated shape must
+    re-pass the res-aware analytic estimate or fall through (round-4
+    advisor finding: the extra residual output could otherwise hit a hard
+    Mosaic scoped-vmem failure). (576, 1024) — SigLIP-384 — is the live
+    case: calibrated inference groups stay, res=True degrades to the
+    recompute backward."""
+    from wise_tpu.ops.block import (
+        _TRAIN_RES_VALIDATED, _attn_group, _mlp_group, _mlp_split_group)
+
+    # inference path unchanged: calibrated winners
+    assert _attn_group(512, 576, 1024) == 2
+    assert _mlp_split_group(512, 576, 1024) == 1
+    # unvalidated calibrated shape: res path rejected end-to-end (the
+    # qkv residual alone is ~14 MB/group at g=2)
+    assert _attn_group(512, 576, 1024, res=True) is None
+    assert _mlp_split_group(512, 576, 1024, res=True) is None
+    # hardware-validated shapes keep their calibrated groups for training
+    assert (56, 768) in _TRAIN_RES_VALIDATED
+    assert _attn_group(512, 56, 768, res=True) == 2
+    assert _mlp_group(512, 56, 768, res=True) == 1
+    assert _attn_group(512, 264, 1024, res=True) == 2
+    assert _mlp_split_group(512, 264, 1024, res=True) == 2
+
+
+def test_attn_saved_bwd_f32_residual_bias_bound(interpret_kernels):
+    """The saved-activation backward differentiates stage B at the
+    WEIGHT-dtype residual; with bf16 weights that is a systematic
+    rounding-class gradient bias vs the executed forward (documented at
+    fused_attn_block_res). With f32 weights the residual is exact, so
+    the same backward must match the plain vjp far TIGHTER than the bf16
+    0.999 bound — pinning that the bias is bf16-rounding-class, not a
+    math error in the cut-point rule."""
+    from wise_tpu.ops.block import fused_attn_block_train, plain_attn_block
+
+    b, sp, d, heads, n_valid = 8, 16, 256, 4, 13
+    x = _mk((b, sp, d), 0, 1.0)
+    ln_s = 1.0 + _mk((d,), 1)
+    ln_b = _mk((d,), 2)
+    wqkv = _mk((d, 3 * d), 3)
+    bqkv = _mk((3 * d,), 4)
+    wo = _mk((d, d), 5)
+    bo = _mk((d,), 6)
+    w = _mk((b, sp, d), 7, 1.0)
+
+    def loss(fn):
+        def f(*ts):
+            out = fn(*ts, heads, n_valid, False)
+            return jnp.sum(out[:, :n_valid].astype(jnp.float32)
+                           * w[:, :n_valid])
+        return f
+
+    got = jax.grad(loss(fused_attn_block_train), argnums=tuple(range(7)))(
+        x, ln_s, ln_b, wqkv, bqkv, wo, bo)
+    want = jax.grad(
+        loss(lambda *ts: plain_attn_block(
+            *ts[:7], heads=ts[7], n_valid=ts[8], causal=ts[9])),
+        argnums=tuple(range(7)),
+    )(x, ln_s, ln_b, wqkv, bqkv, wo, bo)
+    for n, g, wgrad in zip(("x", "ln_s", "ln_b", "wqkv", "bqkv", "wo",
+                            "bo"), got, want):
+        a64 = np.asarray(g, np.float64).ravel()
+        b64 = np.asarray(wgrad, np.float64).ravel()
+        c = float(a64 @ b64 / (np.linalg.norm(a64) * np.linalg.norm(b64)
+                               + 1e-30))
+        # 1e-7 (f32 accumulation-order class) vs the bf16 path's 0.999
+        assert c > 1.0 - 1e-7, (n, c)

@@ -528,6 +528,11 @@ class SearchEngine:
         self, dists, ids, search_in: Optional[MediaType],
         thumbnails_to_send: int = 0,
     ) -> M.SearchResponse:
+        # reference rounds every response distance to config precision via
+        # pydantic validators (api/routes.py:436-463); one rounding pass at
+        # assembly gives the same wire format
+        dists = [round(float(d), self.config.search.precision)
+                 for d in dists]
         metas = get_full_metadata_batch(self.conn, [int(i) for i in ids])
         id_order = {int(i): k for k, i in enumerate(ids)}
         dists_by_meta = [dists[id_order[m.id]] for m in metas]

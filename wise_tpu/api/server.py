@@ -133,9 +133,18 @@ class WiseAPIHandler(BaseHTTPRequestHandler):
         self.send_response(status)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(data)))
-        self.send_header("Access-Control-Allow-Origin", "*")
+        if self._dev_mode():
+            self.send_header("Access-Control-Allow-Origin", "*")
         self.end_headers()
         self.wfile.write(data)
+
+    def _dev_mode(self) -> bool:
+        """CORS is a development-mode affordance (Vite dev server on its
+        own origin), exactly like the reference's CORSMiddleware gated on
+        mode == 'development' (api/__init__.py:41-52); the production SPA
+        is same-origin and needs none."""
+        return (self.config is not None
+                and self.config.serve.mode == "development")
 
     def _send_error_json(self, status: int, message: str):
         self._send_json({"message": message}, status)
@@ -513,9 +522,11 @@ class WiseAPIHandler(BaseHTTPRequestHandler):
 
     def do_OPTIONS(self):
         self.send_response(204)
-        self.send_header("Access-Control-Allow-Origin", "*")
-        self.send_header("Access-Control-Allow-Methods", "GET, POST, OPTIONS")
-        self.send_header("Access-Control-Allow-Headers", "*")
+        if self._dev_mode():
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Access-Control-Allow-Methods",
+                             "GET, POST, OPTIONS")
+            self.send_header("Access-Control-Allow-Headers", "*")
         self.send_header("Content-Length", "0")
         self.end_headers()
 

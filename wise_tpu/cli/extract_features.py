@@ -26,12 +26,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--media-include", action="append", dest="media_include_list",
                    default=[], type=str,
                    help="regular expression to include certain media files")
-    p.add_argument("--shard-maxcount", type=int, default=2048)
-    p.add_argument("--shard-maxsize", type=int, default=20 * 1024 * 1024)
+    from ..config import StoreConfig
+
+    _store_defaults = StoreConfig()
+    p.add_argument("--shard-maxcount", type=int,
+                   default=_store_defaults.shard_maxcount)
+    p.add_argument("--shard-maxsize", type=int,
+                   default=_store_defaults.shard_maxsize)
     p.add_argument("--num-workers", type=int, default=0,
                    help="host decode worker threads")
     p.add_argument("--feature-store", dest="feature_store_type",
-                   default="webdataset", choices=["webdataset", "numpy"])
+                   default=_store_defaults.store_type,
+                   choices=["webdataset", "numpy"])
     p.add_argument("--image-feature-id", default=DEFAULT_IMAGE_FEATURE_ID)
     p.add_argument("--video-feature-id", default=DEFAULT_IMAGE_FEATURE_ID)
     p.add_argument("--audio-feature-id", default=DEFAULT_AUDIO_FEATURE_ID)

@@ -41,9 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--topk", action="append", type=int)
     p.add_argument("--max-filename-length", type=int, default=50)
     p.add_argument("--no-merge", action="store_true")
-    p.add_argument("--merge-tolerance-video", type=int, default=4)
-    p.add_argument("--merge-rank-tolerance", type=int, default=20)
-    p.add_argument("--merge-tolerance-audio", type=int, default=8)
+    # None = take the project config's SearchConfig value (wise.json
+    # merge_video_time_tolerance / merge_audio_time_tolerance /
+    # merge_rank_tolerance); reference hard-codes 4/8/20 (search.py:717-740)
+    p.add_argument("--merge-tolerance-video", type=float, default=None)
+    p.add_argument("--merge-rank-tolerance", type=int, default=None)
+    p.add_argument("--merge-tolerance-audio", type=float, default=None)
     p.add_argument("--merge-tolerance-metadata", type=int, default=0)
     p.add_argument("--result-format", default="table", choices=["table", "csv"])
     p.add_argument("--save-to-file", type=str)
@@ -112,6 +115,14 @@ def main(argv=None) -> int:
     config = project.load_config()
     if args.storage_dtype:
         config.index.storage_dtype = args.storage_dtype
+    # CLI flags override the project config's merge tolerances; unset
+    # flags take the typed-config values (SearchConfig)
+    if args.merge_tolerance_video is None:
+        args.merge_tolerance_video = config.search.merge_video_time_tolerance
+    if args.merge_tolerance_audio is None:
+        args.merge_tolerance_audio = config.search.merge_audio_time_tolerance
+    if args.merge_rank_tolerance is None:
+        args.merge_rank_tolerance = config.search.merge_rank_tolerance
     conn = wdb.connect(project.db_path, readonly=True)
 
     if args.media_type_list is None and args.media_type_not_list is not None:

@@ -65,7 +65,11 @@ class IndexConfig:
     ivf_nlist_threshold: int = 200_000
     ivf_train_per_cell: int = 100          # train on min(N, 100*nlist) samples
     nprobe: int = 1024
-    use_direct_map: bool = False
+    # NOTE: the reference's `index_use_direct_map` knob (its config.py:18,
+    # honoured at api/routes.py:905-911 to enable faiss reconstruct on IVF
+    # indices) has NO equivalent here by design: every .widx layout keeps
+    # row ids addressable, so `reconstruct` always works and a toggle
+    # would be dead. (Round-4 review: dropped rather than left unread.)
     # PQ (IndexIVFPQ): M subquantizers x 256-entry codebooks over residuals
     pq_m: int = 8
     pq_ksub: int = 256

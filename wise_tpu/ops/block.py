@@ -79,6 +79,19 @@ _EPS = 1e-5
 #                kernel MLP still wins end-to-end (boundary-tax rule)
 _CALIBRATED_ATTN = {(56, 768): 2, (200, 768): 1, (264, 1024): 2,
                     (264, 1280): 2, (576, 1024): 2}
+#: (seq_pad, width) shapes whose SAVED-ACTIVATION training forward (the
+#: res=True kernels, which stream one extra double-buffered (G, SP, 3D)/
+#: (G, SP, FF) output past the calibrated inference groups) has actually
+#: compiled and run on the v5e: the round-4 train-step A/Bs (B/32 1.008x,
+#: B/16, L/14 1.013x — scripts/bench_train_step.py) and the H/14 remat
+#: fine-tune (676.7 ms/step, MLP-split res path). Calibrated groups for
+#: any OTHER shape must re-pass the res-aware analytic estimate before
+#: the training forward will use them; failing that the group functions
+#: fall back to the analytic loop and ultimately to the recompute
+#: backward (residual None), never to a Mosaic scoped-vmem failure.
+#: (576, 1024) — SigLIP-384 — is deliberately NOT here: its qkv residual
+#: alone is ~14 MB/group at g=2.
+_TRAIN_RES_VALIDATED = {(56, 768), (200, 768), (264, 1024), (264, 1280)}
 #: (seq_pad, width) -> group at which the FLAT (merged (G*SP, D) rows)
 #: attention-block variant beat the 3-D batched GEMMs on hardware. When a
 #: shape's entry equals its _CALIBRATED_ATTN group, production runs flat.
@@ -239,18 +252,15 @@ def _attn_group(batch: int, seq_pad: int, width: int,
     the analytic estimate — a shape the inference estimate admits near
     the budget could otherwise pass the gate and then fail Mosaic's
     VMEM check when training streams the extra output. Calibrated
-    entries are kept as-is for both paths (the training A/Bs ran on
-    them)."""
-    cal = _CALIBRATED_ATTN.get((seq_pad, width))
-    if cal is not None and batch % cal == 0:
-        return cal
-    wbytes = 4 * width * width * 2
-    for g in (2, 8, 4, 1):
-        if batch % g:
-            continue
+    entries are kept as-is only where the TRAINING forward actually ran
+    on hardware (_TRAIN_RES_VALIDATED); other calibrated shapes must
+    re-pass the res-aware analytic estimate or they fall through to the
+    analytic loop (smaller group, or None -> recompute backward)."""
+
+    def est(g):
         blk = g * seq_pad * width
-        est = (
-            wbytes
+        return (
+            4 * width * width * 2   # qkv + out-proj weights bf16
             + 2 * 2 * blk * 2       # x, out: double-buffered bf16
             + blk * 2               # att scratch bf16
             + 3 * blk * 2           # qkv bf16
@@ -258,7 +268,16 @@ def _attn_group(batch: int, seq_pad: int, width: int,
             + g * seq_pad * seq_pad * (4 + 2)
             + (2 * 3 * blk * 2 if res else 0)  # qkv residual out x2 bufs
         )
-        if est <= _VMEM_BUDGET:
+
+    cal = _CALIBRATED_ATTN.get((seq_pad, width))
+    if cal is not None and batch % cal == 0:
+        if (not res or (seq_pad, width) in _TRAIN_RES_VALIDATED
+                or est(cal) <= _VMEM_BUDGET):
+            return cal
+    for g in (2, 8, 4, 1):
+        if batch % g:
+            continue
+        if est(g) <= _VMEM_BUDGET:
             return g
     return None
 
@@ -379,25 +398,30 @@ def _mlp_group(batch: int, seq_pad: int, width: int, res: bool = False):
     """Batch group for the MLP block: fc+proj weights resident (8D^2 bf16)
     + x/out blocks + the (G, SP, 4D) intermediate. ``res=True`` adds the
     double-buffered pre-gelu residual OUTPUT the saved-activation
-    training forward streams (see _attn_group)."""
-    cal = _CALIBRATED_MLP.get((seq_pad, width))
-    if (cal is not None and cal[0] in ("single", "singleflat")
-            and batch % cal[1] == 0):
-        return cal[1]
-    wbytes = 8 * width * width * 2
-    for g in (8, 4, 2, 1):
-        if batch % g:
-            continue
+    training forward streams (see _attn_group; calibrated entries obey
+    the same _TRAIN_RES_VALIDATED rule)."""
+
+    def est(g):
         blk = g * seq_pad * width
-        est = (
-            wbytes
+        return (
+            8 * width * width * 2   # fc + proj weights bf16
             + 2 * 2 * blk * 2       # x, out double-buffered bf16
             + blk * 4 + blk * 2     # LN f32 temp + y bf16
             + 4 * blk * 2           # h bf16
             + 4 * blk * 4           # h f32 pre-gelu
             + (2 * 4 * blk * 2 if res else 0)  # h residual out x2 bufs
         )
-        if est <= _VMEM_BUDGET_MLP:
+
+    cal = _CALIBRATED_MLP.get((seq_pad, width))
+    if (cal is not None and cal[0] in ("single", "singleflat")
+            and batch % cal[1] == 0):
+        if (not res or (seq_pad, width) in _TRAIN_RES_VALIDATED
+                or est(cal[1]) <= _VMEM_BUDGET_MLP):
+            return cal[1]
+    for g in (8, 4, 2, 1):
+        if batch % g:
+            continue
+        if est(g) <= _VMEM_BUDGET_MLP:
             return g
     return None
 
@@ -1150,17 +1174,13 @@ def _proj_kernel(x_ref, h_ref, wproj_ref, bproj_ref, o_ref,
 
 def _mlp_split_group(batch: int, seq_pad: int, width: int,
                      res: bool = False):
-    cal = _CALIBRATED_MLP.get((seq_pad, width))
-    if (cal is not None and cal[0] in ("split", "splitflat")
-            and batch % cal[1] == 0):
-        return cal[1]
-    wbytes = 4 * width * width * 2
-    for g in (8, 4, 2, 1):
-        if batch % g:
-            continue
+    """Calibrated entries obey the _TRAIN_RES_VALIDATED rule — see
+    _attn_group."""
+
+    def est(g):
         blk = g * seq_pad * width
-        est = (
-            wbytes
+        return (
+            4 * width * width * 2       # one weight matrix per kernel
             + 2 * 2 * blk * 2           # x/out or x/h blocks
             + 2 * 4 * blk * 2           # h blocks bf16 (in+out worst case)
             + blk * 4 + 4 * blk * 4     # f32 temps
@@ -1168,7 +1188,17 @@ def _mlp_split_group(batch: int, seq_pad: int, width: int,
             # (G, SP, FF) output (pre-gelu residual) — see _attn_group
             + (2 * 4 * blk * 2 if res else 0)
         )
-        if est <= _VMEM_BUDGET:
+
+    cal = _CALIBRATED_MLP.get((seq_pad, width))
+    if (cal is not None and cal[0] in ("split", "splitflat")
+            and batch % cal[1] == 0):
+        if (not res or (seq_pad, width) in _TRAIN_RES_VALIDATED
+                or est(cal[1]) <= _VMEM_BUDGET):
+            return cal[1]
+    for g in (8, 4, 2, 1):
+        if batch % g:
+            continue
+        if est(g) <= _VMEM_BUDGET:
             return g
     return None
 
