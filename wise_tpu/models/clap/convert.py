@@ -101,6 +101,79 @@ def convert_caption_tower(sd: Dict, config) -> Dict:
     return params
 
 
+def convert_bert_caption_tower(sd: Dict, config) -> Dict:
+    """HF bert-base-uncased (msclap-2022 caption_encoder.base) ->
+    BertCaptionEncoder params. The pooler head (``pooler.dense.*``) is
+    deliberately dropped: msclap pools the raw last hidden state at
+    [CLS] (TextEncoder.forward takes ``base(**x)[0][:, 0, :]``), so the
+    pooler weights never execute."""
+    p = _detect_prefix(sd, "embeddings.word_embeddings.weight")
+    emb = p + "embeddings."
+    word = np.asarray(sd[emb + "word_embeddings.weight"], np.float32)
+    pos = np.asarray(sd[emb + "position_embeddings.weight"], np.float32)
+    typ = np.asarray(sd[emb + "token_type_embeddings.weight"], np.float32)
+    if word.shape[0] < config.vocab_size:
+        raise ValueError(
+            f"checkpoint word embeddings have {word.shape[0]} rows < "
+            f"configured vocab_size {config.vocab_size}"
+        )
+    params = {
+        "word_embeddings": word[: config.vocab_size],
+        "position_embeddings": pos[: config.text_max_positions],
+        "token_type_embeddings": typ[: config.text_type_vocab],
+        "emb_ln": _ln(sd, emb + "LayerNorm"),
+    }
+    for i in range(config.text_layers):
+        b = f"{p}encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "query": _dense(sd, b + ".attention.self.query"),
+            "key": _dense(sd, b + ".attention.self.key"),
+            "value": _dense(sd, b + ".attention.self.value"),
+            "attn_out": _dense(sd, b + ".attention.output.dense"),
+            "attn_ln": _ln(sd, b + ".attention.output.LayerNorm"),
+            "intermediate": _dense(sd, b + ".intermediate.dense"),
+            "output": _dense(sd, b + ".output.dense"),
+            "out_ln": _ln(sd, b + ".output.LayerNorm"),
+        }
+    return params
+
+
+def _fold_bn(sd, prefix, eps=1e-5):
+    """Inference-mode BatchNorm -> (scale, bias) affine pair."""
+    mean = np.asarray(sd[prefix + ".running_mean"], np.float32)
+    var = np.asarray(sd[prefix + ".running_var"], np.float32)
+    gamma = np.asarray(sd[prefix + ".weight"], np.float32)
+    beta = np.asarray(sd[prefix + ".bias"], np.float32)
+    scale = gamma / np.sqrt(var + eps)
+    return scale, beta - mean * scale
+
+
+def convert_cnn14_audio_tower(sd: Dict, config) -> Dict:
+    """PANNs Cnn14 (msclap-2022 audio_encoder.base) -> Cnn14Encoder
+    params. Every BatchNorm (bn0 over mel bins and the per-conv bn1/bn2)
+    folds exactly into the affine pairs the Flax tower declares, so the
+    conversion is exact (no HTSAT-style best-effort caveat). The STFT/
+    mel-filterbank buffers (``spectrogram_extractor``/``logmel_extractor``)
+    and the AudioSet classification head (``fc_audioset``) never execute
+    in the CLAP latent path and are dropped."""
+    p = _detect_prefix(sd, "conv_block1.conv1.weight")
+    bn0_scale, bn0_bias = _fold_bn(sd, p + "bn0")
+    params: Dict = {"bn0_scale": bn0_scale, "bn0_bias": bn0_bias}
+    for i in range(len(config.cnn14_channels)):
+        blk = f"conv_block{i + 1}"
+        for j in (1, 2):
+            w = np.asarray(sd[f"{p}{blk}.conv{j}.weight"], np.float32)
+            params[f"{blk}_conv{j}"] = {
+                # torch conv (out, in, kh, kw) -> flax (kh, kw, in, out)
+                "kernel": np.transpose(w, (2, 3, 1, 0))
+            }
+            s, t = _fold_bn(sd, f"{p}{blk}.bn{j}")
+            params[f"{blk}_bn{j}_scale"] = s
+            params[f"{blk}_bn{j}_bias"] = t
+    params["fc1"] = _dense(sd, p + "fc1")
+    return params
+
+
 def convert_audio_tower(sd: Dict, config) -> Dict:
     """HTSAT Swin core (msclap audio_encoder.base) -> HTSATEncoder params.
     Maps patch embed, Swin blocks, and patch-merging; bn0/tscam are skipped
@@ -161,13 +234,17 @@ def convert_audio_tower(sd: Dict, config) -> Dict:
 
 
 def convert_msclap_state_dict(sd: Dict, config) -> Dict:
-    """Full msclap CLAP state dict -> wise_tpu CLAP params tree."""
+    """Full msclap CLAP state dict -> wise_tpu CLAP params tree. Tower
+    families dispatch on the config (2023: GPT2 + HTSAT; 2022: BERT +
+    CNN14 — msclap config_2022.yml)."""
     sd = {k: np.asarray(v) for k, v in sd.items()}
-    logger.warning(
-        "msclap conversion is best-effort: HTSAT bn0/reshape differences "
-        "make audio embeddings approximate until validated against the "
-        "reference implementation (ROADMAP item 2)"
-    )
+    if config.audio_encoder_type == "htsat":
+        logger.warning(
+            "msclap conversion is best-effort: HTSAT bn0/reshape "
+            "differences make audio embeddings approximate until "
+            "validated against the reference implementation "
+            "(ROADMAP item 2)"
+        )
     cap_proj_prefix = _detect_prefix(sd, "linear1.weight")
     # disambiguate caption vs audio projection by substring
     cap_proj = next(
@@ -180,9 +257,19 @@ def convert_msclap_state_dict(sd: Dict, config) -> Dict:
          if k.endswith("linear1.weight") and "audio" in k),
         None,
     )
+    caption = (
+        convert_bert_caption_tower(sd, config)
+        if config.text_encoder_type == "bert"
+        else convert_caption_tower(sd, config)
+    )
+    audio = (
+        convert_cnn14_audio_tower(sd, config)
+        if config.audio_encoder_type == "cnn14"
+        else convert_audio_tower(sd, config)
+    )
     params = {
-        "caption_encoder": convert_caption_tower(sd, config),
-        "audio_encoder": convert_audio_tower(sd, config),
+        "caption_encoder": caption,
+        "audio_encoder": audio,
         "caption_projection": _projection(sd, cap_proj.rstrip(".")),
         "logit_scale": np.asarray(
             sd.get("logit_scale", np.log(1 / 0.07)), np.float32

@@ -74,7 +74,9 @@ class ClapExtractor(FeatureExtractor):
                     ckpt = hits[0]
                     break
         rng = jax.random.PRNGKey(0)
-        dummy_mel = jnp.zeros((1, 16, c.n_mels), jnp.float32)
+        # 64 dummy frames: HTSAT pads to spec_frames internally, and
+        # CNN14's six 2x2 pools need >= 2^6 input frames to init
+        dummy_mel = jnp.zeros((1, 64, c.n_mels), jnp.float32)
         dummy_tok = jnp.zeros((1, c.context_length), jnp.int32)
         if ckpt is not None and ckpt.suffix in (".pth", ".pt"):
             # msclap torch checkpoint (staged by scripts/fetch_checkpoints.py)
@@ -111,11 +113,13 @@ class ClapExtractor(FeatureExtractor):
 
         from .tokenizer import get_caption_tokenizer
 
-        # GPT2 byte-level BPE (msclap's caption tokenizer) when vocab.json +
-        # merges.txt are staged; deterministic hash fallback otherwise
+        # caption tokenizer per tower family (2023: GPT2 byte-level BPE
+        # from vocab.json + merges.txt; 2022: BERT WordPiece from
+        # vocab.txt); deterministic hash fallback when nothing is staged
         self.tokenizer = get_caption_tokenizer(
             ckpt_dir if ckpt_dir.exists() else None,
             vocab_size=c.vocab_size, context_length=c.context_length,
+            kind=c.text_encoder_type,
         )
 
         in_rate = PIPELINE_SAMPLE_RATE
