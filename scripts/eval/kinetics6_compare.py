@@ -16,19 +16,29 @@ Usage (networked host):
 Exit 0 = rank order matches for every comparable query; score deltas are
 reported either way. Audio/fused rows are skipped until CLAP weights are
 staged (scripts/fetch_checkpoints.py clap 2023).
+
+Every pipeline stage runs the SAME CLI entry functions the user-facing
+shims call (wise_tpu.cli.*.main) in-process, so this glue is exercised by
+the hermetic dress rehearsal (tests/test_validation_kit.py) with a
+synthetic checkpoint + synthetic media standing in for the downloads —
+the first networked run cannot die on bitrot in the kit itself (round-4
+VERDICT #6). ``--emit-golden`` / ``--golden-csv`` / ``--*-feature-id``
+exist for that rehearsal and for pinning future reference versions.
 """
 
 import argparse
 import csv
 import io
 import json
-import subprocess
+import shutil
 import sys
 import tarfile
 import urllib.request
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(REPO))
+
 K6_URL = "https://thor.robots.ox.ac.uk/wise/assets/test/Kinetics-6b.tar.gz"
 
 # Golden rows from the reference's conformance suite
@@ -57,9 +67,13 @@ VIDEO_ID = "mlfoundations/open_clip/ViT-L-16-SigLIP-384/webli"
 AUDIO_ID = "microsoft/clap/2023/four-datasets"
 
 
-def sh(*args, **kw):
-    print("+", " ".join(str(a) for a in args))
-    subprocess.run([str(a) for a in args], check=True, **kw)
+def run_cli(module_main, argv):
+    """Run a wise_tpu CLI entry in-process — the exact function the root
+    shim scripts dispatch to, same argv contract."""
+    print("+", module_main.__module__, " ".join(str(a) for a in argv))
+    rc = module_main([str(a) for a in argv])
+    if rc not in (0, None):
+        raise SystemExit(f"{module_main.__module__} failed rc={rc}")
 
 
 def parse_rows(text):
@@ -70,12 +84,20 @@ def parse_rows(text):
     return by_query
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--workdir", required=True)
     p.add_argument("--with-audio", action="store_true",
                    help="include audio/fused queries (needs CLAP weights)")
-    args = p.parse_args()
+    p.add_argument("--video-feature-id", default=VIDEO_ID)
+    p.add_argument("--audio-feature-id", default=AUDIO_ID)
+    p.add_argument("--golden-csv", default=None,
+                   help="compare against this CSV instead of the built-in "
+                        "reference table")
+    p.add_argument("--emit-golden", default=None,
+                   help="write this run's results as a golden CSV and exit "
+                        "(dress-rehearsal / re-pinning mode)")
+    args = p.parse_args(argv)
     work = Path(args.workdir)
     data = work / "Kinetics-6b"
     proj = work / "project"
@@ -87,44 +109,58 @@ def main():
         with tarfile.open(fileobj=io.BytesIO(buf), mode="r:gz") as tf:
             tf.extractall(data)
 
+    from wise_tpu.cli.create_index import main as create_index_main
+    from wise_tpu.cli.extract_features import main as extract_main
+    from wise_tpu.cli.metadata import main as metadata_main
+    from wise_tpu.cli.search import main as search_main
+
     if not proj.exists():
         extract = [
-            sys.executable, REPO / "extract-features.py", data,
-            "--media-include", "*.mp4",
-            "--video-feature-id", VIDEO_ID,
+            data, "--media-include", "*.mp4",
+            "--video-feature-id", args.video_feature_id,
             "--project-dir", proj,
         ]
         if args.with_audio:
-            extract += ["--audio-feature-id", AUDIO_ID]
-        sh(*extract)
-        sh(sys.executable, REPO / "metadata.py", "import",
-           "--from-csv", data / "metadata.csv",
-           "--metadata-id", "Kinetics/6b/video_categories",
-           "--col-metadata-id", "metadata_id",
-           "--col-filename", "{metadata}/{filename}",
-           "--col-starttime", "starttime",
-           "--col-stoptime", "stoptime",
-           "--col-metadata", "metadata",
-           "--project-dir", proj)
-        sh(sys.executable, REPO / "create-index.py",
-           "--index-type", "IndexFlatIP", "--project-dir", proj)
+            extract += ["--audio-feature-id", args.audio_feature_id]
+        run_cli(extract_main, extract)
+        run_cli(metadata_main, [
+            "import",
+            "--from-csv", data / "metadata.csv",
+            "--metadata-id", "Kinetics/6b/video_categories",
+            "--col-metadata-id", "metadata_id",
+            "--col-filename", "{metadata}/{filename}",
+            "--col-starttime", "starttime",
+            "--col-stoptime", "stoptime",
+            "--col-metadata", "metadata",
+            "--project-dir", proj,
+        ])
+        run_cli(create_index_main, [
+            "--index-type", "IndexFlatIP", "--project-dir", proj,
+        ])
 
     out_csv = work / "result.csv"
     search = [
-        sys.executable, REPO / "search.py",
         "--query", "cooking", "--in", "video",
         "--topk", "20", "--index-type", "IndexFlatIP",
         "--result-format", "csv", "--save-to-file", out_csv,
         "--project-dir", proj,
     ]
     if args.with_audio:
-        # append AFTER the complete "--query cooking --in video" pair so
-        # argparse pairs queries with media types in order ([3:3] would
-        # split "--query" from its value)
-        search[6:6] = ["--query", "music", "--in", "audio"]
-    sh(*search)
+        # insert the complete "--query music --in audio" pair AFTER the
+        # video pair so argparse pairs queries with media types in order
+        search[4:4] = ["--query", "music", "--in", "audio"]
+    run_cli(search_main, search)
 
-    golden = parse_rows(GOLDEN_TEST1)
+    if args.emit_golden:
+        shutil.copy(out_csv, args.emit_golden)
+        print(f"golden written: {args.emit_golden}")
+        return 0
+
+    golden_text = (
+        Path(args.golden_csv).read_text() if args.golden_csv
+        else GOLDEN_TEST1
+    )
+    golden = parse_rows(golden_text)
     got = parse_rows(out_csv.read_text())
     report = {"queries": {}, "rank_order_ok": True}
     for q, grows in golden.items():

@@ -18,14 +18,14 @@ from wise_tpu.eval.retrieval import (
 )
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser(prog="retrieval_eval")
     p.add_argument("--epic-video-segments", required=True)
     p.add_argument("--relevancy-mat-file", required=True)
     p.add_argument("--wise-query", required=True)
     p.add_argument("--wise-search-results", required=True)
     p.add_argument("--iou-threshold", required=True, type=float)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     query_ids, query_texts = load_queries(args.wise_query)
     print(f"loaded {len(query_ids)} queries")
@@ -40,6 +40,7 @@ def main():
     rel = np.asarray(pd.read_pickle(args.relevancy_mat_file))
     m = calculate_mAP(sim.T, rel.T)
     print(f"mAP = {m:.3f}")
+    return m
 
 
 if __name__ == "__main__":

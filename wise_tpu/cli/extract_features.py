@@ -25,7 +25,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="process images, audio and video from these folders")
     p.add_argument("--media-include", action="append", dest="media_include_list",
                    default=[], type=str,
-                   help="regular expression to include certain media files")
+                   help="shell-style glob matched against the file name, e.g. '*.mp4' "
+                        "(reference extract-features.py:145-152; its Kinetics "
+                        "script passes globs)")
     from ..config import StoreConfig
 
     _store_defaults = StoreConfig()

@@ -165,6 +165,16 @@ CLIP_CONFIGS = {
         vision_pool="map", text_causal=False, text_pool="last",
         act="gelu_tanh", text_proj_bias=True,
     ),
+    # Dress-rehearsal config for the real-weight validation kit
+    # (tests/test_validation_kit.py): the kit's full glue — synthetic .pth
+    # -> convert -> extract -> index -> search -> golden compare — runs
+    # hermetically at this size where the networked run would use a
+    # published checkpoint. Not a published model.
+    "ViT-Test-Tiny": CLIPConfig(
+        embed_dim=32, image_size=32, patch_size=16, vision_width=64,
+        vision_layers=2, vision_heads=4, context_length=16,
+        vocab_size=1024, text_width=32, text_heads=4, text_layers=2,
+    ),
     # OpenAI checkpoints use QuickGELU
     "ViT-B-32-quickgelu": CLIPConfig(quick_gelu=True),
     "ViT-B-16-quickgelu": CLIPConfig(patch_size=16, quick_gelu=True),

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-import re
 import time
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
@@ -80,13 +79,23 @@ class ExtractionStats:
 
 
 def _scan_media_dirs(media_dir_list, include_patterns) -> List[Path]:
+    """include_patterns are shell-style globs matched against the file
+    name ('*.mp4'). The reference's --media-include help says "regular
+    expression" but its own conformance script passes globs
+    (tests/test-kinetics-6.sh: --media-include "*.mp4"), so glob
+    semantics are the de-facto contract — the round-5 validation-kit
+    dress rehearsal caught the previous regex interpretation crashing on
+    exactly that flag value."""
     files: List[Path] = []
     exts = IMAGE_EXTENSIONS + VIDEO_EXTENSIONS + AUDIO_EXTENSIONS
     for d in media_dir_list:
         files.extend(get_files_from_directory_with_extensions(d, exts))
     if include_patterns:
-        pats = [re.compile(p) for p in include_patterns]
-        files = [f for f in files if any(p.search(str(f)) for p in pats)]
+        import fnmatch
+
+        files = [f for f in files
+                 if any(fnmatch.fnmatch(f.name, p)
+                        for p in include_patterns)]
     return files
 
 
