@@ -74,8 +74,17 @@ def main():
         lambda q: int8_candidates(q, codes, scales, n_valid=N, kc=KC, k=K,
                                   group=GROUP)
     )
-    _ = scan(q1)  # compile
-    np.asarray(_[0][0, 0])
+    for attempt in range(4):  # the tunnel compile service drops pipes on
+        try:                  # long compiles in bad phases — retry
+            _ = scan(q1)
+            np.asarray(_[0][0, 0])
+            break
+        except Exception as e:
+            print(f"scan compile attempt {attempt}: {type(e).__name__}",
+                  file=sys.stderr)
+            if attempt == 3:
+                raise
+            time.sleep(20)
 
     scan_ms = min(chain(scan, q1, 100) for _ in range(3)) * 1e3
     floor_ms = (n_pad * D * 1 + n_pad * 4) / 866e9 * 1e3
