@@ -70,26 +70,78 @@ def main():
     q1 = jax.random.normal(jax.random.PRNGKey(1), (1, D), jnp.float32)
     q1 = q1 / jnp.linalg.norm(q1, axis=1, keepdims=True)
 
-    scan = jax.jit(
-        lambda q: int8_candidates(q, codes, scales, n_valid=N, kc=KC, k=K,
-                                  group=GROUP)
+    # codes/scales MUST be jit ARGUMENTS: a closure-captured device array
+    # is embedded as a constant in the compile payload, and this remote-
+    # compile backend ships the payload over HTTP — a 512 MB codes matrix
+    # gets HTTP 413 (observed as broken-pipe for ~30 min first).
+    scan2 = jax.jit(
+        lambda q, c, s: int8_candidates(q, c, s, n_valid=N, kc=KC, k=K,
+                                        group=GROUP)
     )
-    for attempt in range(4):  # the tunnel compile service drops pipes on
-        try:                  # long compiles in bad phases — retry
-            _ = scan(q1)
-            np.asarray(_[0][0, 0])
-            break
-        except Exception as e:
-            print(f"scan compile attempt {attempt}: {type(e).__name__}",
-                  file=sys.stderr)
-            if attempt == 3:
-                raise
-            time.sleep(20)
+
+    def scan(q):
+        return scan2(q, codes, scales)
+
+    _ = scan(q1)
+    np.asarray(_[0][0, 0])
 
     scan_ms = min(chain(scan, q1, 100) for _ in range(3)) * 1e3
     floor_ms = (n_pad * D * 1 + n_pad * 4) / 866e9 * 1e3
     print(f"scan_only_ms={scan_ms:.3f}  int8_bw_floor_ms={floor_ms:.3f}  "
           f"ratio={scan_ms / floor_ms:.2f}x")
+
+    # SAME-SESSION calibration: the bf16 and f32 exact scans have known
+    # good-day numbers (1.19-1.44 / 2.2-2.7 ms, BENCHMARKS.md). Measuring
+    # them in this process separates tunnel-session dispatch overhead
+    # from real int8-kernel cost.
+    from wise_tpu.ops.topk import two_stage_topk
+
+    @jax.jit
+    def debuild(c, s):
+        return (c.astype(jnp.float32) * s[:, None]).astype(jnp.bfloat16)
+
+    db_bf16 = debuild(codes, scales)
+    np.asarray(db_bf16[0, :1])
+    scan_bf16 = jax.jit(
+        lambda q, d: two_stage_topk(q, d, n_valid=N, k=K, group=GROUP)
+    )
+    _ = scan_bf16(q1, db_bf16)
+    np.asarray(_[0][0, 0])
+    bf16_ms = min(
+        chain(lambda q: scan_bf16(q, db_bf16), q1, 100) for _ in range(3)
+    ) * 1e3
+    print(f"bf16_scan_same_session_ms={bf16_ms:.3f} "
+          f"(good-day reference 1.19-1.44)")
+    # re-measure int8 interleaved after bf16 to bound drift
+    scan_ms2 = min(chain(scan, q1, 100) for _ in range(3)) * 1e3
+    print(f"int8_scan_reinterleaved_ms={scan_ms2:.3f}  "
+          f"int8_vs_bf16={min(scan_ms, scan_ms2) / bf16_ms:.2f}x")
+
+    # VARIANT: bf16-dot over int8-stored codes. Reads stay 1 B/element;
+    # the i8->bf16 convert rides the dot's operand stream. Numerically
+    # IDENTICAL to the i32-accumulate dot: int8 values are exact in bf16
+    # (<=7 mantissa bits), every product fits f32 exactly, and a 512-term
+    # sum of |x|<=16129 integers is exact in f32. If XLA fuses the
+    # convert (no 1 GB bf16 materialisation), this should approach the
+    # bf16 scan's bandwidth discipline at half the bytes.
+    from wise_tpu.ops.topk import int8_candidates_bf16dot
+
+    scanb2 = jax.jit(
+        lambda q, c, s: int8_candidates_bf16dot(
+            q, c, s, n_valid=N, kc=KC, k=K, group=GROUP)
+    )
+
+    def scanb(q):
+        return scanb2(q, codes, scales)
+
+    vb = scanb(q1)
+    va = scan(q1)
+    assert (np.asarray(vb[1]) == np.asarray(va[1])).all(), \
+        "bf16-dot variant changed candidate rows"
+    bdot_ms = min(chain(scanb, q1, 100) for _ in range(3)) * 1e3
+    scan_ms3 = min(chain(scan, q1, 100) for _ in range(3)) * 1e3
+    print(f"int8_bf16dot_ms={bdot_ms:.3f} vs i32dot_reinterleave="
+          f"{scan_ms3:.3f} ({bdot_ms / scan_ms3:.2f}x)")
 
     # host rerank half: gather KC rows from a host-resident f32 matrix and
     # re-score (the memmapped .widx equivalent; matrix contents don't

@@ -160,3 +160,34 @@ def test_index_config_int8(tmp_path, rng):
     s32, ids32 = idx32.search("video", q, topk=5, query_type="vector")
     np.testing.assert_array_equal(got_ids, ids32)
     np.testing.assert_allclose(scores, s32, rtol=1e-6)
+
+
+def test_int8_bf16dot_variant_identical():
+    """The convert-on-read bf16-dot probe variant (BENCHMARKS.md round-5
+    int8 attribution — measured flat on hardware, kept as a documented
+    probe) must stay byte-identical in candidate rows and scores: int8
+    values are exact in bf16, every product fits f32 exactly, and a
+    512-term integer-magnitude sum is exact in f32."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wise_tpu.ops.topk import (
+        int8_candidates,
+        int8_candidates_bf16dot,
+        quantize_rows_int8,
+    )
+
+    rng = np.random.default_rng(7)
+    db = rng.standard_normal((8192, 512)).astype(np.float32)
+    codes, scales = quantize_rows_int8(db)
+    q = rng.standard_normal((4, 512)).astype(np.float32)
+    v1, r1 = int8_candidates(
+        jnp.asarray(q), jnp.asarray(codes), jnp.asarray(scales),
+        n_valid=8000, kc=80, k=20,
+    )
+    v2, r2 = int8_candidates_bf16dot(
+        jnp.asarray(q), jnp.asarray(codes), jnp.asarray(scales),
+        n_valid=8000, kc=80, k=20,
+    )
+    assert (np.asarray(r1) == np.asarray(r2)).all()
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)

@@ -247,7 +247,7 @@ def quantize_rows_int8(db: np.ndarray):
     return codes, scales.astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("kc", "k", "group", "n_valid"))
+@functools.partial(jax.jit, static_argnames=("kc", "k", "group", "n_valid", "bf16_dot"))
 def int8_candidates(
     queries: jax.Array,
     db_i8: jax.Array,
@@ -256,6 +256,7 @@ def int8_candidates(
     kc: int,
     k: int = None,
     group: int = 4096,
+    bf16_dot: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Approximate top-kc candidate rows from an int8-quantized database.
 
@@ -271,11 +272,22 @@ def int8_candidates(
     q = queries.astype(jnp.float32)
     q_scale = jnp.max(jnp.abs(q), axis=1, keepdims=True) / 127.0  # (Q, 1)
     q_i8 = jnp.rint(q / jnp.where(q_scale == 0, 1, q_scale)).astype(jnp.int8)
-    raw = jax.lax.dot_general(
-        q_i8, db_i8,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )  # (Q, n_pad) i32
+    if bf16_dot:
+        # int8 codes convert to bf16 on the operand stream (exact: int8
+        # fits bf16's mantissa; every product and a <=2^14-magnitude
+        # 512-term sum are exact in f32) — HBM reads stay 1 B/element
+        # while the dot runs the well-tiled bf16 MXU path
+        raw = jax.lax.dot_general(
+            q_i8.astype(jnp.bfloat16), db_i8.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Q, n_pad) f32, integer-exact
+    else:
+        raw = jax.lax.dot_general(
+            q_i8, db_i8,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (Q, n_pad) i32
     scores = raw.astype(jnp.float32) * (q_scale * row_scales[None, :])
     row = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
     scores = jnp.where(row < n_valid, scores, -jnp.inf)
@@ -304,6 +316,14 @@ def int8_candidates(
     kc = min(kc, kb * group)
     top_v, pos = jax.lax.top_k(cand, kc)
     return top_v, jnp.take_along_axis(base, pos, axis=1)
+
+
+def int8_candidates_bf16dot(queries, db_i8, row_scales, n_valid,
+                            kc, k=None, group: int = 4096):
+    """int8_candidates with the convert-on-read bf16 MXU dot (identical
+    candidates/scores by integer-exactness; see the bf16_dot branch)."""
+    return int8_candidates(queries, db_i8, row_scales, n_valid, kc, k=k,
+                           group=group, bf16_dot=True)
 
 
 def rerank_exact_f32(queries, candidate_rows, vectors, k: int,
