@@ -49,9 +49,11 @@ def _ln(xf, scale, bias, eps=1e-5):
     return (xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def make_tower(params_v, int8: bool):
-    """Plain ViT-B/32 vision tower forward from the param tree; `int8`
-    switches the four transformer GEMMs to w8a8."""
+def make_tower(int8: bool):
+    """Plain ViT-B/32 vision tower forward (params passed as an ARG —
+    a closure-captured tree is embedded as compile-payload constants and
+    this remote-compile backend rejects >~100 MB payloads with HTTP 413);
+    `int8` switches the four transformer GEMMs to w8a8."""
     dt = jnp.bfloat16
 
     def gemm(x, w, b):
@@ -73,7 +75,7 @@ def make_tower(params_v, int8: bool):
             y = (y32.astype(jnp.float32) * sx * sw[None, :]).astype(dt)
         return y + b.astype(dt)
 
-    def forward(images):
+    def forward(params_v, images):
         c = params_v["conv1"]["kernel"]  # (32, 32, 3, 768)
         b_img = images.shape[0]
         p = 32
@@ -188,24 +190,24 @@ def main():
                                 jnp.float32, -1.8, 1.8)
 
     # --- accuracy first (small batch, cos vs plain bf16) ----------------
-    fwd_bf16 = jax.jit(make_tower(params_v, int8=False))
-    fwd_int8 = jax.jit(make_tower(params_v, int8=True))
-    zb = np.asarray(fwd_bf16(images[:64]))
-    zi = np.asarray(fwd_int8(images[:64]))
+    fwd_bf16 = jax.jit(make_tower(int8=False))
+    fwd_int8 = jax.jit(make_tower(int8=True))
+    zb = np.asarray(fwd_bf16(params_v, images[:64]))
+    zi = np.asarray(fwd_int8(params_v, images[:64]))
     cos = float(np.mean(np.sum(zb * zi, axis=-1)))
     print(f"w8a8 embed cos vs plain bf16: {cos:.6f}")
 
     # interleaved timing: plain bf16 / w8a8 / production fused / wo-int8
     def mk_step(fwd):
         @jax.jit
-        def step(imgs, carry):
-            out = fwd(imgs + (carry * 0).astype(imgs.dtype))
+        def step(pv, imgs, carry):
+            out = fwd(pv, imgs + (carry * 0).astype(imgs.dtype))
             return out[0, 0].astype(jnp.float32)
         return step
 
-    fps_bf16 = time_step(mk_step(make_tower(params_v, int8=False)), images)
+    fps_bf16 = time_step(mk_step(make_tower(int8=False)), params_v, images)
     print(f"plain bf16 tower:      {fps_bf16:8.0f} frames/s")
-    fps_w8a8 = time_step(mk_step(make_tower(params_v, int8=True)), images)
+    fps_w8a8 = time_step(mk_step(make_tower(int8=True)), params_v, images)
     print(f"w8a8 tower:            {fps_w8a8:8.0f} frames/s "
           f"({fps_w8a8 / fps_bf16:.3f}x plain)")
 
@@ -239,8 +241,10 @@ def main():
           f"({fps_wo / fps_prod:.3f}x production), embed cos {cos_wo:.6f}")
 
     # second interleave pass to bound drift
-    fps_bf16b = time_step(mk_step(make_tower(params_v, int8=False)), images)
-    fps_w8a8b = time_step(mk_step(make_tower(params_v, int8=True)), images)
+    fps_bf16b = time_step(mk_step(make_tower(int8=False)), params_v,
+                          images)
+    fps_w8a8b = time_step(mk_step(make_tower(int8=True)), params_v,
+                          images)
     print(f"re-interleave: plain {fps_bf16b:.0f}, w8a8 {fps_w8a8b:.0f} "
           f"({fps_w8a8b / fps_bf16b:.3f}x)")
 
