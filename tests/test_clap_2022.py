@@ -230,3 +230,37 @@ def test_bert_pad_length_invariance():
     a = enc.apply(params, jnp.asarray(short), jnp.asarray([6], jnp.int32))
     b = enc.apply(params, jnp.asarray(long_), jnp.asarray([6], jnp.int32))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_clap_2022_extractor_end_to_end(monkeypatch, tmp_path):
+    """The full 2022 extractor path through the factory id: 48 kHz wav ->
+    device resample to 44.1 kHz -> log-mel -> CNN14 -> projection, and
+    text -> (hash-fallback) WordPiece slot -> BERT tower -> projection;
+    tiny config swapped in so it runs on CPU in seconds."""
+    monkeypatch.setenv("WISE_CHECKPOINT_DIR", str(tmp_path))
+    monkeypatch.setenv("WISE_CLAP_DTYPE", "float32")
+    from wise_tpu.models.clap import model as clap_model
+
+    tiny = dataclasses.replace(
+        clap_model.get_clap_config("2022"),
+        joint_dim=16, duration=1.0, n_mels=16, cnn14_channels=(4, 8),
+        vocab_size=64, context_length=8, text_width=16, text_heads=2,
+        text_layers=1, text_max_positions=16,
+    )
+    monkeypatch.setitem(clap_model.CLAP_CONFIGS, "2022", tiny)
+    from wise_tpu.models.clap.extractor import ClapExtractor
+
+    fe = ClapExtractor("microsoft/clap/2022/2022")
+    assert fe.config.audio_encoder_type == "cnn14"
+    assert fe.config.text_encoder_type == "bert"
+    wav = np.sin(
+        2 * np.pi * 330 * np.arange(48_000 * 2) / 48_000
+    ).astype(np.float32)
+    feats = fe.extract_audio_features(fe.preprocess_audio(wav))
+    assert feats.shape == (1, 16)
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=1), 1.0,
+                               rtol=1e-4)
+    txt = fe.extract_text_features(["dog barking", "violin"])
+    assert txt.shape == (2, 16)
+    assert not np.allclose(txt[0], txt[1])
+    np.testing.assert_allclose(np.linalg.norm(txt, axis=1), 1.0, rtol=1e-4)
