@@ -114,3 +114,27 @@ def test_factory_routes_media_types(tmp_path):
     asset, _, _ = _build_project_store(tmp_path)
     fi = SearchIndexFactory("video", "wise/random_features/32/test", asset)
     assert isinstance(fi, FeatureSearchIndex)
+
+
+def test_flat_approx_recall_knob(tmp_path):
+    """IndexConfig.flat_approx_recall > 0 routes single-chip flat search
+    through flat_topk_approx (jax.lax.approx_max_k — the measured-7.4x
+    batch-eval mode, BENCHMARKS.md "large-k variants"). On the CPU test
+    backend approx_max_k lowers to an exact sort, so results must EQUAL
+    the exact path — this pins the plumbing, the TPU recall/speed is
+    pinned by the hardware bench."""
+    from wise_tpu.config import IndexConfig
+
+    asset, ids, vecs = _build_project_store(tmp_path)
+    cfg = IndexConfig()
+    cfg.flat_approx_recall = 0.95
+    idx = FeatureSearchIndex(
+        "video", "wise/random_features/32/test", asset, config=cfg
+    )
+    assert idx.create_index("IndexFlatIP", overwrite=True)
+    assert idx.load_index("IndexFlatIP")
+    q = vecs[3][None]
+    scores, got_ids = idx.search("video", q, topk=7, query_type="vector")
+    ref_vals, ref_rows = numpy_reference_topk(q, vecs, 7)
+    np.testing.assert_array_equal(got_ids, ids[ref_rows[0]])
+    np.testing.assert_allclose(scores, ref_vals[0], rtol=1e-5, atol=1e-5)

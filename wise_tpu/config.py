@@ -82,6 +82,13 @@ class IndexConfig:
     # without requiring the flat-sibling exact rerank.
     pq_opq: bool = True
     pq_opq_iters: int = 8
+    # APPROXIMATE flat scan (ops/topk.flat_topk_approx): 0.0 = exact
+    # (default); a recall target in (0, 1] switches single-chip flat
+    # searches to the TPU PartialReduce top-k — measured 7.4x faster at
+    # the 512-query x 1M x 768, k=1000 batch-eval geometry at
+    # recall@1000 0.983 (BENCHMARKS.md "large-k variants"). The honest
+    # analogue of serving from the reference's IndexIVFFlat batch mode.
+    flat_approx_recall: float = 0.0
     # device-side scan parameters
     scan_block_rows: int = 4096            # DB rows per Pallas scan block
     # HBM copy of the flat database: "float32" (bit-parity with faiss),

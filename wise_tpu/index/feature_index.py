@@ -597,6 +597,14 @@ class FeatureSearchIndex(SearchIndex):
             from ..parallel.sharded_search import sharded_scan_topk
 
             return sharded_scan_topk(self._mesh, qvec, db, n_valid, k)
+        if self.config.flat_approx_recall > 0.0:
+            from ..ops.topk import flat_topk_approx
+
+            vals, idx = flat_topk_approx(
+                qvec, db, n_valid=n_valid, k=k,
+                recall_target=float(self.config.flat_approx_recall),
+            )
+            return np.asarray(vals), np.asarray(idx)
         vals, idx = flat_topk(qvec, db, n_valid=n_valid, k=k, group=self.GROUP)
         return np.asarray(vals), np.asarray(idx)
 

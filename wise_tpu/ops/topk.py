@@ -234,6 +234,42 @@ def flat_topk(
     return hier_topk(queries, db_padded, n_valid, k, group)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("k", "n_valid", "recall_target"))
+def flat_topk_approx(
+    queries: jax.Array,
+    db_padded: jax.Array,
+    n_valid: int,
+    k: int,
+    recall_target: float = 0.95,
+) -> Tuple[jax.Array, jax.Array]:
+    """APPROXIMATE flat top-k via the TPU-accelerated PartialReduce op
+    (jax.lax.approx_max_k). Measured at the EpicKitchens batch geometry
+    (512 queries x 1M x 768, k=1000): 7.4x faster than the exact hier
+    scan at recall@1000 = 0.983 (scripts/bench_topk_k1000_variants.py) —
+    the honest comparator for the reference's own IndexIVFFlat batch
+    mode, which is approximate too. Opt in via
+    IndexConfig.flat_approx_recall; the default serve path stays exact.
+    On CPU backends approx_max_k lowers to an exact sort, so results
+    equal the exact scan there (tests rely on this)."""
+    if db_padded.dtype == jnp.bfloat16:
+        scores = jax.lax.dot_general(
+            queries.astype(jnp.bfloat16), db_padded,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        scores = jax.lax.dot_general(
+            queries.astype(jnp.float32), db_padded,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, db_padded.shape[0]), 1)
+    scores = jnp.where(row < n_valid, scores, -jnp.inf)
+    return jax.lax.approx_max_k(scores, min(k, n_valid),
+                                recall_target=recall_target)
+
+
 def quantize_rows_int8(db: np.ndarray):
     """Symmetric per-row int8 quantization: returns (codes (N, D) int8,
     scales (N,) f32) with row = codes * scale + err, |err| <= scale/2.
