@@ -247,6 +247,8 @@ class WiseConfig:
             v.negative_queries_weight = float(env["NEGATIVE_QUERIES_WEIGHT"])
         if env.get("NPROBE"):
             self.index.nprobe = int(env["NPROBE"])
+        if env.get("FLAT_APPROX_RECALL"):
+            self.index.flat_approx_recall = float(env["FLAT_APPROX_RECALL"])
         if env.get("INDEX_TYPE"):
             self.index.index_type = env["INDEX_TYPE"]
         if env.get("WISE_SERVE_COALESCE"):
